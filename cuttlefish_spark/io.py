@@ -1,0 +1,59 @@
+"""Table IO over the driver-generated parquet test data.
+
+The reference reads one JSON config table (chapters) at
+/root/reference/private/api-runner.rkt:171-178 and crashes out on a
+missing path; `load_table` keeps that fail-fast contract
+(AnalysisException on missing parquet) while the engine reads columnar
+parquet — filters and column projections reach the scan (verified by
+cuttlefish_spark.plans.checks).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+TABLES = [
+    "region",
+    "nation",
+    "customer",
+    "supplier",
+    "part",
+    "orders",
+    "lineitem",
+    "events",
+    "documents",
+    "embeddings",
+]
+
+DEFAULT_SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+
+def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one table; missing path fails fast (api-runner.rkt:171-178).
+
+    TIMESTAMP(NANOS) parquet (the `events.ts` column) is illegal for
+    Spark's vectorized reader, so nanos are read as raw longs
+    (legacy.parquet.nanosAsLong) and converted to microsecond
+    timestamps here — set at runtime so it works under any session,
+    including the verification driver's. Integer `div` keeps the
+    conversion exact (the data is microsecond-clean).
+    """
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Engine contract: all timestamps are UTC (reference normalizes to
+    # epoch-millis UTC, data_formats.md:21-22). Pinned at runtime so
+    # results are identical under any caller's session, not just ours.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    for field in df.schema.fields:
+        if field.name == "ts" and field.dataType.simpleString() == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df
+
+
+def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
+    """Register temp views so the SQL front-end works (`spark.sql`)."""
+    for name in tables or TABLES:
+        load_table(spark, sf_dir, name).createOrReplaceTempView(name)

@@ -1,0 +1,251 @@
+"""Deduplication operators over `documents` — exact, MinHash+LSH,
+SimHash, and n-gram Jaccard. The LLM-training-data dedup surface.
+
+Reference anchor: the reference's only dedup is implicit last-write-
+wins re-keying (/root/reference/private/workers/meetup.rkt:40-41) —
+covered by Layer A's dedup_lastwrite. Everything here is the mandated
+fuzzy-dedup extension.
+
+Scale design:
+- Signatures (minhash bands, simhash bit-strings, content hashes) are
+  computed row-local with JVM built-ins (md5-based portable hashes, see
+  functions.columns.hash60) — one narrow pass over the corpus.
+- Candidate generation is an equi-join on band/signature keys — the
+  classic LSH bucket join. Only candidates pay the verification cost
+  (exact Jaccard), never the O(n^2) cross product. At 100 TB the band
+  join is a standard keyed shuffle; hot buckets (boilerplate docs) are
+  handled by AQE skew splitting.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuttlefish_spark.functions import hash60, minhash, tokens, word_shingles
+from cuttlefish_spark.io import load_table
+from cuttlefish_spark.registry import query
+
+_NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
+
+
+@query(
+    "exact_dedup_docs",
+    layer="C",
+    oracle=f"""
+    SELECT md5({_NORM_SQL}) AS content_hash,
+           min(doc_id) AS canonical_doc_id,
+           count(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def exact_dedup_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact dedup by normalized-content hash: group on
+    md5(collapse-whitespace(lower(text))), keep min doc_id as the
+    canonical representative.
+
+    At 100 TB: hash computed at the scan, one shuffle on a uniformly
+    distributed 128-bit key — no skew by construction. `dropDuplicates`
+    is the one-liner form; the group-by form also reports copy counts.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    return d.groupBy(F.md5(norm).alias("content_hash")).agg(
+        F.min("doc_id").alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+
+
+_SHINGLES_SQL = r"""
+        SELECT doc_id,
+               list_distinct(list_transform(range(1, greatest(len(w) - 1, 1)),
+                             i -> array_to_string(w[i:i+2], '_'))) AS sh
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents)
+"""
+
+
+def _mh_sql(salt: str) -> str:
+    return f"list_min(list_transform(sh, x -> md5('{salt}' || x)))"
+
+
+@query(
+    "minhash_shingles",
+    layer="C",
+    oracle=f"""
+    WITH toks AS ({_SHINGLES_SQL}),
+    sig AS (
+        SELECT doc_id, sh,
+               md5({_mh_sql('s1')} || {_mh_sql('s2')}) AS band1,
+               md5({_mh_sql('s3')} || {_mh_sql('s4')}) AS band2
+        FROM toks
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (a.band1 = b.band1 OR a.band2 = b.band2)
+    ),
+    scored AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+                   / len(list_distinct(sa.sh || sb.sh)) AS jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT doc_a, doc_b, jaccard FROM scored WHERE jaccard >= 0.5
+    """,
+)
+def minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash + LSH near-dup candidates, verified by exact Jaccard.
+
+    Pipeline: 3-word shingles -> 4 salted MinHashes (md5-permutation
+    string-min, see functions.minhash) -> 2 bands of 2 hashes -> band
+    equi-join for candidates -> exact shingle-set Jaccard >= 0.5.
+
+    Banding math: P[candidate] = 1 - (1 - j^2)^2 for Jaccard j, the
+    standard b=2, r=2 S-curve. The OR-of-bands is expressed as two
+    equi-joins + union + distinct (Catalyst can't equi-join an OR), so
+    each band join shuffles on its own uniformly-hashed band key.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    sh = F.array_distinct(word_shingles(tokens(F.col("text")), k=3))
+    sig = d.select(
+        "doc_id",
+        sh.alias("sh"),
+        F.md5(F.concat(minhash(sh, "s1"), minhash(sh, "s2"))).alias("band1"),
+        F.md5(F.concat(minhash(sh, "s3"), minhash(sh, "s4"))).alias("band2"),
+    )
+
+    def band_join(band: str) -> DataFrame:
+        a = sig.select(
+            F.col("doc_id").alias("doc_a"), F.col(band).alias("k"), F.col("sh").alias("sh_a")
+        )
+        b = sig.select(
+            F.col("doc_id").alias("doc_b"), F.col(band).alias("k"), F.col("sh").alias("sh_b")
+        )
+        return a.join(b, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+
+    cand = (
+        band_join("band1")
+        .unionByName(band_join("band2"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+    jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
+        F.array_union("sh_a", "sh_b")
+    )
+    return (
+        cand.select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.5)
+    )
+
+
+_SIMHASH_BITS = 16
+
+_SIMHASH_SQL = f"""
+        SELECT doc_id,
+               array_to_string(
+                   list_transform(range(0, {_SIMHASH_BITS}),
+                       b -> CASE WHEN 2 * list_sum(list_transform(hs,
+                                      h -> CAST((h >> b) & 1 AS INTEGER)))
+                                      >= len(hs)
+                                 THEN '1' ELSE '0' END),
+                   '') AS simhash
+        FROM (
+            SELECT doc_id,
+                   list_transform(
+                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                       w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
+            FROM documents
+        )
+"""
+
+
+@query(
+    "simhash_dedup",
+    layer="C",
+    oracle=f"""
+    WITH sig AS ({_SIMHASH_SQL})
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.simhash
+    FROM sig a JOIN sig b
+      ON a.simhash = b.simhash AND a.doc_id < b.doc_id
+    """,
+)
+def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SimHash near-dup pairs: per-doc {bits}-bit signature, pairs with
+    identical signatures.
+
+    Each bit is the majority vote of that bit across the doc's distinct
+    token hashes (Charikar's simhash). The signature is emitted as a
+    bit-string key so the pair generation is a plain equi-join; a
+    Hamming-distance<=k variant re-joins on bit-band substrings (same
+    LSH pattern as minhash_shingles).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    hs = F.transform(F.array_distinct(tokens(F.col("text"))), hash60)
+    with_h = d.select("doc_id", hs.alias("hs"))
+    bit = (
+        "case when 2 * aggregate(hs, 0L, (acc, h) -> acc + cast(shiftright(h, b) & 1 as bigint))"
+        " >= size(hs) then '1' else '0' end"
+    )
+    sig = with_h.select(
+        "doc_id",
+        F.expr(
+            f"array_join(transform(sequence(0, {_SIMHASH_BITS - 1}), b -> {bit}), '')"
+        ).alias("simhash"),
+    )
+    a = sig.select(F.col("doc_id").alias("doc_a"), "simhash")
+    b = sig.select(F.col("doc_id").alias("doc_b"), "simhash")
+    return a.join(b, "simhash").filter(F.col("doc_a") < F.col("doc_b")).select(
+        "doc_a", "doc_b", "simhash"
+    )
+
+
+@query(
+    "ngram_jaccard",
+    layer="C",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id, source,
+               list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+        FROM documents
+    )
+    SELECT doc_a, doc_b, jaccard FROM (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                   / len(list_distinct(a.w || b.w)) AS jaccard
+        FROM t a JOIN t b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+    ) WHERE jaccard >= 0.9
+    """,
+)
+def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact 1-gram (token-set) Jaccard near-dups within a blocking key.
+
+    Blocking on `source` bounds the self-join the way real pipelines
+    block on domain/url-prefix: each block shuffles independently and
+    the cross product is per-block, never global. Pairs with token-set
+    Jaccard >= 0.9 survive.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    t = d.select(
+        "doc_id", "source", F.array_distinct(tokens(F.col("text"))).alias("w")
+    )
+    a = t.select(
+        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a")
+    )
+    b = t.select(
+        F.col("source"), F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b")
+    )
+    jaccard = F.size(F.array_intersect("w_a", "w_b")).cast("double") / F.size(
+        F.array_union("w_a", "w_b")
+    )
+    return (
+        a.join(b, "source")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        .filter(F.col("jaccard") >= 0.9)
+    )

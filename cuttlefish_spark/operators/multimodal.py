@@ -1,0 +1,138 @@
+"""Multimodal-column operators: typed metadata around opaque binary
+payloads, and the Spark-side plumbing (schema, batching, UDF signature)
+for decode/feature-extraction.
+
+The reference's closest analogue is the photos array-of-struct column
+(/root/reference/private/workers/meetup.rkt:55-58,
+data_formats.md:35-41) — media referenced by URL with typed metadata.
+Here the payload itself rides along as a `binary` column.
+
+The decode step is a deterministic FAKE (image/audio libs are not in
+this container): `_fake_decode` stands in for e.g. a PIL/torchaudio
+decode inside mapInPandas. The Spark-side contract — Arrow-batched
+iterator, explicit output schema, per-batch vectorized numpy — is the
+real production shape; only the pixel math is stubbed.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import numpy as np
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.types import (
+    ArrayType,
+    FloatType,
+    LongType,
+    StringType,
+    StructField,
+    StructType,
+)
+
+from cuttlefish_spark.functions import dot
+from cuttlefish_spark.io import load_table
+from cuttlefish_spark.registry import query
+
+
+@query(
+    "multimodal_meta",
+    layer="C",
+    oracle="""
+    SELECT d.doc_id, e.label, d.lang, d.source, d.n_chars,
+           CAST(len(e.embedding) AS BIGINT) AS dim,
+           round(sqrt(list_dot_product(CAST(e.embedding AS DOUBLE[]),
+                                       CAST(e.embedding AS DOUBLE[]))), 6) AS l2_norm
+    FROM embeddings e
+    JOIN documents d ON e.vec_id = d.doc_id
+    """,
+)
+def multimodal_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Typed-metadata join across modalities: documents (text) x
+    embeddings (vector), with struct construction + array stats.
+
+    Builds a `meta` struct then re-projects its fields — the canonical
+    nested-schema round-trip (venue struct parity, meetup.rkt:47-54).
+    Broadcast-able join on the id key.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    d = load_table(spark, sf_dir, "documents")
+    v = F.col("embedding").cast("array<double>")
+    joined = e.join(d, e.vec_id == d.doc_id).select(
+        "doc_id",
+        "label",
+        F.struct("lang", "source", "n_chars").alias("meta"),
+        F.size("embedding").cast("long").alias("dim"),
+        F.round(F.sqrt(dot(v, v)), 6).alias("l2_norm"),
+    )
+    return joined.select(
+        "doc_id",
+        "label",
+        F.col("meta.lang").alias("lang"),
+        F.col("meta.source").alias("source"),
+        F.col("meta.n_chars").alias("n_chars"),
+        "dim",
+        "l2_norm",
+    )
+
+
+_DECODE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("media_type", StringType()),
+        StructField("byte_len", LongType()),
+        StructField("head_hex", StringType()),
+        StructField("features", ArrayType(FloatType())),
+    ]
+)
+
+
+def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB decoder (deterministic fake): real deployments replace the
+    body with PIL / libsndfile / ffmpeg frame sampling. Consumes Arrow
+    batches of (doc_id, media_type, payload: bytes), emits fixed-shape
+    feature rows. Raises NotImplementedError for media types a real
+    decoder would need but the container lacks."""
+    for pdf in batches:
+        if not (pdf["media_type"] == "text/plain").all():
+            raise NotImplementedError(
+                "non-text media decode requires image/audio libs not in this container"
+            )
+        payloads = pdf["payload"]
+        lens = payloads.str.len().astype("int64")
+        feats = [
+            np.array(
+                [ln % 251, (ln // 251) % 251, len(set(p[:64])), p[0] if ln else 0],
+                dtype=np.float32,
+            )
+            for p, ln in zip(payloads, lens)
+        ]
+        yield pd.DataFrame(
+            {
+                "doc_id": pdf["doc_id"],
+                "media_type": pdf["media_type"],
+                "byte_len": lens,
+                "head_hex": [p[:4].hex() for p in payloads],
+                "features": feats,
+            }
+        )
+
+
+@query("multimodal_decode", layer="C", oracle=None)
+def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-column decode plumbing: text -> binary payload + typed
+    metadata, then an Arrow-batched mapInPandas feature extractor.
+
+    Rows-only check (the decode is a Python-side stub, not
+    SQL-expressible). The partitioning story at scale: payloads stay
+    with their rows (no shuffle), batches stream through Arrow, and the
+    output schema is fixed so downstream plans are fully typed.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id",
+        F.lit("text/plain").alias("media_type"),
+        F.encode(F.col("text"), "UTF-8").alias("payload"),
+    )
+    return with_payload.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)

@@ -1,0 +1,172 @@
+"""Similarity search over the `embeddings` table
+(vec_id, embedding array<float>, label).
+
+Three tiers, the standard ANN progression:
+- embedding_cosine_topk — brute-force cosine top-k: the exactness
+  baseline. O(n*d) per probe, embarrassingly parallel, no shuffle
+  except the final top-k merge (TakeOrderedAndProject keeps per-
+  partition heaps, so even 100 TB of vectors never globally sorts).
+- ann_ivf_topk — IVF (inverted-file) scale path: vectors are
+  pre-assigned to coarse centroids; a probe searches only its nearest
+  centroid's posting list (nprobe=1 here). Turns the scan into a
+  partition-pruned lookup when the assignment is materialized
+  partitioned-by-cluster.
+- embedding_near_dup — cosine near-duplicate pairs with label blocking
+  (the embedding-space twin of dedup.ngram_jaccard).
+
+All dot products run through functions.dot — a sequential
+zip_with/aggregate fold over array<double>, JVM-side, matching DuckDB's
+list_dot_product evaluation for oracle checking. For raw throughput a
+Pandas-UDF numpy matmul variant is the production alternative; the
+built-in form keeps the operator oracle-checkable and codegen-fused.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuttlefish_spark.functions import cosine_sim
+from cuttlefish_spark.io import load_table
+from cuttlefish_spark.registry import query
+
+_COS_SQL = (
+    "list_dot_product(a, p) / (sqrt(list_dot_product(a, a)) * sqrt(list_dot_product(p, p)))"
+)
+
+
+@query(
+    "embedding_cosine_topk",
+    layer="C",
+    oracle=f"""
+    WITH probe AS (
+        SELECT CAST(embedding AS DOUBLE[]) AS p FROM embeddings WHERE vec_id = 0
+    ),
+    cand AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS a
+        FROM embeddings WHERE vec_id <> 0
+    )
+    SELECT vec_id, label, round({_COS_SQL}, 6) AS cosine
+    FROM cand, probe
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brute-force cosine top-10 against the probe vector (vec_id=0).
+
+    The 1-row probe is broadcast; scoring is a narrow map; the top-k is
+    a TakeOrderedAndProject (per-partition heap + driver merge).
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = F.broadcast(
+        e.filter(F.col("vec_id") == 0).select(
+            F.col("embedding").cast("array<double>").alias("p")
+        )
+    )
+    cand = e.filter(F.col("vec_id") != 0).select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("a")
+    )
+    scored = cand.crossJoin(probe).select(
+        "vec_id",
+        "label",
+        F.round(cosine_sim(F.col("a"), F.col("p")), 6).alias("cosine"),
+    )
+    return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
+
+
+@query(
+    "embedding_near_dup",
+    layer="C",
+    oracle=f"""
+    WITH t AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    )
+    SELECT vec_id_a, vec_id_b, label, cosine FROM (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
+               round(list_dot_product(a.v, b.v)
+                     / (sqrt(list_dot_product(a.v, a.v))
+                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
+        FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.9
+    """,
+)
+def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs, blocked by label.
+
+    Blocking turns the O(n^2) global cross product into per-block
+    self-joins (one keyed shuffle); in production the block key is an
+    LSH bucket (random-hyperplane sign bits) instead of a label —
+    same plan shape.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    a = t.select(F.col("label"), F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
+    b = t.select(F.col("label"), F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select(
+            "vec_id_a",
+            "vec_id_b",
+            "label",
+            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine"),
+        )
+        .filter(F.col("cosine") >= 0.9)
+    )
+
+
+N_CENTROIDS = 8
+
+
+@query("ann_ivf_topk", layer="C", oracle=None)
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: assign every vector to its nearest of
+    {N_CENTROIDS} coarse centroids (deterministically the first
+    N_CENTROIDS vectors), then search only the probe's centroid cell.
+
+    Rows-only check (approximation is not SQL-oracle-stable); the test
+    suite checks recall against embedding_cosine_topk instead.
+
+    Scale path: the assignment is a one-off broadcast-join pass whose
+    output would be written partitioned by `centroid_id`; a probe then
+    *partition-prunes* to nprobe cells — i.e. the scan reads 1/K of
+    100 TB instead of all of it. This query runs assignment inline
+    because the testdata is immutable.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
+    cents = F.broadcast(
+        vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+        )
+    )
+    sim = cosine_sim(F.col("v"), F.col("c")).alias("centroid_sim")
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        vecs.crossJoin(cents)
+        .select("vec_id", "label", "v", "centroid_id", sim)
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "centroid_sim")
+    )
+    probe_cell = F.broadcast(
+        assigned.filter(F.col("vec_id") == 0).select(
+            F.col("centroid_id").alias("probe_centroid"), F.col("v").alias("p")
+        )
+    )
+    return (
+        assigned.join(
+            probe_cell, assigned.centroid_id == probe_cell.probe_centroid
+        )
+        .filter(F.col("vec_id") != 0)
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("v"), F.col("p")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+    )

@@ -1,0 +1,278 @@
+"""Text-analysis operators over the `documents` table — the
+training-data-pipeline surface (language ID, quality scoring, token
+counting, fingerprinting).
+
+The reference's only text processing is markdown->HTML
+(/root/reference/private/workers/facebook.rkt:30-32, exposed here as
+the markdown_html pandas_udf in operators.ingest); everything else in
+this module is Layer-B/C extension mandated by the build spec.
+
+All queries are narrow per-row maps built from JVM-side array/string
+built-ins (no Python UDFs) — at 100 TB they scan, compute and emit
+with zero shuffles.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuttlefish_spark.functions import hash60, tokens, word_shingles
+from cuttlefish_spark.io import load_table
+from cuttlefish_spark.registry import query
+
+# Tiny per-language stopword lists for the n-gram/stopword language-ID
+# heuristic. Deliberately small + deterministic (no external model).
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "to", "in", "is", "for"],
+    "fr": ["le", "la", "les", "de", "et", "un", "une", "est"],
+    "es": ["el", "los", "las", "de", "y", "que", "es", "por"],
+    "de": ["der", "die", "das", "und", "ist", "ein", "zu", "mit"],
+}
+
+
+def _sql_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+def _overlap(toks: Column, words: list[str]) -> Column:
+    return F.size(F.array_intersect(toks, F.array(*[F.lit(w) for w in words]))).cast("long")
+
+
+_TOKS_SQL = r"list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))"
+
+
+@query(
+    "text_stats",
+    layer="C",
+    oracle=r"""
+    SELECT doc_id, lang, source,
+           length(text) AS n_chars_calc,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+               AS n_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(list_distinct(regexp_split_to_array(trim(lower(text)), '\s+'))) END
+               AS BIGINT) AS n_distinct_tokens,
+           CASE WHEN length(trim(text)) = 0 THEN NULL
+                ELSE CAST(length(trim(text)) AS DOUBLE)
+                     / len(regexp_split_to_array(trim(text), '\s+')) END
+               AS chars_per_token
+    FROM documents
+    """,
+)
+def text_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document length/token statistics (whitespace tokenizer)."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"), lowercase=False)
+    toks_lc = tokens(F.col("text"))
+    n_tok = F.size(toks).cast("long")
+    return d.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.length("text").alias("n_chars_calc"),
+        n_tok.alias("n_tokens"),
+        F.size(F.array_distinct(toks_lc)).cast("long").alias("n_distinct_tokens"),
+        F.when(n_tok > 0, F.length(F.trim(F.col("text"))).cast("double") / n_tok).alias(
+            "chars_per_token"
+        ),
+    )
+
+
+def _lang_oracle() -> str:
+    scores = ",\n           ".join(
+        f"CAST(len(list_intersect(toks, {_sql_list(ws)})) AS BIGINT) AS score_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    best = "greatest(score_en, score_fr, score_es, score_de)"
+    pred = (
+        "CASE WHEN " + best + " = 0 THEN 'unknown' "
+        + " ".join(
+            f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in STOPWORDS
+        )
+        + " END"
+    )
+    return f"""
+    WITH t AS (SELECT doc_id, lang, {_TOKS_SQL} AS toks FROM documents),
+    s AS (SELECT doc_id, lang AS lang_label,
+           {scores}
+          FROM t)
+    SELECT doc_id, lang_label, score_en, score_fr, score_es, score_de,
+           {pred} AS predicted_lang
+    FROM s
+    """
+
+
+@query("lang_id", layer="C", oracle=_lang_oracle())
+def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-overlap language ID heuristic: score each language by
+    distinct-token overlap with its stopword list; argmax wins, ties
+    broken in fixed language order, zero overlap -> 'unknown'."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.array_distinct(tokens(F.col("text")))
+    s = d.select(
+        "doc_id",
+        F.col("lang").alias("lang_label"),
+        *[_overlap(toks, ws).alias(f"score_{lang}") for lang, ws in STOPWORDS.items()],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
+    pred = F.when(best == 0, "unknown")
+    for lang in STOPWORDS:
+        pred = pred.when(F.col(f"score_{lang}") == best, lang)
+    return s.select("*", pred.alias("predicted_lang"))
+
+
+@query(
+    "quality_score",
+    layer="C",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+               length(text) AS n_chars,
+               length(regexp_replace(text, '[^!?.,;:]', '', 'g')) AS n_punct
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_tokens,
+               n_chars,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(n_chars AS DOUBLE) / len(toks) END AS chars_per_token,
+               CASE WHEN n_chars > 0
+                    THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END AS punct_ratio,
+               CASE WHEN len(toks) > 0
+                    THEN CAST(len(list_filter(toks,
+                         t -> list_contains({_sql_list(STOPWORDS["en"])}, t))) AS DOUBLE)
+                         / len(toks)
+                    ELSE 0.0 END AS stopword_ratio
+        FROM t
+    )
+    SELECT doc_id, n_tokens, chars_per_token, punct_ratio, stopword_ratio,
+           (CASE WHEN n_tokens BETWEEN 50 AND 1000 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN chars_per_token BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END
+            + CASE WHEN stopword_ratio > 0.02 THEN 0.25 ELSE 0.0 END) AS quality
+    FROM m
+    """,
+)
+def quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Heuristic document-quality score: four 0.25-weight indicators
+    (token count in range, chars/token in range, low punctuation
+    density, nonzero stopword ratio) — the standard cheap pre-filter in
+    LLM data pipelines."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = tokens(F.col("text"))
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    t = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.length("text").alias("n_chars"),
+        F.length(F.regexp_replace(F.col("text"), r"[^!?.,;:]", "")).alias("n_punct"),
+    )
+    n_tokens = F.size("toks").cast("long")
+    m = t.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.col("n_chars"),
+        F.when(n_tokens > 0, F.col("n_chars").cast("double") / n_tokens).alias(
+            "chars_per_token"
+        ),
+        F.when(F.col("n_chars") > 0, F.col("n_punct").cast("double") / F.col("n_chars"))
+        .otherwise(0.0)
+        .alias("punct_ratio"),
+        F.when(
+            n_tokens > 0,
+            F.size(F.filter(F.col("toks"), lambda t_: F.array_contains(stop_en, t_)))
+            .cast("double")
+            / n_tokens,
+        )
+        .otherwise(0.0)
+        .alias("stopword_ratio"),
+    )
+    ind = lambda c: F.when(c, 0.25).otherwise(0.0)  # noqa: E731
+    quality = (
+        ind(F.col("n_tokens").between(50, 1000))
+        + ind(F.col("chars_per_token").between(3, 10))
+        + ind(F.col("punct_ratio") < 0.1)
+        + ind(F.col("stopword_ratio") > 0.02)
+    )
+    return m.select(
+        "doc_id", "n_tokens", "chars_per_token", "punct_ratio", "stopword_ratio",
+        quality.alias("quality"),
+    )
+
+
+_BPE_PATTERN = r"[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]"
+
+
+@query(
+    "token_count_bpe",
+    layer="C",
+    oracle=rf"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text, '{_BPE_PATTERN}')) AS BIGINT) AS n_bpe_tokens,
+           CAST(CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS BIGINT)
+               AS n_ws_tokens
+    FROM documents
+    """,
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish token counting: a pre-tokenizer regex (letter runs,
+    digit runs, single punctuation) approximating byte-pair-encoding
+    token counts, next to the whitespace count."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(_BPE_PATTERN), 0))
+        .cast("long")
+        .alias("n_bpe_tokens"),
+        F.size(tokens(F.col("text"), lowercase=False)).cast("long").alias("n_ws_tokens"),
+    )
+
+
+@query(
+    "doc_fingerprint",
+    layer="C",
+    oracle=r"""
+    WITH norm AS (
+        SELECT doc_id,
+               regexp_replace(trim(lower(text)), '\s+', ' ', 'g') AS norm_text,
+               regexp_split_to_array(trim(lower(text)), '\s+') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, norm_text,
+               list_transform(range(1, greatest(len(w) - 1, 1)),
+                              i -> array_to_string(w[i:i+2], '_')) AS shingles
+        FROM norm
+    )
+    SELECT doc_id,
+           md5(norm_text) AS content_md5,
+           list_min(list_transform(shingles,
+               s -> CAST('0x' || substr(md5(s), 1, 15) AS BIGINT))) AS fp_min,
+           CAST('0x' || substr(md5(substr(norm_text, 1, 64)), 1, 15) AS BIGINT) AS fp_prefix
+    FROM sh
+    """,
+)
+def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document fingerprinting: Rabin-style min-hash over rolling
+    3-word shingles + whole-content and prefix hashes.
+
+    The min of the rolling shingle-hash stream is a winnowing-style
+    representative fingerprint; identical docs share all three values,
+    near-identical docs share fp_min with high probability.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    norm_text = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    w = tokens(F.col("text"))
+    sh = word_shingles(w, k=3)
+    return d.select(
+        "doc_id",
+        F.md5(norm_text).alias("content_md5"),
+        F.array_min(F.transform(sh, hash60)).alias("fp_min"),
+        hash60(F.substring(norm_text, 1, 64)).alias("fp_prefix"),
+    )

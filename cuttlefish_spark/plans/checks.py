@@ -1,0 +1,62 @@
+"""Physical-plan assertions — the scale feedback loop.
+
+The reference has no optimizer (SURVEY.md §4); on Spark the optimizer
+IS the engine, so these helpers make plan properties testable:
+pushdown reached the scan, the dim join broadcast, a pipeline reuses
+one shuffle. tests/test_plans.py pins them so a refactor that silently
+de-optimizes a query fails CI.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+
+
+def formatted_plan(df: DataFrame) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "formatted"
+    )
+
+
+def executed_plan(df: DataFrame) -> str:
+    """Final (AQE-resolved where applicable) physical plan string."""
+    return formatted_plan(df)
+
+
+def has_pushed_filter(df: DataFrame, fragment: str) -> bool:
+    """True if the parquet scan advertises a pushed filter mentioning
+    `fragment` (column name)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "PushedFilters" in line and fragment in line:
+            return True
+    return False
+
+
+def read_schema_columns(df: DataFrame) -> list[str]:
+    """Column names in the first scan's ReadSchema (projection pruning
+    witness)."""
+    plan = formatted_plan(df)
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            return [f.split(":")[0].strip() for f in inner.split(",") if ":" in f]
+    return []
+
+
+def count_exchanges(df: DataFrame) -> int:
+    """Number of shuffle exchanges in the physical plan."""
+    plan = formatted_plan(df)
+    return sum(
+        1
+        for line in plan.splitlines()
+        if "Exchange" in line and "BroadcastExchange" not in line and "(" in line
+    )
+
+
+def has_broadcast_join(df: DataFrame) -> bool:
+    return "BroadcastHashJoin" in formatted_plan(df)
+
+
+def has_whole_stage_codegen(df: DataFrame) -> bool:
+    return "WholeStageCodegen" in formatted_plan(df)

@@ -1,0 +1,71 @@
+"""Per-key partitioned JSON sinks + audit accounting.
+
+Reference parity:
+- `write-chapter-response` writes each chapter's events map as
+  `{out}/{id}.json` in replace mode
+  (/root/reference/private/api-runner.rkt:39-52).
+- The result thread logs one `WROTE: <id>` / `ERROR: <msg>` line per
+  outcome (api-runner.rkt:80-89); here that audit is a DataFrame.
+
+Two write shapes:
+- `write_partitioned_json` — idiomatic Spark: partitionBy(key),
+  overwrite mode; what you actually run at 100 TB (one directory per
+  key, many files per partition, written fully parallel).
+- `write_keyed_json` — exact filename parity with the reference
+  (`{key}.json`, one JSON object keyed by event_id per file): rows are
+  repartitioned BY KEY so each key's rows are colocated, then each
+  executor partition writes its keys' files directly — distributed, no
+  driver collect. Use only when the one-file-per-key contract matters
+  (it implies one task's worth of data per key).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def write_partitioned_json(df: DataFrame, out_dir: str, key_col: str = "chapter_id") -> None:
+    df.write.partitionBy(key_col).mode("overwrite").json(out_dir)
+
+
+def write_keyed_json(df: DataFrame, out_dir: str, key_col: str = "chapter_id",
+                     id_col: str = "event_id") -> None:
+    """One `{key}.json` per key holding `{event_id: record}` — byte-
+    shape parity with api-runner.rkt:39-52 (replace mode)."""
+    os.makedirs(out_dir, exist_ok=True)
+    cols = [c for c in df.columns if c != key_col]
+
+    def write_partition(rows) -> None:
+        by_key: dict[str, dict] = {}
+        for row in rows:
+            d = row.asDict(recursive=True)
+            key = d.pop(key_col)
+            by_key.setdefault(key, {})[d.get(id_col)] = d
+        for key, events in by_key.items():
+            tmp = os.path.join(out_dir, f".{key}.json.tmp")
+            with open(tmp, "w") as fh:
+                json.dump(events, fh, sort_keys=True, default=str)
+            os.replace(tmp, os.path.join(out_dir, f"{key}.json"))
+
+    df.select(key_col, *cols).repartition(F.col(key_col)).foreachPartition(write_partition)
+
+
+def audit_counts(df: DataFrame, key_col: str = "chapter_id",
+                 status_col: str = "status") -> DataFrame:
+    """WROTE:/ERROR: accounting as a DataFrame (api-runner.rkt:80-89):
+    one row per (key, status) with the event count."""
+    return (
+        df.groupBy(key_col, status_col)
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .withColumn(
+            "log_line",
+            F.concat(
+                F.when(F.col(status_col) == "OK", F.lit("WROTE: ")).otherwise(F.lit("ERROR: ")),
+                F.col(key_col),
+            ),
+        )
+    )

@@ -1,0 +1,84 @@
+"""Simulate the verification driver end-to-end: import
+__spark_entry__ under a VANILLA SparkSession (default configs — ANSI
+on, whatever timezone the JVM has), run entry() + every queries()[name]
+at sf0.01, and compare against oracle_sql() via DuckDB exactly like
+CORRECTNESS_r{N}: row count, schema column names, order-insensitive
+value hash.
+
+Usage: python scripts/driver_sim.py [sf_dir]
+"""
+
+from __future__ import annotations
+
+import hashlib
+import sys
+from pathlib import Path
+
+import duckdb
+import numpy as np
+import pandas as pd
+from pyspark.sql import SparkSession
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+TABLES = "region nation customer supplier part orders lineitem events documents embeddings".split()
+
+
+def value_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(6)
+        elif s.dtype == object:
+            df[c] = s.map(lambda v: str(tuple(v)) if isinstance(v, (list, np.ndarray)) else str(v))
+    rows = sorted(df.astype(str).itertuples(index=False, name=None))
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+def main() -> None:
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    # Vanilla session — deliberately NOT cuttlefish_spark.session.get_spark
+    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    spark.sparkContext.setLogLevel("ERROR")
+
+    import __spark_entry__ as e
+
+    n = e.entry(spark).count()
+    print(f"entry() smoke: {n} rows")
+    assert n > 0
+
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
+
+    qs, oracles = e.queries(), e.oracle_sql()
+    ok = bad = rows_only = 0
+    for name in sorted(qs):
+        sdf = qs[name](spark, sf_dir).toPandas()
+        if name not in oracles:
+            print(f"{name:24s} rows-only: {len(sdf)} rows")
+            rows_only += 1
+            continue
+        odf = con.execute(oracles[name]).df()
+        cols_ok = sorted(sdf.columns) == sorted(odf.columns)
+        count_ok = len(sdf) == len(odf)
+        hash_ok = cols_ok and count_ok and value_hash(sdf) == value_hash(odf)
+        status = "OK" if (cols_ok and count_ok and hash_ok) else "MISMATCH"
+        if status == "OK":
+            ok += 1
+        else:
+            bad += 1
+        print(
+            f"{name:24s} {status}  rows={len(sdf)}/{len(odf)} cols={cols_ok} hash={hash_ok}"
+        )
+    print(f"\n{ok} oracle-match, {rows_only} rows-only, {bad} MISMATCH")
+    sys.exit(1 if bad else 0)
+
+
+if __name__ == "__main__":
+    main()
