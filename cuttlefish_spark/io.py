@@ -53,6 +53,18 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def spread(spark: SparkSession, df: DataFrame) -> DataFrame:
+    """Repartition to the session's default parallelism.
+
+    For compute-heavy operators (hashing every shingle, scoring every
+    vector) partition count must follow CPU, not input bytes: a small
+    parquet file arrives as ONE partition and serializes the whole
+    computation onto one core. At 100 TB inputs are already wide and
+    this is a no-op cost-wise; on small inputs it unlocks the cluster.
+    """
+    return df.repartition(spark.sparkContext.defaultParallelism)
+
+
 def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = None) -> None:
     """Register temp views so the SQL front-end works (`spark.sql`)."""
     for name in tables or TABLES:

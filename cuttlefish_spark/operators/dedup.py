@@ -22,8 +22,8 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuttlefish_spark.functions import hash60, minhash, tokens, word_shingles
-from cuttlefish_spark.io import load_table
+from cuttlefish_spark.functions import hash60, tokens, word_shingles
+from cuttlefish_spark.io import load_table, spread
 from cuttlefish_spark.registry import query
 
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
@@ -67,8 +67,8 @@ _SHINGLES_SQL = r"""
 """
 
 
-def _mh_sql(salt: str) -> str:
-    return f"list_min(list_transform(sh, x -> md5('{salt}' || x)))"
+def _mh_sql(start: int) -> str:
+    return f"list_min(list_transform(h, x -> substr(x, {start}, 8)))"
 
 
 @query(
@@ -76,11 +76,14 @@ def _mh_sql(salt: str) -> str:
     layer="C",
     oracle=f"""
     WITH toks AS ({_SHINGLES_SQL}),
+    hashed AS (
+        SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS h FROM toks
+    ),
     sig AS (
         SELECT doc_id, sh,
-               md5({_mh_sql('s1')} || {_mh_sql('s2')}) AS band1,
-               md5({_mh_sql('s3')} || {_mh_sql('s4')}) AS band2
-        FROM toks
+               {_mh_sql(1)} || {_mh_sql(9)} AS band1,
+               {_mh_sql(17)} || {_mh_sql(25)} AS band2
+        FROM hashed
     ),
     cand AS (
         SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
@@ -102,23 +105,45 @@ def _mh_sql(salt: str) -> str:
 def minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash + LSH near-dup candidates, verified by exact Jaccard.
 
-    Pipeline: 3-word shingles -> 4 salted MinHashes (md5-permutation
-    string-min, see functions.minhash) -> 2 bands of 2 hashes -> band
-    equi-join for candidates -> exact shingle-set Jaccard >= 0.5.
+    Pipeline: 3-word shingles -> ONE md5 per shingle, 4 MinHashes taken
+    as lexicographic mins of 4 disjoint hex windows of that digest
+    (independent permutations, 4x cheaper than 4 salted digests) ->
+    2 bands of 2 hashes -> band equi-join for candidates -> exact
+    shingle-set Jaccard >= 0.5.
 
     Banding math: P[candidate] = 1 - (1 - j^2)^2 for Jaccard j, the
     standard b=2, r=2 S-curve. The OR-of-bands is expressed as two
     equi-joins + union + distinct (Catalyst can't equi-join an OR), so
     each band join shuffles on its own uniformly-hashed band key.
+
+    The signature table is persisted before the self-joins: it feeds
+    four join branches, and without materialization Spark re-tokenizes
+    and re-hashes the corpus once per branch. At 100 TB you'd write it
+    to a signatures table (it's ~200 B/doc, orders of magnitude smaller
+    than the corpus); persist() is the in-session equivalent.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     sh = F.array_distinct(word_shingles(tokens(F.col("text")), k=3))
-    sig = d.select(
-        "doc_id",
-        sh.alias("sh"),
-        F.md5(F.concat(minhash(sh, "s1"), minhash(sh, "s2"))).alias("band1"),
-        F.md5(F.concat(minhash(sh, "s3"), minhash(sh, "s4"))).alias("band2"),
+
+    def mh(start: int):
+        return F.array_min(F.transform(F.col("h"), lambda x: F.substring(x, start, 8)))
+
+    sig = (
+        d.select("doc_id", sh.alias("sh"))
+        .withColumn("h", F.transform(F.col("sh"), F.md5))
+        .select(
+            "doc_id",
+            "sh",
+            F.concat(mh(1), mh(9)).alias("band1"),
+            F.concat(mh(17), mh(25)).alias("band2"),
+        )
+        .persist()
     )
+    # Materialize the signature table eagerly: the four self-join scan
+    # branches below otherwise race to fill the cache and each computes
+    # the full hashing pass. This is the in-session analogue of the
+    # production "write signatures, then join" two-job pipeline.
+    sig.count()
 
     def band_join(band: str) -> DataFrame:
         a = sig.select(
@@ -184,7 +209,7 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     Hamming-distance<=k variant re-joins on bit-band substrings (same
     LSH pattern as minhash_shingles).
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     hs = F.transform(F.array_distinct(tokens(F.col("text"))), hash60)
     with_h = d.select("doc_id", hs.alias("hs"))
     bit = (
@@ -230,7 +255,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the cross product is per-block, never global. Pairs with token-set
     Jaccard >= 0.9 survive.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     t = d.select(
         "doc_id", "source", F.array_distinct(tokens(F.col("text"))).alias("w")
     )

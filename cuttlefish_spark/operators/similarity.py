@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cuttlefish_spark.functions import cosine_sim
+from cuttlefish_spark.functions import cosine_sim, dot
 from cuttlefish_spark.io import load_table
 from cuttlefish_spark.registry import query
 
@@ -81,13 +81,14 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH t AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    n AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM t
     )
     SELECT vec_id_a, vec_id_b, label, cosine FROM (
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
-               round(list_dot_product(a.v, b.v)
-                     / (sqrt(list_dot_product(a.v, a.v))
-                        * sqrt(list_dot_product(b.v, b.v))), 6) AS cosine
-        FROM t a JOIN t b ON a.label = b.label AND a.vec_id < b.vec_id
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
     ) WHERE cosine >= 0.9
     """,
 )
@@ -98,20 +99,25 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     self-joins (one keyed shuffle); in production the block key is an
     LSH bucket (random-hyperplane sign bits) instead of a label —
     same plan shape.
+
+    Norms are computed ONCE per vector before the join (n dot-products)
+    instead of per pair (3 per pair) — 3x less lambda work on the n^2
+    side, same formula both engines.
     """
     e = load_table(spark, sf_dir, "embeddings")
     t = e.select("vec_id", "label", F.col("embedding").cast("array<double>").alias("v"))
-    a = t.select(F.col("label"), F.col("vec_id").alias("vec_id_a"), F.col("v").alias("va"))
-    b = t.select(F.col("label"), F.col("vec_id").alias("vec_id_b"), F.col("v").alias("vb"))
+    n = t.withColumn("nrm", F.sqrt(dot(F.col("v"), F.col("v"))))
+    a = n.select("label", F.col("vec_id").alias("vec_id_a"),
+                 F.col("v").alias("va"), F.col("nrm").alias("nrm_a"))
+    b = n.select("label", F.col("vec_id").alias("vec_id_b"),
+                 F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"))
+    cosine = F.round(
+        dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+    )
     return (
         a.join(b, "label")
         .filter(F.col("vec_id_a") < F.col("vec_id_b"))
-        .select(
-            "vec_id_a",
-            "vec_id_b",
-            "label",
-            F.round(cosine_sim(F.col("va"), F.col("vb")), 6).alias("cosine"),
-        )
+        .select("vec_id_a", "vec_id_b", "label", cosine.alias("cosine"))
         .filter(F.col("cosine") >= 0.9)
     )
 

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
-from cuttlefish_spark.io import load_table
+from cuttlefish_spark.io import load_table, spread
 from cuttlefish_spark.registry import query
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -266,7 +266,7 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     representative fingerprint; identical docs share all three values,
     near-identical docs share fp_min with high probability.
     """
-    d = load_table(spark, sf_dir, "documents")
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
     norm_text = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
     w = tokens(F.col("text"))
     sh = word_shingles(w, k=3)
