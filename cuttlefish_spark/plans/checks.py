@@ -45,13 +45,13 @@ def read_schema_columns(df: DataFrame) -> list[str]:
 
 
 def count_exchanges(df: DataFrame) -> int:
-    """Number of shuffle exchanges in the physical plan."""
+    """Number of shuffle exchanges in the physical plan (counted from
+    the details section — `(N) Exchange` — because the formatted output
+    lists every operator twice: once in the tree, once in details)."""
+    import re
+
     plan = formatted_plan(df)
-    return sum(
-        1
-        for line in plan.splitlines()
-        if "Exchange" in line and "BroadcastExchange" not in line and "(" in line
-    )
+    return len(re.findall(r"^\(\d+\) Exchange\b", plan, flags=re.MULTILINE))
 
 
 def has_broadcast_join(df: DataFrame) -> bool:
@@ -59,4 +59,10 @@ def has_broadcast_join(df: DataFrame) -> bool:
 
 
 def has_whole_stage_codegen(df: DataFrame) -> bool:
-    return "WholeStageCodegen" in formatted_plan(df)
+    """True if any pipeline in the plan compiles to a fused
+    WholeStageCodegen stage (visible only in `codegen` explain mode
+    when AQE hasn't finalized the plan yet)."""
+    s = df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+        df._jdf.queryExecution(), "codegen"
+    )
+    return "WholeStageCodegen" in s

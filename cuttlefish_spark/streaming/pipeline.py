@@ -1,0 +1,105 @@
+"""Structured Streaming twins of the batch windowed operators.
+
+The reference is strictly one-shot batch (main.rkt:61-62); its only
+cross-row mutable state is the throttle boxes (meetup.rkt:9-10). The
+engine adds the streaming surface the build spec mandates: watermarked
+tumbling windows and session windows over the same `events` schema,
+sharing aggregate expressions with the batch queries
+(operators.relational.tumbling_window / sessionize) so batch and
+stream provably compute the same thing — tests/test_streaming.py
+asserts stream(availableNow) == batch on identical input.
+
+Scale posture: these are the standard stateful-aggregation patterns —
+state store keyed by (window, key), watermark bounds state size, and
+`maxFilesPerTrigger` is the file-source rate limit (the streaming
+analogue of the reference's API throttle, meetup.rkt:12-17).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from cuttlefish_spark.functions import dec_sum
+
+# Parquet-level schema of the events table: ts is TIMESTAMP(NANOS) in
+# the file, read as raw long (legacy.parquet.nanosAsLong) and converted
+# to a microsecond timestamp — same contract as io.load_table.
+EVENTS_FILE_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("ts", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("event_type", T.StringType()),
+        T.StructField("value", T.DoubleType()),
+        T.StructField("props", T.StringType()),
+    ]
+)
+
+
+def read_events_stream(
+    spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of events; `max_files_per_trigger` is the
+    ingest rate limit (A22's streaming analogue)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    if max_files_per_trigger is not None:
+        reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
+    df = reader.parquet(source_dir)
+    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+
+
+def tumbling_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Watermarked per-hour tumbling aggregate — the streaming twin of
+    operators.relational.tumbling_window (same output columns)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), alias="total_value"),
+        )
+        .select(
+            F.col("w.start").alias("hour_start"), "event_type", "n_events", "total_value"
+        )
+    )
+
+
+def session_stream(events: DataFrame, gap: str = "30 minutes",
+                   watermark: str = "2 hours") -> DataFrame:
+    """Watermarked session windows (30-min gap) — the streaming twin of
+    operators.relational.sessionize. F.session_window keeps per-key
+    open sessions in the state store; the watermark closes and evicts
+    them once event time passes end+gap."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("w"), "user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), alias="session_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "session_value",
+        )
+    )
+
+
+def run_available_now(stream_df: DataFrame, query_name: str, mode: str = "complete"):
+    """Drain all available input through the streaming plan into an
+    in-memory sink and block until done (test/CI harness)."""
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(query_name)
+        .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q

@@ -1,0 +1,171 @@
+"""Property + unit tests for the scalar/column helpers, mirroring the
+reference's test suite: quickcheck properties over nested-path
+extraction (hash.rkt:110-140), example tests for defaults
+(hash.rkt:73-108), plus the engine's own portable-hash/tokenizer/
+markdown/throttle units.
+"""
+
+from __future__ import annotations
+
+import json
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+
+from cuttlefish_spark.functions import get_in, hash60, tokens, word_shingles
+from cuttlefish_spark.functions.markdown import render_markdown
+from cuttlefish_spark.sources.throttle import TokenBucket
+
+# --- get_in: the hash.rkt:110-140 properties, over JSON columns -----
+
+_scalars = st.one_of(
+    st.integers(min_value=-(2**31), max_value=2**31),
+    st.text(st.characters(codec="ascii", exclude_characters='"\\\x00'), max_size=8),
+)
+
+
+@st.composite
+def nested_json(draw, max_depth=3):
+    """Random nested dict + a path that resolves inside it."""
+    keys = st.text(st.characters(codec="ascii", min_codepoint=97, max_codepoint=122), min_size=1, max_size=5)
+    path, node = [], {}
+    root = node
+    depth = draw(st.integers(min_value=1, max_value=max_depth))
+    for _ in range(depth):
+        k = draw(keys)
+        path.append(k)
+        child = draw(st.one_of(_scalars, st.just({})))
+        node[k] = child
+        if isinstance(child, dict):
+            node = child
+        else:
+            break
+    return root, path
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(nested_json())
+def test_get_in_found_path_returns_value(spark, case):
+    """path found => value at path (hash.rkt property 1)."""
+    doc, path = case
+    df = spark.createDataFrame([Row(js=json.dumps(doc))])
+    jp = "$." + ".".join(path)
+    got = df.select(get_in("js", jp).alias("v")).first()["v"]
+    want = doc
+    for k in path:
+        want = want[k]
+    if isinstance(want, dict):
+        assert got is None or json.loads(got) == want
+    else:
+        assert got == str(want) or got == json.dumps(want)
+
+
+@settings(max_examples=20, deadline=None, suppress_health_check=list(HealthCheck))
+@given(nested_json())
+def test_get_in_missing_path_returns_default(spark, case):
+    """wrong path => default (hash.rkt property 2)."""
+    doc, _ = case
+    df = spark.createDataFrame([Row(js=json.dumps(doc))])
+    got = df.select(get_in("js", "$.zz_nope.deeper", default="DEFAULT").alias("v")).first()["v"]
+    assert got == "DEFAULT"
+
+
+def test_get_in_example_defaults(spark):
+    """Example-based checks mirroring hash.rkt:73-108."""
+    df = spark.createDataFrame([Row(js='{"a": {"b": {"c": 7}}}')])
+    assert df.select(get_in("js", "$.a.b.c").alias("v")).first()["v"] == "7"
+    assert df.select(get_in("js", "$.a.x", default="miss").alias("v")).first()["v"] == "miss"
+
+
+# --- tokenizer / shingles ------------------------------------------
+
+
+@pytest.mark.parametrize(
+    "text,n_tokens",
+    [("", 0), ("   ", 0), ("one", 1), ("a  b\tc", 3), ("Hello World", 2)],
+)
+def test_tokens_edge_cases(spark, text, n_tokens):
+    df = spark.createDataFrame([Row(t=text)])
+    assert df.select(F.size(tokens(F.col("t"))).alias("n")).first()["n"] == n_tokens
+
+
+@pytest.mark.parametrize(
+    "words,k,expect",
+    [
+        (["a", "b", "c", "d"], 3, ["a_b_c", "b_c_d"]),
+        (["a", "b"], 3, []),
+        ([], 3, []),
+        (["a", "b", "c"], 3, ["a_b_c"]),
+    ],
+)
+def test_word_shingles(spark, words, k, expect):
+    df = spark.createDataFrame([Row(w=words)], "w array<string>")
+    assert df.select(word_shingles(F.col("w"), k=k).alias("s")).first()["s"] == expect
+
+
+def test_hash60_matches_duckdb(spark):
+    import duckdb
+
+    vals = ["hello", "", "spark", "a b c"]
+    got = (
+        spark.createDataFrame([Row(s=v) for v in vals])
+        .select("s", hash60(F.col("s")).alias("h"))
+        .collect()
+    )
+    con = duckdb.connect()
+    for row in got:
+        want = con.execute(
+            "SELECT CAST('0x' || substr(md5(?), 1, 15) AS BIGINT)", [row["s"]]
+        ).fetchone()[0]
+        assert row["h"] == want, row["s"]
+
+
+# --- markdown (facebook.rkt:30-32 parity) --------------------------
+
+
+def test_markdown_wrapper_and_subset():
+    html = render_markdown("# Title\n\nHello **bold** and *em* [x](http://y)")
+    assert html.startswith('<div class="event-api-content">')
+    assert html.endswith("</div>")
+    for frag in ("<h1>Title</h1>", "<strong>bold</strong>", "<em>em</em>", 'href="http://y"'):
+        assert frag in html
+    assert render_markdown(None) is None
+
+
+# --- throttle (meetup.rkt:9-26 parity) -----------------------------
+
+
+def test_token_bucket_paces_requests():
+    clock = [0.0]
+    sleeps = []
+
+    def fake_clock():
+        return clock[0]
+
+    def fake_sleep(s):
+        sleeps.append(s)
+        clock[0] += s
+
+    tb = TokenBucket(rate_per_sec=2.0, burst=1, clock=fake_clock, sleep=fake_sleep)
+    tb.acquire()  # burst token, no sleep
+    tb.acquire()  # must wait ~0.5s
+    assert sleeps and abs(sleeps[0] - 0.5) < 1e-6
+
+
+def test_token_bucket_header_backoff():
+    clock = [0.0]
+    sleeps = []
+    tb = TokenBucket(
+        rate_per_sec=100.0, burst=10,
+        clock=lambda: clock[0], sleep=lambda s: (sleeps.append(s), clock.__setitem__(0, clock[0] + s)),
+    )
+    tb.update_from_headers({"X-Ratelimit-Remaining": "2", "X-Ratelimit-Reset": "7"})
+    tb.acquire()
+    assert sleeps and abs(sleeps[0] - 9.0) < 1e-6  # reset + 2 (meetup.rkt:12-17)
+    tb.update_from_headers({"X-Ratelimit-Remaining": "50", "X-Ratelimit-Reset": "7"})
+    n = len(sleeps)
+    tb.acquire()
+    assert len(sleeps) == n  # plenty remaining -> no backoff

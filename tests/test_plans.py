@@ -1,0 +1,57 @@
+"""Physical-plan pins: a refactor that silently de-optimizes a query
+(loses pushdown, drops a broadcast, adds a shuffle) fails here even
+though results stay correct. This is the 100 TB insurance the
+correctness oracle can't provide.
+"""
+
+from __future__ import annotations
+
+from cuttlefish_spark.plans import checks
+from cuttlefish_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_filter_pushdown_reaches_scan(spark, sf_dir):
+    df = SPECS["filter_pushdown"].fn(spark, sf_dir)
+    assert checks.has_pushed_filter(df, "l_shipdate")
+    assert checks.has_pushed_filter(df, "l_quantity")
+    cols = checks.read_schema_columns(df)
+    assert "l_comment" not in cols and "l_tax" not in cols  # pruned
+    assert set(cols) <= {
+        "l_orderkey", "l_partkey", "l_quantity", "l_extendedprice",
+        "l_shipdate", "l_discount",
+    }
+
+
+def test_broadcast_join_broadcasts_dims(spark, sf_dir):
+    df = SPECS["broadcast_join"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert plan.count("BroadcastHashJoin") >= 3  # supplier, nation, region
+    assert "SortMergeJoin" not in plan and "ShuffledHashJoin" not in plan
+    assert checks.count_exchanges(df) <= 1  # only the final group-by shuffle
+
+
+def test_scan_project_is_narrow(spark, sf_dir):
+    df = SPECS["scan_project"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 0
+    assert "props" not in checks.read_schema_columns(df)  # column pruned
+
+
+def test_sessionize_single_shuffle(spark, sf_dir):
+    """lag + running-sum + groupBy all share the user_id partitioning:
+    one exchange total."""
+    df = SPECS["sessionize"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 1
+
+
+def test_topk_uses_take_ordered(spark, sf_dir):
+    df = SPECS["topk_orders"].fn(spark, sf_dir)
+    assert "TakeOrderedAndProject" in checks.formatted_plan(df)
+
+
+def test_agg_groupby_partial_agg(spark, sf_dir):
+    df = SPECS["agg_groupby"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert len([1 for line in plan.splitlines() if line.startswith("(") and "HashAggregate" in line]) >= 2  # partial + final
+    assert checks.has_whole_stage_codegen(df)

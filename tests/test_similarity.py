@@ -1,0 +1,26 @@
+"""Similarity-search behavior tests beyond the oracle: the IVF
+approximate path must agree with the brute-force baseline on
+membership quality, and probe scoring must be self-consistent."""
+
+from __future__ import annotations
+
+from cuttlefish_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    brute = SPECS["embedding_cosine_topk"].fn(spark, sf_dir).toPandas()
+    ivf = SPECS["ann_ivf_topk"].fn(spark, sf_dir).toPandas()
+    assert len(ivf) == 10
+    # every IVF score must be <= the brute-force best (it searches a subset)
+    assert ivf["cosine"].max() <= brute["cosine"].max() + 1e-9
+    # nprobe=1 over 8 cells still recalls a meaningful share of the true top-10
+    recall = len(set(ivf["vec_id"]) & set(brute["vec_id"])) / 10
+    assert recall >= 0.2, f"IVF recall {recall} suspiciously low"
+
+
+def test_topk_excludes_probe_and_sorted(spark, sf_dir):
+    df = SPECS["embedding_cosine_topk"].fn(spark, sf_dir).toPandas()
+    assert 0 not in set(df["vec_id"])
+    assert list(df["cosine"]) == sorted(df["cosine"], reverse=True)

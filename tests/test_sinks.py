@@ -1,0 +1,41 @@
+"""Keyed JSON sink parity tests (api-runner.rkt:39-52: one {id}.json
+per chapter, events keyed by event id, replace mode)."""
+
+from __future__ import annotations
+
+import json
+import os
+
+from cuttlefish_spark.sinks.json_sink import write_keyed_json, write_partitioned_json
+from cuttlefish_spark.sources.adapters import dispatch_replay
+
+
+def test_write_keyed_json_one_file_per_key(spark, tmp_path):
+    out = str(tmp_path / "keyed")
+    df = dispatch_replay(spark).filter("status = 'OK'")
+    write_keyed_json(df, out)
+    files = sorted(os.listdir(out))
+    assert files == ["london.json", "newyork.json", "stlouis.json"]
+    ny = json.load(open(f"{out}/newyork.json"))
+    assert set(ny) == {"zvbxrpl2", "qxw9yzl3"}  # keyed by event_id
+    assert ny["zvbxrpl2"]["venue"]["postalCode"] == "10013"
+
+
+def test_write_keyed_json_replace_mode(spark, tmp_path):
+    """Re-running replaces outputs (reference overwrite semantics,
+    api-runner.rkt:50-51)."""
+    out = str(tmp_path / "keyed2")
+    df = dispatch_replay(spark).filter("status = 'OK'")
+    write_keyed_json(df, out)
+    first = os.path.getmtime(f"{out}/london.json")
+    write_keyed_json(df, out)
+    assert os.path.getmtime(f"{out}/london.json") >= first
+    assert len(json.load(open(f"{out}/london.json"))) == 3
+
+
+def test_write_partitioned_json(spark, tmp_path):
+    out = str(tmp_path / "part")
+    df = dispatch_replay(spark).filter("status = 'OK'")
+    write_partitioned_json(df.select("chapter_id", "event_id", "time"), out)
+    dirs = {d for d in os.listdir(out) if d.startswith("chapter_id=")}
+    assert dirs == {"chapter_id=london", "chapter_id=newyork", "chapter_id=stlouis"}

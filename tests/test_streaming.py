@@ -1,0 +1,62 @@
+"""Streaming == batch: drain the events table through the watermarked
+streaming plans and compare with the batch queries on identical input.
+"""
+
+from __future__ import annotations
+
+import shutil
+
+import pytest
+
+from cuttlefish_spark.registry import load_all
+from cuttlefish_spark.streaming.pipeline import (
+    read_events_stream,
+    run_available_now,
+    session_stream,
+    tumbling_stream,
+)
+
+
+@pytest.fixture(scope="module")
+def stream_dir(tmp_path_factory, sf_dir):
+    d = tmp_path_factory.mktemp("events_stream")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    return str(d)
+
+
+def test_tumbling_stream_matches_batch(spark, sf_dir, stream_dir):
+    stream = tumbling_stream(read_events_stream(spark, stream_dir))
+    run_available_now(stream, "tumbling_mem")
+    got = (
+        spark.sql("SELECT * FROM tumbling_mem")
+        .toPandas()
+        .sort_values(["hour_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    want = (
+        load_all()["tumbling_window"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values(["hour_start", "event_type"])
+        .reset_index(drop=True)
+    )
+    assert got.equals(want[got.columns])
+
+
+def test_session_stream_plausible(spark, stream_dir, sf_dir):
+    """Session windows: same session count as the batch sessionizer and
+    no session shorter than its event count allows."""
+    stream = session_stream(read_events_stream(spark, stream_dir))
+    run_available_now(stream, "sessions_mem")
+    got = spark.sql("SELECT * FROM sessions_mem").toPandas()
+    batch = load_all()["sessionize"].fn(spark, sf_dir).toPandas()
+    assert len(got) == len(batch)
+    assert int(got["n_events"].sum()) == int(batch["n_events"].sum())
+
+
+def test_rate_limited_ingest(spark, stream_dir):
+    """maxFilesPerTrigger bounds per-batch intake (A22 analogue)."""
+    stream = tumbling_stream(read_events_stream(spark, stream_dir, max_files_per_trigger=1))
+    q = run_available_now(stream, "tumbling_rl")
+    assert q.lastProgress is not None
+    assert spark.sql("SELECT count(*) FROM tumbling_rl").first()[0] > 0
