@@ -1,0 +1,260 @@
+"""Extended relational operators: as-of join, cube, pivot,
+explode/unnest, lead-lag deltas, max_by, percentiles.
+
+These fill the §2.B "reference does NOT have" categories beyond the
+core set — each is a capability a user of a general analytics engine
+expects, expressed with Spark built-ins and oracle-checked.
+
+The as-of join is the one operator here Spark lacks natively
+(SURVEY.md custom-operator guidance (a): composition of existing
+DataFrame ops): it is built as union -> single keyed window ->
+last(ignorenulls) carry-forward — one shuffle, no per-row Python, and
+semantically identical to DuckDB's native ASOF JOIN (which the oracle
+uses).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from cuttlefish_spark.functions import dec_sum, tokens
+from cuttlefish_spark.io import load_table, spread
+from cuttlefish_spark.registry import query
+
+EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
+
+
+@query(
+    "asof_join",
+    layer="B",
+    oracle="""
+    WITH clicks AS (
+        SELECT event_id AS last_click_id, user_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+        QUALIFY row_number() OVER (PARTITION BY user_id, ts ORDER BY event_id DESC) = 1
+    ),
+    purchases AS (
+        SELECT event_id, user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id, CAST(p.ts AS TIMESTAMP) AS ts, p.value,
+           c.last_click_id, CAST(c.click_ts AS TIMESTAMP) AS last_click_ts
+    FROM purchases p
+    ASOF LEFT JOIN clicks c ON p.user_id = c.user_id AND p.ts >= c.click_ts
+    """,
+)
+def asof_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase matched to the same user's most recent
+    click at-or-before it.
+
+    Spark has no ASOF JOIN; the classic distributed formulation is:
+    tag both streams, union, ONE window over (user_id | ts, tag order)
+    and carry the last click forward with last(ignorenulls=True). One
+    shuffle on user_id — same cost as any windowed op — vs. the naive
+    inequality join which explodes to a range cross-product. Clicks
+    are pre-deduped to one per (user, ts) (max event_id) so ties are
+    deterministic on both engines.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    w_dedup = Window.partitionBy("user_id", "ts").orderBy(F.col("event_id").desc())
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .withColumn("rn", F.row_number().over(w_dedup))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("user_id"), F.col("ts"), F.lit(0).alias("tag"),
+            F.col("event_id").alias("click_id"),
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit(None).cast("double").alias("value"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id"), F.col("ts"), F.lit(1).alias("tag"),
+        F.lit(None).cast("long").alias("click_id"),
+        F.col("event_id"), F.col("value"),
+    )
+    # tag orders clicks before purchases at equal ts => inclusive (>=)
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "tag")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    carried = clicks.unionByName(purchases).select(
+        "*",
+        F.last("click_id", ignorenulls=True).over(w).alias("last_click_id"),
+        F.last(F.when(F.col("tag") == 0, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_ts"),
+    )
+    return carried.filter(F.col("tag") == 1).select(
+        "event_id", "user_id", "ts", "value", "last_click_id", "last_click_ts"
+    )
+
+
+@query(
+    "agg_cube",
+    layer="B",
+    oracle="""
+    SELECT r_name, c_mktsegment,
+           count(*) AS n_cust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS total_acctbal,
+           CAST(GROUPING(r_name, c_mktsegment) AS BIGINT) AS gid
+    FROM customer c
+    JOIN nation n ON c.c_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    GROUP BY CUBE (r_name, c_mktsegment)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUBE over (region, market segment): all four grouping sets in
+    one pass (grouping-set expansion before a single shuffle)."""
+    c = load_table(spark, sf_dir, "customer")
+    n = F.broadcast(load_table(spark, sf_dir, "nation"))
+    r = F.broadcast(load_table(spark, sf_dir, "region"))
+    return (
+        c.join(n, c.c_nationkey == n.n_nationkey)
+        .join(r, n.n_regionkey == r.r_regionkey)
+        .cube("r_name", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_cust"),
+            dec_sum(F.col("c_acctbal"), alias="total_acctbal"),
+            F.grouping_id().cast("long").alias("gid"),
+        )
+    )
+
+
+@query(
+    "pivot_counts",
+    layer="B",
+    oracle="""
+    SELECT user_id,
+           count(*) FILTER (WHERE event_type = 'click')    AS click,
+           count(*) FILTER (WHERE event_type = 'error')    AS error,
+           count(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           count(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           count(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def pivot_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pivot event_type to columns (per-user event-mix matrix).
+
+    Explicit pivot values keep the schema static (no extra pass to
+    discover values — mandatory at scale); absent combinations are 0,
+    matching SQL FILTER counts.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id")
+        .pivot("event_type", EVENT_TYPES)
+        .count()
+        .na.fill(0, EVENT_TYPES)
+    )
+
+
+@query(
+    "explode_tokens",
+    layer="B",
+    oracle=r"""
+    SELECT doc_id, u.pos, u.token
+    FROM (
+        SELECT doc_id,
+               unnest(list_transform(
+                   CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                        ELSE regexp_split_to_array(trim(lower(text)), '\s+') END,
+                   (x, i) -> {'pos': CAST(i - 1 AS INT), 'token': x})) AS u
+        FROM documents
+        WHERE doc_id < 20
+    )
+    """,
+)
+def explode_tokens(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array -> rows with position (posexplode / UNNEST WITH
+    ORDINALITY). The row-generating lateral primitive every downstream
+    token-level pipeline builds on; the doc_id predicate is pushed to
+    the scan so the explode only sees selected rows."""
+    d = load_table(spark, sf_dir, "documents").filter(F.col("doc_id") < 20)
+    return d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    )
+
+
+@query(
+    "window_lag_delta",
+    layer="B",
+    oracle="""
+    SELECT user_id, event_id, CAST(ts AS TIMESTAMP) AS ts,
+           value - lag(value) OVER w AS value_delta,
+           epoch_ms(ts) - epoch_ms(lag(ts) OVER w) AS gap_ms,
+           lag(event_id) OVER w AS prev_event_id
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """lead/lag: per-user deltas between consecutive events (value
+    delta, inter-event gap, previous id). One shuffle on user_id."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        (F.col("value") - F.lag("value").over(w)).alias("value_delta"),
+        (F.unix_millis("ts") - F.unix_millis(F.lag("ts").over(w))).alias("gap_ms"),
+        F.lag("event_id").over(w).alias("prev_event_id"),
+    )
+
+
+@query(
+    "agg_minmax_by",
+    layer="B",
+    oracle="""
+    SELECT user_id,
+           max_by(event_type, value) AS top_value_type,
+           CAST(max(value) AS DOUBLE) AS max_value,
+           min_by(event_id, ts) AS first_event_id,
+           CAST(min(ts) AS TIMESTAMP) AS first_ts
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by: per-user argmax aggregation (event type of the
+    highest-value event; id of the earliest event) — single shuffle
+    with partial aggregation."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("user_id").agg(
+        F.max_by("event_type", "value").alias("top_value_type"),
+        F.max("value").alias("max_value"),
+        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.min("ts").alias("first_ts"),
+    )
+
+
+@query(
+    "agg_percentiles",
+    layer="B",
+    oracle="""
+    SELECT event_type,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.25), 6) AS p25,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.5), 6)  AS p50,
+           round(quantile_cont(CAST(value AS DOUBLE), 0.95), 6) AS p95
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles per group (Spark `percentile` ==
+    DuckDB `quantile_cont`, both linear interpolation on the sorted
+    values). At 100 TB you'd switch to percentile_approx (t-digest
+    sketch, mergeable, one pass) — exact percentile materializes the
+    per-group value set; declared here because the oracle can check the
+    exact form."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.round(F.expr("percentile(value, 0.25)"), 6).alias("p25"),
+        F.round(F.expr("percentile(value, 0.5)"), 6).alias("p50"),
+        F.round(F.expr("percentile(value, 0.95)"), 6).alias("p95"),
+    )

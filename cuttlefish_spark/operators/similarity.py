@@ -122,6 +122,90 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+N_PLANES = 8
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic pseudo-random +-1 hyperplanes: sign from the
+    parity of md5(f"{dim}_{plane}") — reproducible in SQL, no RNG."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{i}_{p}".encode()).hexdigest()[:15], 16) & 1 else -1.0
+            for i in range(64)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _lsh_oracle() -> str:
+    planes = _plane_weights()
+    bits = ", ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(str(x) for x in w)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for w in planes
+    )
+    return f"""
+    WITH t AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               concat({bits}) AS bucket
+        FROM t
+    )
+    SELECT vec_id_a, vec_id_b, bucket, cosine FROM (
+        SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.bucket AS bucket,
+               round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
+        FROM sig a JOIN sig b ON a.bucket = b.bucket AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.6
+    """
+
+
+@query("embedding_lsh_bucket", layer="C", oracle=_lsh_oracle())
+def embedding_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Random-hyperplane LSH near-dup search — the unsupervised scale
+    path embedding_near_dup's docstring promises.
+
+    Each vector gets an {N_PLANES}-bit bucket: bit p = sign of the dot
+    product with a deterministic +-1 hyperplane (sign-random-projection
+    LSH: P[bits agree] = 1 - angle/pi). Candidate pairs are an
+    equi-join on the bucket key — cosine is verified only inside
+    buckets, never across the full n^2. At 100 TB: signatures are one
+    narrow pass; the bucket join is a keyed shuffle whose fan-in per
+    bucket is ~n/2^planes (tune planes to bound it); AQE splits hot
+    buckets.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    planes = _plane_weights()
+    bits = [
+        F.when(
+            dot(F.col("v"), F.array(*[F.lit(x) for x in w])) >= 0, "1"
+        ).otherwise("0")
+        for w in planes
+    ]
+    sig = t.select(
+        "vec_id",
+        "v",
+        F.sqrt(dot(F.col("v"), F.col("v"))).alias("nrm"),
+        F.concat(*bits).alias("bucket"),
+    )
+    a = sig.select(F.col("bucket"), F.col("vec_id").alias("vec_id_a"),
+                   F.col("v").alias("va"), F.col("nrm").alias("nrm_a"))
+    b = sig.select(F.col("bucket"), F.col("vec_id").alias("vec_id_b"),
+                   F.col("v").alias("vb"), F.col("nrm").alias("nrm_b"))
+    cosine = F.round(dot(F.col("va"), F.col("vb")) / (F.col("nrm_a") * F.col("nrm_b")), 6)
+    return (
+        a.join(b, "bucket")
+        .filter(F.col("vec_id_a") < F.col("vec_id_b"))
+        .select("vec_id_a", "vec_id_b", "bucket", cosine.alias("cosine"))
+        .filter(F.col("cosine") >= 0.6)
+    )
+
+
 N_CENTROIDS = 8
 
 

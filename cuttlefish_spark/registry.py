@@ -29,6 +29,7 @@ _REGISTRY: dict[str, "QuerySpec"] = {}
 _OPERATOR_MODULES = [
     "cuttlefish_spark.operators.layer_a",
     "cuttlefish_spark.operators.relational",
+    "cuttlefish_spark.operators.relational_ext",
     "cuttlefish_spark.operators.text",
     "cuttlefish_spark.operators.dedup",
     "cuttlefish_spark.operators.similarity",

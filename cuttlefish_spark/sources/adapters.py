@@ -292,18 +292,22 @@ def normalize_eventbrite(raw: DataFrame) -> DataFrame:
 def _replay_raw(spark: SparkSession, adapter: str, service_id: str,
                 organization: str | None) -> DataFrame | None:
     """Fixture-replay fetch: return the raw per-service DataFrame, or
-    None when the fixture has no payload (stands in for an HTTP miss)."""
+    None when the fixture has no payload (stands in for an HTTP miss).
+
+    coalesce(1): fixture payloads are a handful of rows; leaving them
+    on default parallelism spreads 2-row frames over 32 partitions and
+    spins a Python UDF worker per partition downstream."""
     if adapter == "meetup":
         rows = fixtures.MEETUP_RAW.get(service_id)
-        return None if rows is None else spark.createDataFrame(rows, _MEETUP_RAW_SCHEMA)
+        return None if rows is None else spark.createDataFrame(rows, _MEETUP_RAW_SCHEMA).coalesce(1)
     if adapter == "facebook":
         env = fixtures.FACEBOOK_RAW.get(service_id)
-        return None if env is None else spark.createDataFrame(env["data"], _FACEBOOK_RAW_SCHEMA)
+        return None if env is None else spark.createDataFrame(env["data"], _FACEBOOK_RAW_SCHEMA).coalesce(1)
     if adapter == "eventbrite":
         env = fixtures.EVENTBRITE_RAW.get(organization or service_id)
         return None if env is None else spark.createDataFrame(
             env["events"], _EVENTBRITE_RAW_SCHEMA
-        )
+        ).coalesce(1)
     return None
 
 
