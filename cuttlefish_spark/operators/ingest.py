@@ -24,9 +24,12 @@ def ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ignores sf_dir: inputs are the inline golden fixtures
     (sources.fixtures), mirroring eventbrite.rkt:123-146."""
-    out = dispatch_replay(spark)
-    # Flatten the venue struct for a stable, hash-friendly shape; keep
-    # nested photos to exercise array<struct> end-to-end.
+    return _flat_canonical(dispatch_replay(spark))
+
+
+def _flat_canonical(out: DataFrame) -> DataFrame:
+    """Flatten the venue struct for a stable, hash-friendly shape; keep
+    nested photos (as a count) to exercise array<struct> end-to-end."""
     return out.select(
         "chapter_id",
         "event_id",
@@ -43,6 +46,58 @@ def ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "status",
         "error",
     )
+
+
+@query("ingest_datasource", layer="A", oracle=None)
+def ingest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Same pipeline as ingest_normalize, but the fetch step is a real
+    Spark 4 Python DataSource (`cuttlefish_replay`): one input
+    partition per chapter, so Spark's scheduler owns the fan-out the
+    reference hand-built as a 3-thread pool (api-runner.rkt:118-168;
+    SURVEY.md §4 custom-work item 1). Raw payloads are parsed with
+    from_json per adapter and normalized by the same declarative
+    converters as replay mode — fetch and convert stay split exactly
+    like worker-* vs convert-json in the reference."""
+    from pyspark.sql import types as T
+
+    from cuttlefish_spark.sources import adapters as ad
+    from cuttlefish_spark.sources.datasource import register
+
+    register(spark)
+    raw = spark.read.format("cuttlefish_replay").load()
+    schemas = {
+        "meetup": ad._MEETUP_RAW_SCHEMA,
+        "facebook": ad._FACEBOOK_RAW_SCHEMA,
+        "eventbrite": ad._EVENTBRITE_RAW_SCHEMA,
+    }
+    cols = [f.name for f in ad.CANONICAL_SCHEMA.fields] + ["status", "error"]
+    frames = []
+    for adapter, schema in schemas.items():
+        parsed = (
+            raw.filter((F.col("adapter") == adapter) & (F.col("status") == "OK"))
+            .select("chapter_id", F.from_json("payload", schema).alias("r"))
+            .select("chapter_id", "r.*")
+        )
+        frames.append(
+            ad.NORMALIZERS[adapter](parsed)
+            .withColumn("status", F.lit("OK"))
+            .withColumn("error", F.lit(None).cast("string"))
+            .select(cols)
+        )
+    err = raw.filter(F.col("status") == "ERROR").select(
+        "chapter_id",
+        *[
+            F.lit(None).cast(f.dataType).alias(f.name)
+            for f in ad.CANONICAL_SCHEMA.fields
+            if f.name != "chapter_id"
+        ],
+        "status",
+        "error",
+    ).select(cols)
+    out = frames[0]
+    for fr in frames[1:] + [err]:
+        out = out.unionByName(fr)
+    return _flat_canonical(out)
 
 
 @query("markdown_html", layer="A", oracle=None)

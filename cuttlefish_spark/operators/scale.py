@@ -1,0 +1,200 @@
+"""Scale-pattern operators: the shuffle-discipline techniques a 100 TB
+deployment leans on, each expressed so the small-SF oracle can verify
+the *semantics* while the plan shape demonstrates the *scale path*.
+
+- range join via bucket-explode + equi-join (no BroadcastNestedLoop)
+- skewed aggregation via two-stage salting (partial agg on salted key)
+- GROUPING SETS in one pass (generalizes rollup/cube, A25-style
+  multi-granularity accounting)
+- native session windows (F.session_window — the batch twin of the
+  streaming sessionizer in cuttlefish_spark.streaming.pipeline)
+
+Reference anchors: the reference has no joins/aggs (SURVEY.md §2.B);
+these are Layer-B capabilities mandated by the build brief. The salting
+pattern is the standard remedy for the reference's real skew exposure:
+its chunker balances by row *count* only (chunk-list.rkt:6-18), which
+at scale collapses under per-key payload skew.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuttlefish_spark.functions import dec_sum
+from cuttlefish_spark.io import load_table
+from cuttlefish_spark.registry import query
+
+
+@query(
+    "range_join_bucketed",
+    layer="B",
+    oracle="""
+    SELECT o.o_orderkey,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM orders o
+    JOIN events e
+      ON e.ts >= o.o_orderdate
+     AND e.ts < o.o_orderdate + INTERVAL 3 DAY
+    WHERE o.o_orderpriority = '1-URGENT'
+    GROUP BY o.o_orderkey
+    """,
+)
+def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join (event ts within [orderdate, orderdate+3d)) executed
+    as an equi-join: explode each order into its 3 covered day-buckets,
+    join events on their day-bucket, then apply the residual range
+    predicate. A naive inequality join plans as BroadcastNestedLoop —
+    O(n*m) compares; bucketing makes it a hash join on day keys, which
+    scales linearly and shuffles only on the bucket key.
+    """
+    orders = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(
+            "o_orderkey",
+            "o_orderdate",
+            F.explode(
+                F.sequence(
+                    F.date_trunc("day", F.col("o_orderdate")),
+                    F.date_trunc("day", F.col("o_orderdate") + F.expr("INTERVAL 2 DAY")),
+                    F.expr("INTERVAL 1 DAY"),
+                )
+            ).alias("bucket"),
+        )
+    )
+    events = load_table(spark, sf_dir, "events").select(
+        "ts", "value", F.date_trunc("day", F.col("ts")).alias("bucket")
+    )
+    joined = orders.join(events, "bucket").filter(
+        (F.col("ts") >= F.col("o_orderdate"))
+        & (F.col("ts") < F.col("o_orderdate") + F.expr("INTERVAL 3 DAY"))
+    )
+    return joined.groupBy("o_orderkey").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        dec_sum(F.col("value"), alias="sum_value"),
+    )
+
+
+@query(
+    "skew_salted_agg",
+    layer="B",
+    oracle="""
+    SELECT event_type,
+           COUNT(*) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value,
+           COUNT(DISTINCT user_id) AS n_users
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Two-stage salted aggregation over a low-cardinality (hence
+    skew-prone) key: stage 1 aggregates on (event_type, salt) so every
+    core gets a shard of each hot key; stage 2 combines the 16 shards
+    per key. Decomposable aggs (count/sum) recombine exactly;
+    count-distinct recombines via stage-1 distinct on (key, salt,
+    user_id). Same result as the direct groupBy, but the heaviest key
+    can no longer pin a single reducer at 100 TB.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    salted = ev.withColumn("salt", F.pmod(F.xxhash64("user_id"), F.lit(16)))
+    partial = salted.groupBy("event_type", "salt").agg(
+        F.count(F.lit(1)).alias("n_part"),
+        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_part"),
+        F.collect_set("user_id").alias("users_part"),
+    )
+    return (
+        partial.groupBy("event_type")
+        .agg(
+            F.sum("n_part").alias("n"),
+            F.sum("sum_part").cast("double").alias("sum_value"),
+            F.size(F.array_distinct(F.flatten(F.collect_list("users_part")))).alias("n_users"),
+        )
+        .select("event_type", "n", "sum_value", F.col("n_users").cast("long").alias("n_users"))
+    )
+
+
+@query(
+    "grouping_sets_agg",
+    layer="B",
+    oracle="""
+    SELECT n_name, c_mktsegment,
+           COUNT(*) AS n_customers,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+    FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+    """,
+)
+def grouping_sets_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUPING SETS: nation-level, segment-level, and grand totals in
+    ONE shuffle (grouping-set expansion happens before the exchange),
+    vs three separate aggregations = three scans + three shuffles.
+    Nation (25 rows) broadcasts to the customer side.
+    """
+    c = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    joined = c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+    joined.createOrReplaceTempView("_gs_cust_nation")
+    return spark.sql(
+        """
+        SELECT n_name, c_mktsegment,
+               COUNT(*) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS sum_bal
+        FROM _gs_cust_nation
+        GROUP BY GROUPING SETS ((n_name), (c_mktsegment), ())
+        """
+    )
+
+
+@query(
+    "session_window_native",
+    layer="B",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts)
+                         <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    islands AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(MIN(ts) AS TIMESTAMP) AS session_start,
+           CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM islands
+    GROUP BY user_id, session_no
+    """,
+)
+def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Native session windows (F.session_window, 30-minute gap): one
+    shuffle on user_id, sessions merged inside the aggregation — the
+    exact batch twin of streaming.pipeline.session_stream, and the
+    Spark-native form of the manual lag+cumsum sessionizer
+    (operators.relational.sessionize). Spark defines session_end =
+    last_event + gap; the oracle replays that definition via
+    gaps-and-islands SQL.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            dec_sum(F.col("value"), alias="sum_value"),
+        )
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )

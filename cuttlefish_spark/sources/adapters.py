@@ -195,6 +195,13 @@ _EVENTBRITE_RAW_SCHEMA = T.StructType(
 )
 
 
+def _passthrough(raw: DataFrame) -> list[Column]:
+    """Keep row-level keys (chapter_id) through a normalizer when the
+    input carries them — the DataSource fetch path emits chapter_id per
+    row, while replay mode attaches it after normalization."""
+    return [F.col("chapter_id")] if "chapter_id" in raw.columns else []
+
+
 def _venue(name: Column, a1: Column, a2: Column, country: Column, city: Column,
            postal: Column, lon: Column, lat: Column) -> Column:
     return F.struct(
@@ -223,6 +230,7 @@ def normalize_meetup(raw: DataFrame) -> DataFrame:
         ),
     )
     return raw.select(
+        *_passthrough(raw),
         F.col("id").alias("event_id"),
         F.col("link").alias("url"),
         F.col("time").cast("long").alias("time"),
@@ -249,6 +257,7 @@ def normalize_facebook(raw: DataFrame) -> DataFrame:
     off_m = F.regexp_extract("start_time", r"[+-](\d{2})(\d{2})$", 2).cast("long")
     offset_ms = sign * (off_h * 3600 + off_m * 60) * 1000
     return raw.select(
+        *_passthrough(raw),
         F.col("id").alias("event_id"),
         F.concat(F.lit("https://facebook.com/"), F.col("id")).alias("url"),
         F.unix_millis(ts).alias("time"),
@@ -273,6 +282,7 @@ def normalize_eventbrite(raw: DataFrame) -> DataFrame:
     local_ts = F.to_timestamp(F.col("start.local"))
     utc_ts = F.to_utc_timestamp(local_ts, F.col("start.timezone"))
     return raw.select(
+        *_passthrough(raw),
         F.col("id").alias("event_id"),
         F.col("url"),
         F.unix_millis(utc_ts).alias("time"),
@@ -294,20 +304,19 @@ def _replay_raw(spark: SparkSession, adapter: str, service_id: str,
     """Fixture-replay fetch: return the raw per-service DataFrame, or
     None when the fixture has no payload (stands in for an HTTP miss).
 
-    coalesce(1): fixture payloads are a handful of rows; leaving them
-    on default parallelism spreads 2-row frames over 32 partitions and
-    spins a Python UDF worker per partition downstream."""
+    NOTE: no .coalesce(1) here — Coalesce over a parallelized local
+    relation costs a flat ~5s/job on local mode (scheduler locality
+    wait on the single merged task), measured 10x slower than leaving
+    the tiny frame on default parallelism."""
     if adapter == "meetup":
         rows = fixtures.MEETUP_RAW.get(service_id)
-        return None if rows is None else spark.createDataFrame(rows, _MEETUP_RAW_SCHEMA).coalesce(1)
+        return None if rows is None else spark.createDataFrame(rows, _MEETUP_RAW_SCHEMA)
     if adapter == "facebook":
         env = fixtures.FACEBOOK_RAW.get(service_id)
-        return None if env is None else spark.createDataFrame(env["data"], _FACEBOOK_RAW_SCHEMA).coalesce(1)
+        return None if env is None else spark.createDataFrame(env["data"], _FACEBOOK_RAW_SCHEMA)
     if adapter == "eventbrite":
         env = fixtures.EVENTBRITE_RAW.get(organization or service_id)
-        return None if env is None else spark.createDataFrame(
-            env["events"], _EVENTBRITE_RAW_SCHEMA
-        ).coalesce(1)
+        return None if env is None else spark.createDataFrame(env["events"], _EVENTBRITE_RAW_SCHEMA)
     return None
 
 
@@ -332,6 +341,7 @@ def dispatch_replay(spark: SparkSession, chapters=None) -> DataFrame:
     """
     chapters = chapters if chapters is not None else fixtures.CHAPTERS
     frames: list[DataFrame] = []
+    err_rows: list[dict] = []
     err_schema = T.StructType(
         list(CANONICAL_SCHEMA.fields)
         + [T.StructField("status", T.StringType()), T.StructField("error", T.StringType())]
@@ -340,33 +350,23 @@ def dispatch_replay(spark: SparkSession, chapters=None) -> DataFrame:
         normalizer = NORMALIZERS.get(adapter)
         if normalizer is None:
             # unknown adapter -> error value (api-runner.rkt:144-147)
-            frames.append(
-                spark.createDataFrame(
-                    [
-                        {
-                            "chapter_id": chapter_id,
-                            "status": "ERROR",
-                            "error": f"No adapter found: {adapter}",
-                        }
-                    ],
-                    err_schema,
-                )
+            err_rows.append(
+                {
+                    "chapter_id": chapter_id,
+                    "status": "ERROR",
+                    "error": f"No adapter found: {adapter}",
+                }
             )
             continue
         raw = _replay_raw(spark, adapter, service_id, organization)
         if raw is None:
             # fetch failure -> error value (meetup.rkt:74-81)
-            frames.append(
-                spark.createDataFrame(
-                    [
-                        {
-                            "chapter_id": chapter_id,
-                            "status": "ERROR",
-                            "error": f"fetch failed for {service_id}",
-                        }
-                    ],
-                    err_schema,
-                )
+            err_rows.append(
+                {
+                    "chapter_id": chapter_id,
+                    "status": "ERROR",
+                    "error": f"fetch failed for {service_id}",
+                }
             )
             continue
         frames.append(
@@ -376,6 +376,10 @@ def dispatch_replay(spark: SparkSession, chapters=None) -> DataFrame:
             .withColumn("error", F.lit(None).cast("string"))
             .select([f.name for f in err_schema.fields])
         )
+    if err_rows:
+        # One frame for ALL error rows — a per-row createDataFrame
+        # would bloat the unioned plan with one scan per error.
+        frames.append(spark.createDataFrame(err_rows, err_schema))
     out = frames[0]
     for f in frames[1:]:
         out = out.unionByName(f)

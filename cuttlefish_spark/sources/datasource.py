@@ -1,0 +1,103 @@
+"""Spark 4 Python DataSource for the chapter-fetch step.
+
+The reference's fetch layer is a worker pool: chapters are chunked,
+each worker thread dispatches on the adapter key and performs an HTTPS
+GET (api-runner.rkt:118-148, meetup.rkt:83-84). Spark's native analog
+of that pool is a DataSource whose *input partitions* are the work
+items: one partition per chapter means Spark's scheduler — not a
+bespoke thread pool (A5) — owns fan-out, retry, and locality, and the
+fetch scales to any executor count with zero code change.
+
+`ChapterReplayDataSource` emits the *raw* payload rows (one JSON string
+per event, Either-style status/error columns — README.md:30-42); the
+normalization to the canonical schema stays declarative in the
+DataFrame layer (sources.adapters), exactly like the reference splits
+fetch (worker-*) from convert (convert-json). A per-partition
+TokenBucket is acquired per request, placing the reference's adaptive
+throttle (meetup.rkt:9-26) where it belongs at scale: one bucket per
+task, not a global lock.
+
+Replay mode reads the inline fixtures (the reference's own test
+strategy, eventbrite.rkt:123-146). A live HTTP mode would change ONLY
+`_fetch` — the partition/throttle/error plumbing is identical.
+"""
+
+from __future__ import annotations
+
+import json
+from collections.abc import Iterator, Sequence
+
+from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+from pyspark.sql.types import StructType
+
+RAW_FETCH_DDL = (
+    "chapter_id string, adapter string, service_id string, "
+    "payload string, status string, error string"
+)
+
+
+class ChapterPartition(InputPartition):
+    def __init__(self, chapter: tuple):
+        self.chapter = chapter
+
+
+class ChapterReplayReader(DataSourceReader):
+    def __init__(self, options: dict):
+        self.options = options
+
+    def partitions(self) -> Sequence[ChapterPartition]:
+        # One work item per partition — the reference's chunk-list
+        # (chunk-list.rkt:6-18) balanced by count; Spark balances by
+        # task scheduling, which also absorbs per-key latency skew.
+        from cuttlefish_spark.sources import fixtures
+
+        return [ChapterPartition(c) for c in fixtures.CHAPTERS]
+
+    def read(self, partition: ChapterPartition) -> Iterator[tuple]:
+        from cuttlefish_spark.sources import fixtures
+        from cuttlefish_spark.sources.throttle import TokenBucket
+
+        chapter_id, _title, adapter, service_id, organization = partition.chapter
+        bucket = TokenBucket(rate_per_sec=float(self.options.get("rate_per_sec", 1000.0)))
+        bucket.acquire()
+
+        if adapter not in ("meetup", "facebook", "eventbrite"):
+            yield (chapter_id, adapter, service_id, None, "ERROR",
+                   f"No adapter found: {adapter}")
+            return
+        payloads = _fetch(adapter, service_id, organization, fixtures)
+        if payloads is None:
+            yield (chapter_id, adapter, service_id, None, "ERROR",
+                   f"fetch failed for {service_id}")
+            return
+        for event in payloads:
+            yield (chapter_id, adapter, service_id, json.dumps(event), "OK", None)
+
+
+def _fetch(adapter: str, service_id: str, organization: str | None, fixtures):
+    """Replay-mode fetch: the HTTP GET of meetup.rkt:83-84 et al.,
+    answered from the golden fixtures. Returns a list of raw event
+    dicts, or None for a miss (stands in for an HTTP error)."""
+    if adapter == "meetup":
+        return fixtures.MEETUP_RAW.get(service_id)
+    if adapter == "facebook":
+        env = fixtures.FACEBOOK_RAW.get(service_id)
+        return None if env is None else env["data"]
+    env = fixtures.EVENTBRITE_RAW.get(organization or service_id)
+    return None if env is None else env["events"]
+
+
+class ChapterReplayDataSource(DataSource):
+    @classmethod
+    def name(cls) -> str:
+        return "cuttlefish_replay"
+
+    def schema(self) -> str:
+        return RAW_FETCH_DDL
+
+    def reader(self, schema: StructType) -> ChapterReplayReader:
+        return ChapterReplayReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(ChapterReplayDataSource)

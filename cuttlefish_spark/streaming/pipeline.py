@@ -91,6 +91,52 @@ def session_stream(events: DataFrame, gap: str = "30 minutes",
     )
 
 
+DEDUP_OUT_SCHEMA = (
+    "event_id long, ts timestamp, user_id long, event_type string, value double"
+)
+
+
+def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
+    """Streaming exact dedup, first-seen wins: the streaming twin of
+    the reference's id re-key dedup (meetup.rkt:40-41 / A14 — there
+    last-write-wins inside one batch; across an unbounded stream the
+    stable contract is first-seen) and of batch
+    dropDuplicates(["event_id"]).
+
+    Custom stateful operator via applyInPandasWithState: state store
+    keyed by event_id holds one `seen` flag per key; a row is emitted
+    only on the key's first appearance. Arrow-batched per key-group —
+    the dedup hot path a training-data pipeline runs in front of every
+    sink. State is per-key-minimal (8 bytes) so the store scales to
+    billions of keys; in production add a state TTL via timeout conf.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    def first_seen(key, pdf_iter, state):
+        already = state.exists
+        if not already:
+            state.update((1,))
+        emitted = False
+        for pdf in pdf_iter:
+            if already or emitted or len(pdf) == 0:
+                continue
+            first = pdf.sort_values("ts").head(1)
+            emitted = True
+            yield first[["event_id", "ts", "user_id", "event_type", "value"]]
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("event_id")
+        .applyInPandasWithState(
+            first_seen,
+            outputStructType=DEDUP_OUT_SCHEMA,
+            stateStructType="seen integer",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.NoTimeout,
+        )
+    )
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, mode: str = "complete"):
     """Drain all available input through the streaming plan into an
     in-memory sink and block until done (test/CI harness)."""

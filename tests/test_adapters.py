@@ -90,3 +90,26 @@ def test_audit_counts(spark):
     assert audit[("newyork", "OK")][0] == 2
     assert audit[("newyork", "OK")][1] == "WROTE: newyork"
     assert audit[("atlantis", "ERROR")][1] == "ERROR: atlantis"
+
+
+def test_datasource_matches_replay(spark, sf_dir):
+    """The Spark-4 Python DataSource fetch path (one input partition
+    per chapter, scheduler-owned fan-out) must produce byte-identical
+    canonical rows to the driver-side replay path."""
+    from cuttlefish_spark.operators.ingest import ingest_datasource, ingest_normalize
+
+    a = sorted(tuple(r) for r in ingest_datasource(spark, sf_dir).collect())
+    b = sorted(tuple(r) for r in ingest_normalize(spark, sf_dir).collect())
+    assert a == b
+    assert len(a) == 8
+
+
+def test_datasource_partitions_per_chapter(spark):
+    """Fan-out parity with the reference's work-list chunking: the
+    source exposes one input partition per chapter (A5 superseded by
+    task scheduling)."""
+    from cuttlefish_spark.sources.datasource import register
+
+    register(spark)
+    raw = spark.read.format("cuttlefish_replay").load()
+    assert raw.rdd.getNumPartitions() == 4

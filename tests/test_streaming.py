@@ -60,3 +60,26 @@ def test_rate_limited_ingest(spark, stream_dir):
     q = run_available_now(stream, "tumbling_rl")
     assert q.lastProgress is not None
     assert spark.sql("SELECT count(*) FROM tumbling_rl").first()[0] > 0
+
+
+def test_dedup_stream_first_seen(spark, sf_dir, tmp_path):
+    """Stateful streaming dedup: the input dir holds the same events
+    file TWICE; across micro-batches every event_id must come out
+    exactly once (state survives between triggers)."""
+    import shutil
+
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.streaming.pipeline import dedup_stream
+
+    d = tmp_path / "dup_stream"
+    d.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-000.parquet")
+    shutil.copy(f"{sf_dir}/events.parquet", d / "part-001.parquet")
+
+    stream = dedup_stream(
+        read_events_stream(spark, str(d), max_files_per_trigger=1)
+    )
+    run_available_now(stream, "dedup_mem", mode="append")
+    got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_mem").first()
+    n_ids = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
+    assert got["n"] == got["d"] == n_ids
