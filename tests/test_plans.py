@@ -55,3 +55,37 @@ def test_agg_groupby_partial_agg(spark, sf_dir):
     plan = checks.formatted_plan(df)
     assert len([1 for line in plan.splitlines() if line.startswith("(") and "HashAggregate" in line]) >= 2  # partial + final
     assert checks.has_whole_stage_codegen(df)
+
+
+def test_range_join_is_equi_join(spark, sf_dir):
+    """The bucketed range join must plan as a hash/sort-merge equi-join
+    on the day bucket — a BroadcastNestedLoopJoin here is the O(n*m)
+    failure mode the bucketing exists to avoid."""
+    df = SPECS["range_join_bucketed"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("BroadcastHashJoin" in plan or "SortMergeJoin" in plan
+            or "ShuffledHashJoin" in plan)
+
+
+def test_grouping_sets_single_shuffle(spark, sf_dir):
+    """GROUPING SETS = Expand before ONE aggregation exchange (the
+    nation dim broadcasts, adding no exchange)."""
+    df = SPECS["grouping_sets_agg"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "Expand" in plan
+    assert checks.has_broadcast_join(df)
+    assert checks.count_exchanges(df) == 1
+
+
+def test_skew_salted_agg_two_stage(spark, sf_dir):
+    """Salting splits the aggregation into exactly two keyed exchanges:
+    (key, salt) then (key)."""
+    df = SPECS["skew_salted_agg"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 2
+
+
+def test_session_window_single_shuffle(spark, sf_dir):
+    """Native session windows: one exchange on the session key."""
+    df = SPECS["session_window_native"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 1
