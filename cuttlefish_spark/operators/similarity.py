@@ -260,3 +260,40 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), F.col("vec_id"))
         .limit(10)
     )
+
+
+@query(
+    "embedding_centroids",
+    layer="C",
+    oracle="""
+    SELECT label,
+           CAST(pos - 1 AS INTEGER) AS dim,
+           round(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE) / COUNT(*), 6)
+               AS centroid,
+           COUNT(*) AS n_vectors
+    FROM (SELECT label,
+                 unnest(embedding) AS x,
+                 unnest(range(1, len(embedding) + 1)) AS pos
+          FROM embeddings)
+    GROUP BY label, pos
+    """,
+)
+def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid of the embedding vectors — the training step
+    behind IVF cells (ann_ivf_topk) and k-means-style clustering.
+
+    posexplode turns vectors into (label, dim, x) rows; one shuffle on
+    (label, dim) with map-side partial sums. Decimal(18,9) partial sums
+    keep the mean order-independent so the oracle hash matches; at
+    100 TB this is the standard mergeable-centroid pattern (sum+count
+    decompose over any partitioning)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    exploded = emb.select(
+        "label", F.posexplode(F.col("embedding").cast("array<double>")).alias("dim", "x")
+    )
+    return exploded.groupBy("label", "dim").agg(
+        F.round(
+            F.sum(F.col("x").cast("decimal(18,9)")).cast("double") / F.count(F.lit(1)), 6
+        ).alias("centroid"),
+        F.count(F.lit(1)).alias("n_vectors"),
+    )

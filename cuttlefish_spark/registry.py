@@ -36,6 +36,7 @@ _OPERATOR_MODULES = [
     "cuttlefish_spark.operators.similarity",
     "cuttlefish_spark.operators.multimodal",
     "cuttlefish_spark.operators.ingest",
+    "cuttlefish_spark.operators.udtf_ops",
 ]
 
 
