@@ -64,7 +64,12 @@ def ingest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from cuttlefish_spark.sources.datasource import register
 
     register(spark)
-    raw = spark.read.format("cuttlefish_replay").load()
+    # Fetch ONCE, then branch: the three adapter branches + error split
+    # all read this frame, and without a persist each one re-executes
+    # the source (= re-fetches every API at scale). Caching the raw
+    # fetch before fan-out is the scale-correct contract (the reference
+    # likewise fetches once per chapter, api-runner.rkt:129-143).
+    raw = spark.read.format("cuttlefish_replay").load().persist()
     schemas = {
         "meetup": ad._MEETUP_RAW_SCHEMA,
         "facebook": ad._FACEBOOK_RAW_SCHEMA,

@@ -322,3 +322,36 @@ def agg_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.stddev_samp("l_discount"), 6).alias("discount_sd"),
         F.round(F.var_samp("l_tax"), 6).alias("tax_var"),
     )
+
+
+_Q3_SQL = """
+    SELECT o.o_orderkey,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+               AS DOUBLE) AS revenue,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_orderpriority
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    WHERE c.c_mktsegment = 'BUILDING'
+      AND o.o_orderdate < TIMESTAMP '1998-03-15'
+      AND l.l_shipdate  > TIMESTAMP '1998-03-15'
+    GROUP BY o.o_orderkey, o.o_orderdate, o.o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, o_orderkey
+    LIMIT 10
+"""
+
+
+@query("sql_frontend_q3", layer="B", oracle=_Q3_SQL)
+def sql_frontend_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The SQL front-end end-to-end: TPC-H Q3 (shipping-priority) as a
+    raw SQL string over registered views — the SAME text the DuckDB
+    oracle runs (SURVEY.md §2.B: SQL comes free once tables register).
+    Catalyst plans it like the DataFrame twin: customer filter pushed
+    to the scan, broadcast of the filtered customer side under the
+    64 MiB threshold, one aggregation exchange, TakeOrderedAndProject
+    for the top-10."""
+    from cuttlefish_spark.io import register_views
+
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_Q3_SQL)
