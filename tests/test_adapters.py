@@ -113,3 +113,53 @@ def test_datasource_partitions_per_chapter(spark):
     register(spark)
     raw = spark.read.format("cuttlefish_replay").load()
     assert raw.rdd.getNumPartitions() == 4
+
+
+def test_read_chapters_json(spark, tmp_path):
+    """A2/A3 parity: map-shaped chapters JSON -> one row per chapter
+    with dynamic keys as a column; missing nested fields -> null;
+    missing file -> error."""
+    import json
+
+    import pytest
+    from pyspark.errors.exceptions.captured import AnalysisException
+
+    from cuttlefish_spark.sources.chapters import read_chapters_json, worklist
+
+    doc = {
+        "newyork": {"title": "New York",
+                    "dataService": {"adapter": "meetup", "id": "papers-we-love"}},
+        "london": {"title": "London",
+                   "dataService": {"adapter": "eventbrite",
+                                   "id": "pwl-london", "organization": "2417467656"}},
+        "ghost": {"title": "No Service"},
+    }
+    p = tmp_path / "chapters.json"
+    p.write_text(json.dumps(doc))
+
+    rows = {r.chapter_id: r for r in read_chapters_json(spark, str(p)).collect()}
+    assert set(rows) == {"newyork", "london", "ghost"}
+    assert rows["newyork"].adapter == "meetup" and rows["newyork"].organization is None
+    assert rows["london"].organization == "2417467656"
+    assert rows["ghost"].adapter is None  # lenient path access
+
+    wl = worklist(read_chapters_json(spark, str(p)))
+    assert ("london", "London", "eventbrite", "pwl-london", "2417467656") in wl
+
+    with pytest.raises(AnalysisException):
+        read_chapters_json(spark, str(tmp_path / "missing.json")).collect()
+
+
+def test_chapters_drive_dispatch(spark, tmp_path):
+    """End-to-end config->pipeline: a chapters file drives
+    dispatch_replay exactly like the inline fixture work-list."""
+    import json
+
+    from cuttlefish_spark.sources.chapters import read_chapters_json, worklist
+
+    doc = {"newyork": {"title": "New York",
+                       "dataService": {"adapter": "meetup", "id": "papers-we-love"}}}
+    p = tmp_path / "chapters.json"
+    p.write_text(json.dumps(doc))
+    out = dispatch_replay(spark, worklist(read_chapters_json(spark, str(p))))
+    assert out.filter("status = 'OK'").count() == 2  # the two meetup fixture events
