@@ -57,6 +57,17 @@ def main() -> None:
         specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
         timings[name] = round(time.perf_counter() - t0, 3)
 
+    # Reference-parity microbenchmark (BASELINE.md): the Layer-A
+    # normalize-and-account pipeline over `events`, reported as rows/s.
+    # The reference sustains ~5 keyed-groups/s network-bound
+    # (README.md:66-72 of the reference repo).
+    ev_rows = load_table(spark, sf_dir, "events").count()
+    t0 = time.perf_counter()
+    specs["keyed_output_counts"].fn(spark, sf_dir).write.format("noop").mode(
+        "overwrite"
+    ).save()
+    normalize_rps = round(ev_rows / (time.perf_counter() - t0), 1)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -66,6 +77,7 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "normalize_events_rows_per_sec": normalize_rps,
             }
         )
     )

@@ -75,3 +75,39 @@ def worklist(chapters: DataFrame) -> list[tuple]:
         (r.chapter_id, r.title, r.adapter, r.service_id, r.organization)
         for r in chapters.collect()
     ]
+
+
+def convert_chapters_yaml(spark: SparkSession, yaml_path: str,
+                          default_adapter: str = "meetup") -> DataFrame:
+    """YAML chapters -> canonical work-list frame, injecting the
+    default adapter where absent (A26 parity,
+    utils/convert-chapters-yaml.rkt:29-38). Driver-side yaml parse of a
+    config-sized file, then createDataFrame — same driver-residency
+    rationale as worklist()."""
+    import yaml  # baked into this container; config-sized input only
+
+    with open(yaml_path) as fh:
+        doc = yaml.safe_load(fh) or {}
+    rows = []
+    for chapter_id, payload in doc.items():
+        payload = payload or {}
+        svc = payload.get("dataService") or {}
+        rows.append(
+            {
+                "chapter_id": str(chapter_id),
+                "title": payload.get("title"),
+                "adapter": svc.get("adapter") or default_adapter,
+                "service_id": svc.get("id"),
+                "organization": svc.get("organization"),
+            }
+        )
+    schema = T.StructType(
+        [
+            T.StructField("chapter_id", T.StringType()),
+            T.StructField("title", T.StringType()),
+            T.StructField("adapter", T.StringType()),
+            T.StructField("service_id", T.StringType()),
+            T.StructField("organization", T.StringType()),
+        ]
+    )
+    return spark.createDataFrame(rows, schema)

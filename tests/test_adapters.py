@@ -163,3 +163,18 @@ def test_chapters_drive_dispatch(spark, tmp_path):
     p.write_text(json.dumps(doc))
     out = dispatch_replay(spark, worklist(read_chapters_json(spark, str(p))))
     assert out.filter("status = 'OK'").count() == 2  # the two meetup fixture events
+
+
+def test_convert_chapters_yaml(spark, tmp_path):
+    """A26 parity: YAML -> work-list rows with the default adapter
+    injected where absent."""
+    from cuttlefish_spark.sources.chapters import convert_chapters_yaml
+
+    p = tmp_path / "chapters.yml"
+    p.write_text(
+        "newyork:\n  title: New York\n  dataService:\n    id: papers-we-love\n"
+        "london:\n  title: London\n  dataService:\n    adapter: eventbrite\n    id: pwl\n"
+    )
+    rows = {r.chapter_id: r for r in convert_chapters_yaml(spark, str(p)).collect()}
+    assert rows["newyork"].adapter == "meetup"  # injected default
+    assert rows["london"].adapter == "eventbrite"
