@@ -69,3 +69,20 @@ def register_views(spark: SparkSession, sf_dir: str, tables: list[str] | None = 
     """Register temp views so the SQL front-end works (`spark.sql`)."""
     for name in tables or TABLES:
         load_table(spark, sf_dir, name).createOrReplaceTempView(name)
+
+
+def write_bucketed(df: DataFrame, name: str, path: str, key: str,
+                   buckets: int = 8, sort: bool = True) -> None:
+    """Persist a table hash-bucketed (and bucket-sorted) by `key`.
+
+    The 100 TB co-location play: two tables bucketed by the same key
+    into the same bucket count join WITHOUT an exchange — the shuffle
+    happened once at write time and is amortized over every subsequent
+    join. This is the engine's answer to repeated fact-to-fact joins
+    (l_orderkey = o_orderkey) where a broadcast is impossible and a
+    per-query shuffle of the larger side would dominate the runtime.
+    """
+    w = df.write.mode("overwrite").bucketBy(buckets, key)
+    if sort:
+        w = w.sortBy(key)
+    w.option("path", path).format("parquet").saveAsTable(name)
