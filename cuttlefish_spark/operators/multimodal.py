@@ -136,3 +136,66 @@ def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.encode(F.col("text"), "UTF-8").alias("payload"),
     )
     return with_payload.mapInPandas(_fake_decode, schema=_DECODE_SCHEMA)
+
+
+_FRAME_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("frame_idx", LongType()),
+        StructField("frame_bytes", LongType()),
+        StructField("frame_head", StringType()),
+    ]
+)
+
+_FRAME_SIZE = 256  # stub "frame" = fixed-size byte window
+_SAMPLE_EVERY = 4  # keep every 4th frame
+
+
+def _fake_frame_sample(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB frame sampler: real deployments replace the chunking with
+    ffmpeg/OpenCV keyframe extraction. The Spark-side contract is the
+    real shape — one input row fans out to N frame rows inside the
+    task (no shuffle), batch in/batch out via Arrow."""
+    for pdf in batches:
+        out: dict[str, list] = {"doc_id": [], "frame_idx": [], "frame_bytes": [],
+                                "frame_head": []}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            n_frames = (len(payload) + _FRAME_SIZE - 1) // _FRAME_SIZE
+            for i in range(0, n_frames, _SAMPLE_EVERY):
+                chunk = payload[i * _FRAME_SIZE : (i + 1) * _FRAME_SIZE]
+                out["doc_id"].append(doc_id)
+                out["frame_idx"].append(i)
+                out["frame_bytes"].append(len(chunk))
+                out["frame_head"].append(chunk[:2].hex())
+        yield pd.DataFrame(out)
+
+
+@query(
+    "multimodal_framesample",
+    layer="C",
+    oracle="""
+    WITH frames AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS n_bytes,
+               unnest(range(0, CAST(ceil(octet_length(encode(text)) / 256.0)
+                                    AS BIGINT), 4)) AS frame_idx
+        FROM documents
+    )
+    SELECT doc_id, frame_idx,
+           LEAST(CAST(256 AS BIGINT), n_bytes - frame_idx * 256) AS frame_bytes
+    FROM frames
+    """,
+)
+def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame sampling over an opaque binary column: every 4th
+    fixed-size window of the payload becomes a frame row (stub for
+    video keyframe extraction — the fan-out happens inside the task,
+    Arrow-batched, no shuffle). The oracle replays the chunk
+    arithmetic on byte lengths; frame_head is Python-only so the
+    checked projection stops at (doc_id, frame_idx, frame_bytes)."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    frames = with_payload.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
+    return frames.select("doc_id", "frame_idx", "frame_bytes")
