@@ -276,3 +276,91 @@ def doc_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_min(F.transform(sh, hash60)).alias("fp_min"),
         hash60(F.substring(norm_text, 1, 64)).alias("fp_prefix"),
     )
+
+
+@query(
+    "repetition_ratio",
+    layer="C",
+    oracle=r"""
+    WITH toks AS (
+        SELECT doc_id,
+               list_filter(regexp_split_to_array(trim(lower(text)), '\s+'),
+                           x -> x <> '') AS w
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id, array_to_string(w[i:i+2], '_') AS s
+        FROM (SELECT doc_id, w, unnest(range(1, len(w) - 1)) AS i FROM toks)
+    ),
+    counts AS (SELECT doc_id, s, COUNT(*) AS c FROM sh GROUP BY doc_id, s),
+    agg AS (SELECT doc_id, MAX(c) AS max_rep, CAST(SUM(c) AS BIGINT) AS n_shingles
+            FROM counts GROUP BY doc_id)
+    SELECT d.doc_id,
+           COALESCE(round(max_rep * 1.0 / n_shingles, 6), 0.0) AS rep_ratio,
+           COALESCE(max_rep, 0) AS max_rep,
+           COALESCE(n_shingles, 0) AS n_shingles
+    FROM documents d LEFT JOIN agg ON d.doc_id = agg.doc_id
+    """,
+)
+def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repetition detection (boilerplate / degenerate-generation
+    filter): the most frequent 3-word shingle's share of all shingles
+    per document. High ratio = templated or looping text — a standard
+    pretraining quality gate.
+
+    Scale path: explode shingles -> two keyed aggregations on doc_id
+    (shingle counts, then max/total) -> left join back so shingle-less
+    docs keep ratio 0. All shuffles are on the uniformly-distributed
+    doc_id."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = word_shingles(tokens("text"), 3, "_")
+    ex = d.select("doc_id", F.explode(sh).alias("s"))
+    counts = ex.groupBy("doc_id", "s").count()
+    agg = counts.groupBy("doc_id").agg(
+        F.max("count").alias("max_rep"), F.sum("count").alias("n_shingles")
+    )
+    return (
+        d.select("doc_id")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.coalesce(
+                F.round(F.col("max_rep") / F.col("n_shingles"), 6), F.lit(0.0)
+            ).alias("rep_ratio"),
+            F.coalesce(F.col("max_rep"), F.lit(0)).alias("max_rep"),
+            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
+        )
+    )
+
+
+@query(
+    "pattern_profile",
+    layer="C",
+    oracle=r"""
+    SELECT doc_id,
+           len(regexp_extract_all(text, '\d+')) AS n_number_runs,
+           len(regexp_extract_all(text, '[A-Z][a-z]+')) AS n_capitalized,
+           len(regexp_extract_all(text, '[.!?]')) AS n_sentence_marks,
+           len(regexp_extract_all(text, '[^\x00-\x7F]')) AS n_non_ascii
+    FROM documents
+    """,
+)
+def pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex feature profile per document (number runs, capitalized
+    words, sentence marks, non-ASCII chars) — the raw signals behind
+    PII scrubbing and language/quality heuristics in a training-data
+    pipeline. Pure narrow map: four vectorized regexp_extract_all
+    counts inside one codegen stage, RE2-compatible patterns so DuckDB
+    counts identically."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def n(pat: str) -> Column:
+        return F.size(F.regexp_extract_all(F.col("text"), F.lit(pat), F.lit(0)))
+
+    return d.select(
+        "doc_id",
+        n(r"\d+").cast("long").alias("n_number_runs"),
+        n(r"[A-Z][a-z]+").cast("long").alias("n_capitalized"),
+        n(r"[.!?]").cast("long").alias("n_sentence_marks"),
+        n(r"[^\x00-\x7F]").cast("long").alias("n_non_ascii"),
+    )
