@@ -18,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cuttlefish_spark.functions import dec_sum, tokens
+from cuttlefish_spark.functions import dec_sum, hash60, tokens
 from cuttlefish_spark.io import load_table, spread
 from cuttlefish_spark.registry import query
 
@@ -355,3 +355,87 @@ def sql_frontend_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(_Q3_SQL)
+
+
+@query(
+    "window_distribution",
+    layer="B",
+    oracle="""
+    SELECT event_id, event_type,
+           ntile(4) OVER w AS quartile,
+           round(percent_rank() OVER w, 6) AS pct_rank,
+           round(cume_dist() OVER w, 6) AS cume
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY value, event_id)
+    """,
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distribution window functions (ntile / percent_rank /
+    cume_dist) per event_type, ordered by value with event_id as the
+    deterministic tiebreak. One shuffle on event_type; all three
+    functions share the single sorted window pass."""
+    ev = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type").orderBy("value", "event_id")
+    return ev.select(
+        "event_id",
+        "event_type",
+        F.ntile(4).over(w).alias("quartile"),
+        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 6).alias("cume"),
+    )
+
+
+@query(
+    "outer_join_agg",
+    layer="B",
+    oracle="""
+    SELECT c.c_custkey, c.c_name,
+           COUNT(o.o_orderkey) AS n_orders,
+           CAST(COALESCE(SUM(CAST(o.o_totalprice AS DECIMAL(18,6))), 0)
+               AS DOUBLE) AS total_spend
+    FROM customer c
+    LEFT OUTER JOIN orders o ON o.o_custkey = c.c_custkey
+    GROUP BY c.c_custkey, c.c_name
+    """,
+)
+def outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Outer join with null-aware aggregation: every customer keeps a
+    row, order-less customers show 0 — COUNT(col) skips the nulls the
+    outer join manufactures. One shuffle (customer side broadcasts
+    under the threshold at small SF; at scale both sides shuffle on
+    custkey)."""
+    c = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return (
+        c.join(o, o.o_custkey == c.c_custkey, "left_outer")
+        .groupBy("c_custkey", "c_name")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.coalesce(
+                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), F.lit(0)
+            ).cast("double").alias("total_spend"),
+        )
+    )
+
+
+@query(
+    "hash_sample",
+    layer="B",
+    oracle="""
+    SELECT doc_id, lang, n_chars
+    FROM documents
+    WHERE CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 100 < 10
+    """,
+)
+def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic ~10% sample by key hash — the reproducible
+    sampling a training-data pipeline needs (rng-based df.sample gives
+    a different set per run/engine; hashing the key gives the SAME
+    sample everywhere, composes with incremental runs, and pushes the
+    scan down to a narrow filter). md5-window hash matches the DuckDB
+    oracle bit-for-bit (functions.hash60)."""
+    d = load_table(spark, sf_dir, "documents")
+    return d.filter(hash60(F.col("doc_id").cast("string")) % 100 < 10).select(
+        "doc_id", "lang", "n_chars"
+    )
