@@ -43,9 +43,13 @@ def main() -> None:
     from cuttlefish_spark.functions.markdown import markdown_to_html
 
     load_table(spark, sf_dir, "lineitem").count()
+    # Repartition to default parallelism so ONE worker per core spawns
+    # here — a single-partition warmup leaves the other ~31 Python
+    # workers to spawn inside the first timed UDF query (~100 ms each).
     (
         load_table(spark, sf_dir, "documents")
-        .limit(64)
+        .limit(256)
+        .repartition(spark.sparkContext.defaultParallelism)
         .select(markdown_to_html(F.col("text")).alias("h"),
                 F.size(F.split(F.col("text"), r"\s+")).alias("n"))
         .write.format("noop").mode("overwrite").save()

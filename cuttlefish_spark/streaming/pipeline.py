@@ -137,6 +137,50 @@ def dedup_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:
     )
 
 
+def interval_join_stream(events: DataFrame, watermark: str = "2 hours",
+                         horizon_minutes: int = 60) -> DataFrame:
+    """Stream-stream interval join: each purchase joined to the same
+    user's clicks from the preceding `horizon_minutes` — the streaming
+    twin of the batch as-of/range joins (operators.relational_ext.
+    asof_join, operators.scale.range_join_bucketed).
+
+    Both sides carry watermarks and the join predicate bounds the
+    event-time range, so Spark can size the state store and evict
+    matched/expired rows — the two requirements that make an unbounded
+    stream-stream join feasible at all. State is keyed by user_id;
+    shuffle is one exchange per side on the equi-key."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "inner",
+    ).select("p_user", "purchase_id", "purchase_ts", "purchase_value",
+             "click_id", "click_ts")
+
+
 def run_available_now(stream_df: DataFrame, query_name: str, mode: str = "complete"):
     """Drain all available input through the streaming plan into an
     in-memory sink and block until done (test/CI harness)."""

@@ -7,6 +7,7 @@ from __future__ import annotations
 import shutil
 
 import pytest
+from pyspark.sql import functions as F
 
 from cuttlefish_spark.registry import load_all
 from cuttlefish_spark.streaming.pipeline import (
@@ -83,3 +84,32 @@ def test_dedup_stream_first_seen(spark, sf_dir, tmp_path):
     got = spark.sql("SELECT count(*) n, count(DISTINCT event_id) d FROM dedup_mem").first()
     n_ids = load_table(spark, sf_dir, "events").select("event_id").distinct().count()
     assert got["n"] == got["d"] == n_ids
+
+
+def test_interval_join_stream_matches_batch(spark, sf_dir, stream_dir):
+    """Stream-stream interval join == the equivalent batch range join
+    on identical input (purchases x same-user clicks within 1h)."""
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.streaming.pipeline import interval_join_stream
+
+    stream = interval_join_stream(read_events_stream(spark, stream_dir))
+    run_available_now(stream, "ij_mem", mode="append")
+    got = spark.sql("SELECT * FROM ij_mem")
+
+    ev = load_table(spark, sf_dir, "events")
+    clicks = ev.filter("event_type = 'click'").selectExpr(
+        "user_id c_user", "ts click_ts", "event_id click_id"
+    )
+    purchases = ev.filter("event_type = 'purchase'").selectExpr(
+        "user_id p_user", "ts purchase_ts", "event_id purchase_id", "value purchase_value"
+    )
+    want = purchases.join(
+        clicks,
+        (purchases.p_user == clicks.c_user)
+        & (clicks.click_ts <= purchases.purchase_ts)
+        & (clicks.click_ts >= purchases.purchase_ts - F.expr("INTERVAL 60 MINUTES")),
+    )
+    assert got.count() == want.count() > 0
+    a = sorted(tuple(r) for r in got.select("purchase_id", "click_id").collect())
+    b = sorted(tuple(r) for r in want.select("purchase_id", "click_id").collect())
+    assert a == b
