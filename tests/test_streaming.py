@@ -113,3 +113,59 @@ def test_interval_join_stream_matches_batch(spark, sf_dir, stream_dir):
     a = sorted(tuple(r) for r in got.select("purchase_id", "click_id").collect())
     b = sorted(tuple(r) for r in want.select("purchase_id", "click_id").collect())
     assert a == b
+
+
+def test_watermark_drops_late_data(spark, tmp_path):
+    """Late-data semantics: in append mode a row older than the
+    watermark (event time < max_seen - delay) arriving in a later
+    micro-batch must NOT resurrect its already-finalized window."""
+    import time as _time
+
+    from pyspark.sql import Row
+
+    def write_batch(path, rows, mtime):
+        import glob
+        import os
+        import shutil
+
+        tmp = path + "_tmp"
+        spark.createDataFrame(
+            [Row(event_id=i, ts=ts, user_id=1, event_type="click",
+                 value=1.0, props="{}") for i, ts in rows],
+            "event_id long, ts long, user_id long, event_type string, "
+            "value double, props string",
+        ).repartition(1).write.mode("overwrite").parquet(tmp)
+        part = glob.glob(tmp + "/part-*.parquet")[0]
+        shutil.move(part, path)  # ONE plain file per batch
+        shutil.rmtree(tmp)
+        os.utime(path, (mtime, mtime))  # file source orders by mod time
+
+    base = 1_700_000_000_000_000_000  # ns epoch, matches file schema
+    hour = 3_600 * 1_000_000_000
+    d = tmp_path / "late_stream"
+    d.mkdir()
+    now = _time.time()
+    # batch 0: events at T and T+6h. Watermarks lag one batch: the wm
+    # *computed* from batch N's data (max - 2h) governs state eviction
+    # at the end of batch N+1 and input filtering in batch N+2.
+    write_batch(str(d / "b0.parquet"), [(1, base), (2, base + 6 * hour)], now - 120)
+    # batch 1: fresh event; at its end the T-hour window (end < T+4h
+    # watermark) is finalized and emitted with ONE event.
+    write_batch(str(d / "b1.parquet"), [(3, base + 6 * hour + 1)], now - 60)
+    # batch 2: a late duplicate back at T - below the active watermark,
+    # must be dropped, NOT re-emitted as a second T-hour row.
+    write_batch(str(d / "b2.parquet"), [(4, base), (5, base + 7 * hour)], now)
+
+    stream = tumbling_stream(
+        read_events_stream(spark, str(d), max_files_per_trigger=1),
+        watermark="2 hours",
+    )
+    run_available_now(stream, "late_mem", mode="append")
+    got = {
+        (r["hour_start"].isoformat(), r["n_events"])
+        for r in spark.sql("SELECT * FROM late_mem").collect()
+    }
+    # The T-hour window finalized with ONE event; the late duplicate
+    # (event_id=3) was dropped, not merged.
+    t_hour = [g for g in got if g[0].startswith("2023-11-14T22")]
+    assert t_hour == [("2023-11-14T22:00:00", 1)]  # one emit, late row dropped
