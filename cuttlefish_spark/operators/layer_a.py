@@ -251,3 +251,37 @@ def keyed_output_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("user_id").alias("n_users"),
         dec_sum(F.col("value"), alias="total_value"),
     )
+
+
+@query(
+    "nest_events_per_key",
+    layer="A",
+    oracle="""
+    SELECT user_id,
+           COUNT(*) AS n_events,
+           string_agg(CAST(event_id AS VARCHAR), ',' ORDER BY event_id)
+               AS event_ids_csv
+    FROM events
+    WHERE event_type = 'purchase'
+    GROUP BY user_id
+    """,
+)
+def nest_events_per_key(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Re-nesting at the output boundary: collect each key's events
+    back into one record — the reference keys its output map by id
+    before the JSON sink (A14, meetup.rkt:40-41; sink re-nest at
+    api-runner.rkt:39-52). collect_list is safe ONLY under an explicit
+    sort (sort_array) — unordered collect is partition-order-dependent
+    and would break result determinism at any scale; serialized as CSV
+    so the cross-engine comparison stays repr-independent. One shuffle
+    on user_id."""
+    ev = load_table(spark, sf_dir, "events").filter(F.col("event_type") == "purchase")
+    return ev.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.array_join(
+            F.transform(
+                F.sort_array(F.collect_list("event_id")), lambda x: x.cast("string")
+            ),
+            ",",
+        ).alias("event_ids_csv"),
+    )

@@ -69,3 +69,23 @@ def audit_counts(df: DataFrame, key_col: str = "chapter_id",
             ),
         )
     )
+
+
+def stream_to_keyed_json(stream_df: DataFrame, out_dir: str, checkpoint_dir: str,
+                         key_col: str = "chapter_id", id_col: str = "event_id"):
+    """Streaming twin of the reference's sink: every micro-batch lands
+    as per-key `{key}.json` files via foreachBatch (replace mode per
+    key — later batches overwrite a key's file exactly like
+    api-runner.rkt:50-51 replaces on re-run). The checkpoint makes the
+    sink restartable; write_keyed_json's atomic rename keeps readers
+    from seeing torn files. Returns the started query; caller awaits."""
+
+    def sink_batch(batch_df: DataFrame, batch_id: int) -> None:
+        write_keyed_json(batch_df, out_dir, key_col=key_col, id_col=id_col)
+
+    return (
+        stream_df.writeStream.foreachBatch(sink_batch)
+        .option("checkpointLocation", checkpoint_dir)
+        .trigger(availableNow=True)
+        .start()
+    )

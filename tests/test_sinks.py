@@ -39,3 +39,32 @@ def test_write_partitioned_json(spark, tmp_path):
     write_partitioned_json(df.select("chapter_id", "event_id", "time"), out)
     dirs = {d for d in os.listdir(out) if d.startswith("chapter_id=")}
     assert dirs == {"chapter_id=london", "chapter_id=newyork", "chapter_id=stlouis"}
+
+
+def test_stream_to_keyed_json(spark, sf_dir, tmp_path):
+    """Streaming pipeline -> per-key {key}.json files via foreachBatch:
+    the streaming twin of the reference's replace-mode sink."""
+    import json
+    import shutil
+
+    from cuttlefish_spark.sinks.json_sink import stream_to_keyed_json
+    from cuttlefish_spark.streaming.pipeline import read_events_stream
+
+    src = tmp_path / "src"
+    src.mkdir()
+    shutil.copy(f"{sf_dir}/events.parquet", src / "part-000.parquet")
+
+    stream = read_events_stream(spark, str(src)).selectExpr(
+        "event_type AS chapter_id", "event_id", "user_id", "value"
+    )
+    q = stream_to_keyed_json(
+        stream, str(tmp_path / "out"), str(tmp_path / "ckpt")
+    )
+    q.awaitTermination()
+
+    files = sorted(p.name for p in (tmp_path / "out").glob("*.json"))
+    assert files == ["click.json", "error.json", "purchase.json",
+                     "signup.json", "view.json"]
+    with open(tmp_path / "out" / "click.json") as fh:
+        clicks = json.load(fh)
+    assert len(clicks) > 0 and all("user_id" in v for v in clicks.values())
