@@ -68,3 +68,16 @@ def test_stream_to_keyed_json(spark, sf_dir, tmp_path):
     with open(tmp_path / "out" / "click.json") as fh:
         clicks = json.load(fh)
     assert len(clicks) > 0 and all("user_id" in v for v in clicks.values())
+
+
+def test_write_json_with_audit(spark, tmp_path):
+    """observe() audit: counters collected during the write job itself
+    (no second scan) match the data."""
+    from cuttlefish_spark.sinks.json_sink import write_json_with_audit
+    from cuttlefish_spark.sources.adapters import dispatch_replay
+
+    out = dispatch_replay(spark)
+    metrics = write_json_with_audit(out, str(tmp_path / "audited"))
+    assert metrics["n_rows"] == 8
+    assert metrics["n_ok"] == 7
+    assert metrics["n_error"] == 1
