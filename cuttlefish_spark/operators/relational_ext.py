@@ -439,3 +439,59 @@ def hash_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.filter(hash60(F.col("doc_id").cast("string")) % 100 < 10).select(
         "doc_id", "lang", "n_chars"
     )
+
+
+_CORR_SUBQ_SQL = """
+    SELECT c_custkey, c_name, c_acctbal
+    FROM customer c
+    WHERE CAST(c_acctbal AS DECIMAL(18,6))
+          * (SELECT COUNT(*) FROM customer c2
+             WHERE c2.c_nationkey = c.c_nationkey)
+          > (SELECT SUM(CAST(c3.c_acctbal AS DECIMAL(18,6))) FROM customer c3
+             WHERE c3.c_nationkey = c.c_nationkey)
+"""
+
+
+@query("correlated_subquery", layer="B", oracle=_CORR_SUBQ_SQL)
+def correlated_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated scalar subqueries (customers above their nation's
+    mean balance), decorrelated by Catalyst into aggregate + join —
+    run from the same SQL text as the oracle. The above-average
+    predicate is stated as balance*count > sum in exact DECIMAL so the
+    threshold can't flip on a last-ulp float difference between
+    engines (a divided AVG would)."""
+    from cuttlefish_spark.io import register_views
+
+    register_views(spark, sf_dir, ["customer"])
+    return spark.sql(_CORR_SUBQ_SQL)
+
+
+_DATE_SPINE_SQL = """
+    WITH RECURSIVE spine(d, dmax) AS (
+        SELECT CAST(date_trunc('day', MIN(ts)) AS TIMESTAMP),
+               CAST(date_trunc('day', MAX(ts)) AS TIMESTAMP)
+        FROM events
+        UNION ALL
+        SELECT d + INTERVAL 1 DAY, dmax FROM spine WHERE d < dmax
+    ),
+    daily AS (
+        SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day, COUNT(*) AS n
+        FROM events GROUP BY 1
+    )
+    SELECT s.d AS day, COALESCE(daily.n, 0) AS n_events
+    FROM spine s LEFT JOIN daily ON daily.day = s.d
+"""
+
+
+@query("recursive_date_spine", layer="B", oracle=_DATE_SPINE_SQL)
+def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled daily time series via a RECURSIVE CTE (Spark 4):
+    generate the calendar spine over the observed range, left-join the
+    daily counts so empty days surface as explicit zeros. The max
+    bound rides through the recursion (no subquery in the recursive
+    term); depth = day span, well under the recursion limit. Same SQL
+    text runs on both engines."""
+    from cuttlefish_spark.io import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_DATE_SPINE_SQL)
