@@ -274,3 +274,68 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.9)
     )
+
+
+@query(
+    "editdist_near_dup",
+    layer="C",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, lang, {_NORM_SQL} AS norm,
+               substr({_NORM_SQL}, 1, 32) AS blk
+        FROM documents
+    )
+    SELECT doc_id_a, doc_id_b, lang, edit_dist,
+           round(1.0 - edit_dist * 1.0 / max_len, 6) AS similarity
+    FROM (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.lang AS lang,
+               CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist,
+               greatest(length(a.norm), length(b.norm)) AS max_len
+        FROM n a JOIN n b
+          ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+    )
+    WHERE edit_dist <= 0.2 * max_len
+    """,
+)
+def editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance (Levenshtein) near-duplicate pairs — the
+    character-level fuzzy dedup that catches small in-place edits
+    (typo fixes, date bumps, template fills) which token-set Jaccard
+    and MinHash can miss or over-match.
+
+    Levenshtein is O(len^2) per pair, so the join MUST be blocked: the
+    block key here is (lang, first-32-chars of the whitespace-
+    normalized text) — near-identical docs share their prefix; docs
+    that differ early are not in-place edits. Only same-block pairs
+    (hundreds, not n^2/2) pay the DP cost. At 100 TB the block key is
+    a standard equi-join shuffle key and hot blocks (boilerplate
+    prefixes) split under AQE; production would widen recall by adding
+    a second pass blocked on a suffix or content-hash band, same plan
+    shape. Pairs keep if edit_dist <= 20% of the longer string.
+    Both engines run the identical unit-cost Levenshtein DP, so the
+    integer distances agree exactly.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    n = d.select(
+        "doc_id", "lang", norm.alias("norm"), F.substring(norm, 1, 32).alias("blk")
+    )
+    a = n.select("lang", "blk", F.col("doc_id").alias("doc_id_a"),
+                 F.col("norm").alias("norm_a"))
+    b = n.select("lang", "blk", F.col("doc_id").alias("doc_id_b"),
+                 F.col("norm").alias("norm_b"))
+    dist = F.levenshtein("norm_a", "norm_b").cast("long")
+    max_len = F.greatest(F.length("norm_a"), F.length("norm_b"))
+    return (
+        a.join(b, ["lang", "blk"])
+        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        .select(
+            "doc_id_a", "doc_id_b", "lang",
+            dist.alias("edit_dist"), max_len.alias("max_len"),
+        )
+        .filter(F.col("edit_dist") <= 0.2 * F.col("max_len"))
+        .select(
+            "doc_id_a", "doc_id_b", "lang", "edit_dist",
+            F.round(1.0 - F.col("edit_dist") / F.col("max_len"), 6).alias("similarity"),
+        )
+    )

@@ -495,3 +495,73 @@ def recursive_date_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_DATE_SPINE_SQL)
+
+
+_FIRST_LAST_SQL = """
+    SELECT event_id, user_id, event_type,
+           first_value(event_id) OVER w AS first_event,
+           last_value(event_id)  OVER w AS last_event,
+           nth_value(event_id, 2) OVER w AS second_event
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+"""
+
+
+@query("window_first_last", layer="B", oracle=_FIRST_LAST_SQL)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Navigation window functions (first_value / last_value /
+    nth_value) over the full-partition frame: every event annotated
+    with its user's first, last, and second event — session entry/exit
+    attribution. The frame must be explicit: last_value under the
+    default frame (UNBOUNDED PRECEDING..CURRENT ROW) degenerates to
+    the current row, the classic window-function trap. One shuffle on
+    user_id; ORDER BY ts with event_id tiebreak keeps the answer
+    deterministic. Same SQL text runs on both engines (the WINDOW
+    clause is shared syntax)."""
+    from cuttlefish_spark.io import register_views
+
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_FIRST_LAST_SQL)
+
+
+@query(
+    "unpivot_melt",
+    layer="B",
+    oracle="""
+    WITH m AS (
+        SELECT c_nationkey,
+               CAST(COUNT(*) AS DOUBLE) AS n_customers,
+               CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                   AS total_acctbal,
+               CAST(MAX(c_acctbal) AS DOUBLE) AS max_acctbal
+        FROM customer GROUP BY c_nationkey
+    )
+    SELECT c_nationkey, 'n_customers' AS metric, n_customers AS value FROM m
+    UNION ALL
+    SELECT c_nationkey, 'total_acctbal', total_acctbal FROM m
+    UNION ALL
+    SELECT c_nationkey, 'max_acctbal', max_acctbal FROM m
+    """,
+)
+def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unpivot (melt): per-nation wide metrics -> long (key, metric,
+    value) triples — the inverse of pivot_counts and the standard
+    shape for feeding metric stores / plotting layers. Spark's native
+    `unpivot` expands in-place with an Expand node (no shuffle beyond
+    the feeding aggregation, no join); the oracle states the same
+    semantics as a 3-way UNION ALL. Metrics are all cast DOUBLE — one
+    value column requires one type — with the money sum routed through
+    DECIMAL first for order-independence."""
+    c = load_table(spark, sf_dir, "customer")
+    wide = c.groupBy("c_nationkey").agg(
+        F.count(F.lit(1)).cast("double").alias("n_customers"),
+        dec_sum(F.col("c_acctbal"), alias="total_acctbal"),
+        F.max("c_acctbal").cast("double").alias("max_acctbal"),
+    )
+    return wide.unpivot(
+        ["c_nationkey"],
+        ["n_customers", "total_acctbal", "max_acctbal"],
+        "metric",
+        "value",
+    )

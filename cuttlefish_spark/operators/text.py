@@ -14,7 +14,7 @@ with zero shuffles.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
@@ -363,4 +363,163 @@ def pattern_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         n(r"[A-Z][a-z]+").cast("long").alias("n_capitalized"),
         n(r"[.!?]").cast("long").alias("n_sentence_marks"),
         n(r"[^\x00-\x7F]").cast("long").alias("n_non_ascii"),
+    )
+
+
+_W_SQL = r"""CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"""
+
+
+@query(
+    "tfidf_top_terms",
+    layer="C",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+    tf AS (
+        SELECT doc_id, term, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+        GROUP BY doc_id, term
+    ),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    nd AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.term, tf.tf, df.df,
+               round(tf.tf * ln(n_docs * 1.0 / df.df), 6) AS tfidf
+        FROM tf JOIN df ON tf.term = df.term CROSS JOIN nd
+    )
+    SELECT doc_id, term, tf, df, tfidf, rn FROM (
+        SELECT *, CAST(ROW_NUMBER() OVER (
+                   PARTITION BY doc_id ORDER BY tfidf DESC, term) AS BIGINT) AS rn
+        FROM scored
+    ) WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF: top-3 most characteristic terms per document — the
+    classic relevance / keyword-extraction signal, and the simplest
+    corpus-level statistic an LLM-data pipeline computes (vs the
+    per-row text ops above, this one genuinely needs global state).
+
+    Plan: one explode -> tf aggregation on (doc_id, term); the df
+    (document-frequency) side reuses the tf result with a second
+    aggregation on term only — vocabulary-sized, so its join back onto
+    tf is broadcast-able in production; the corpus doc count is a
+    1-row broadcast. Ranking happens on the ROUNDED score with the
+    term as tiebreak, so the top-3 cut is deterministic cross-engine
+    (a raw double rank could flip on a last-ulp ln() difference).
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    tf = ex.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = F.broadcast(d.agg(F.count(F.lit(1)).alias("n_docs")))
+    scored = (
+        tf.join(F.broadcast(dfreq), "term")
+        .crossJoin(n_docs)
+        .select(
+            "doc_id", "term", "tf", "df",
+            F.round(
+                F.col("tf") * F.log(F.col("n_docs") / F.col("df")), 6
+            ).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), "term")
+    return scored.withColumn("rn", F.row_number().over(w).cast("long")).filter(
+        F.col("rn") <= 3
+    )
+
+
+@query(
+    "vocab_topk",
+    layer="C",
+    oracle=f"""
+    WITH toks AS (SELECT doc_id, {_W_SQL} AS w FROM documents),
+    agg AS (
+        SELECT term, COUNT(*) AS n_occurrences, COUNT(DISTINCT doc_id) AS n_docs
+        FROM (SELECT doc_id, unnest(w) AS term FROM toks)
+        GROUP BY term
+    )
+    SELECT term, n_occurrences, n_docs, rnk FROM (
+        SELECT term, n_occurrences, n_docs,
+               CAST(ROW_NUMBER() OVER (ORDER BY n_occurrences DESC, term)
+                    AS BIGINT) AS rnk
+        FROM agg
+    ) WHERE rnk <= 50
+    """,
+)
+def vocab_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus vocabulary head: top-50 tokens by occurrence count with
+    document frequency — the Zipf-curve summary used for tokenizer
+    sanity checks and stopword discovery over a training corpus.
+
+    Plan: explode -> one aggregation on term (map-side partial combine
+    absorbs the heavy hitters, which is exactly where Zipf mass is) ->
+    TakeOrderedAndProject for the global top-50 (per-partition heaps,
+    no global sort). The rank column is attached AFTER the cut, so the
+    single-partition window only ever sees 50 rows — never the
+    vocabulary."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    ex = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("term"))
+    agg = ex.groupBy("term").agg(
+        F.count(F.lit(1)).alias("n_occurrences"),
+        F.countDistinct("doc_id").alias("n_docs"),
+    )
+    top = agg.orderBy(F.col("n_occurrences").desc(), "term").limit(50)
+    w = Window.orderBy(F.col("n_occurrences").desc(), "term")
+    return top.withColumn("rnk", F.row_number().over(w).cast("long"))
+
+
+_EMAIL_RE = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PHONE_RE = r"\+\d{1,2}-\d{3}-\d{4}"
+
+
+@query(
+    "pii_redact",
+    layer="C",
+    oracle=f"""
+    WITH aug AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.org call +1-555-'
+                    || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(t, '{_EMAIL_RE}')) AS BIGINT) AS n_emails,
+           CAST(len(regexp_extract_all(t, '{_PHONE_RE}')) AS BIGINT) AS n_phones,
+           md5(regexp_replace(regexp_replace(t, '{_EMAIL_RE}', '[EMAIL]', 'g'),
+                              '{_PHONE_RE}', '[PHONE]', 'g')) AS redacted_md5
+    FROM aug
+    """,
+)
+def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing: find-and-replace email and phone patterns with
+    typed placeholder tags, plus per-document match counts — the
+    standard redaction pass before text enters a training corpus.
+
+    The synthetic corpus contains no PII, so the query PLANTS a
+    deterministic contact string (derived from doc_id) and then proves
+    both engines find and redact it identically; on real data the
+    plant step disappears and the redaction pass is unchanged. Output
+    carries md5(redacted_text) so the oracle checks byte-exact
+    redaction without hauling full texts through the compare. Pure
+    narrow map (regexp_count + regexp_replace in one codegen stage,
+    zero shuffles at any scale); patterns are the same literal text in
+    both engines' regex dialects."""
+    d = load_table(spark, sf_dir, "documents")
+    aug = F.concat(
+        F.col("text"),
+        F.lit(" contact user"),
+        F.col("doc_id").cast("string"),
+        F.lit("@example.org call +1-555-"),
+        F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+    )
+    red = F.regexp_replace(
+        F.regexp_replace(aug, _EMAIL_RE, "[EMAIL]"), _PHONE_RE, "[PHONE]"
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_count(aug, F.lit(_EMAIL_RE)).cast("long").alias("n_emails"),
+        F.regexp_count(aug, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
+        F.md5(red).alias("redacted_md5"),
     )
