@@ -565,3 +565,132 @@ def unpivot_melt(spark: SparkSession, sf_dir: str) -> DataFrame:
         "metric",
         "value",
     )
+
+
+@query(
+    "string_agg_ordered",
+    layer="B",
+    oracle="""
+    WITH top3 AS (
+        SELECT c_nationkey, c_name, c_acctbal
+        FROM customer
+        QUALIFY row_number() OVER (PARTITION BY c_nationkey
+                                   ORDER BY c_acctbal DESC, c_name) <= 3
+    )
+    SELECT c_nationkey,
+           string_agg(c_name, ',' ORDER BY c_acctbal DESC, c_name) AS top_names,
+           CAST(COUNT(*) AS BIGINT) AS n_names
+    FROM top3 GROUP BY c_nationkey
+    """,
+)
+def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered string aggregation (LISTAGG): per nation, the names of
+    its top-3 customers by account balance, comma-joined in rank
+    order — the report-formatting aggregate every SQL dialect grows
+    eventually (LISTAGG / STRING_AGG / GROUP_CONCAT).
+
+    Spark (pre-4.0 LISTAGG) states it as collect_list of
+    (sort-key, name) structs -> array_sort -> transform -> array_join:
+    all inside one aggregation exchange, with the top-3 window cut
+    FIRST so each group carries at most 3 structs regardless of
+    nation size — the unbounded-group trap LISTAGG has at scale is
+    designed out before the collect. Sort key is (-acctbal, name) ==
+    the oracle's ORDER BY acctbal DESC, name."""
+    c = load_table(spark, sf_dir, "customer")
+    w = Window.partitionBy("c_nationkey").orderBy(
+        F.col("c_acctbal").desc(), "c_name"
+    )
+    top3 = c.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") <= 3)
+    pair = F.struct((-F.col("c_acctbal")).alias("neg_bal"), F.col("c_name"))
+    return top3.groupBy("c_nationkey").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["c_name"]),
+            ",",
+        ).alias("top_names"),
+        F.count(F.lit(1)).alias("n_names"),
+    )
+
+
+@query(
+    "conditional_agg",
+    layer="B",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) FILTER (WHERE o_totalprice > 200000) AS BIGINT)
+               AS n_large,
+           CAST(COUNT(DISTINCT o_custkey) FILTER (WHERE o_orderstatus = 'F')
+                AS BIGINT) AS n_finished_custs,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
+                    FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value,
+           round(COUNT(*) FILTER (WHERE o_totalprice > 200000) * 1.0
+                 / COUNT(*), 6) AS large_share
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Conditional (filtered) aggregation: several differently-
+    filtered measures of `orders` computed in ONE pass — counts,
+    a filtered distinct-count, a filtered decimal sum, and a derived
+    ratio. The SQL-standard FILTER clause; Spark states each measure
+    as agg(when(cond, x)) which Catalyst folds into the same single
+    HashAggregate.
+
+    One scan + one shuffle for five measures is the point: the naive
+    alternative (one query per measure, join at the end) scans and
+    shuffles 5x. count(when) counts non-null branches, identical to
+    COUNT(*) FILTER; the DECIMAL routing keeps the money sum
+    order-independent."""
+    o = load_table(spark, sf_dir, "orders")
+    large = F.when(F.col("o_totalprice") > 200000, 1)
+    return o.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.count(large).alias("n_large"),
+        F.countDistinct(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
+        ).alias("n_finished_custs"),
+        F.sum(
+            F.when(
+                F.col("o_orderstatus") == "O",
+                F.col("o_totalprice").cast("decimal(18,6)"),
+            )
+        )
+        .cast("double")
+        .alias("open_value"),
+        F.round(F.count(large) / F.count(F.lit(1)), 6).alias("large_share"),
+    )
+
+
+@query(
+    "histogram_bins",
+    layer="B",
+    oracle="""
+    SELECT CAST(floor(o_totalprice / 50000) AS BIGINT) AS bin,
+           CAST(floor(o_totalprice / 50000) * 50000 AS DOUBLE) AS bin_lo,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(o_totalprice) AS DOUBLE) AS min_price,
+           CAST(MAX(o_totalprice) AS DOUBLE) AS max_price
+    FROM orders GROUP BY 1, 2
+    """,
+)
+def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-width histogram: order totals bucketed into $50k bins
+    with per-bin count and exact min/max — the distribution profile a
+    query planner, a dashboard, or a data-quality check asks of any
+    numeric column.
+
+    A pure arithmetic bucket key (floor(x/width)) keeps this a single
+    map-side-combinable aggregation — no sort, no window, no
+    percentile state; at 100 TB the combiner reduces each partition to
+    at most n_bins rows before the (tiny) shuffle. min/max on doubles
+    are exact, so the oracle match is bitwise."""
+    o = load_table(spark, sf_dir, "orders")
+    bin_ = F.floor(F.col("o_totalprice") / 50000)
+    return o.groupBy(
+        bin_.cast("long").alias("bin"),
+        (bin_ * 50000).cast("double").alias("bin_lo"),
+    ).agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.min("o_totalprice").alias("min_price"),
+        F.max("o_totalprice").alias("max_price"),
+    )
