@@ -229,3 +229,88 @@ def hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "total_value",
         )
     )
+
+
+_TRANSITION_SQL = """
+    WITH ordered AS (
+        SELECT user_id, event_type,
+               lag(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type AS next_type,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           round(CAST(COUNT(*) AS DOUBLE)
+                 / CAST(SUM(COUNT(*)) OVER (PARTITION BY prev_type) AS DOUBLE),
+                 6) AS p_transition
+    FROM ordered
+    WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+"""
+
+
+@query("transition_matrix", layer="B", oracle=_TRANSITION_SQL)
+def transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over event types: for each
+    observed (prev -> next) pair, the transition count and row-
+    normalized probability. The sequence model behind next-action
+    prediction and anomaly scoring on clickstreams.
+
+    Composition: lag() shuffles once on user_id; the pair aggregation
+    combines map-side down to at most |types|^2 rows; the row
+    normalization is a window over the AGGREGATED (tiny) result, so
+    the second exchange moves kilobytes. Shared SQL text runs on both
+    engines; ties in ts are broken by event_id so lag() is
+    deterministic."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_TRANSITION_SQL)
+
+
+@query(
+    "time_weighted_avg",
+    layer="B",
+    oracle="""
+    WITH seg AS (
+        SELECT user_id, value,
+               epoch_ms(lead(ts) OVER (PARTITION BY user_id
+                                       ORDER BY ts, event_id))
+                 - epoch_ms(ts) AS dt_ms
+        FROM events
+    )
+    SELECT user_id,
+           round(CAST(SUM(CAST(value * dt_ms AS DECIMAL(38,6))) AS DOUBLE)
+                 / CAST(SUM(dt_ms) AS DOUBLE), 6) AS tw_avg_value,
+           CAST(SUM(dt_ms) AS BIGINT) AS observed_ms
+    FROM seg WHERE dt_ms IS NOT NULL
+    GROUP BY user_id
+    """,
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average of a sampled metric: each event's value
+    is held until the user's next event and weighted by that holding
+    duration — the correct mean for irregularly-sampled gauges
+    (sensor readings, account balances, queue depths), where the
+    arithmetic mean over-counts bursts.
+
+    lead() and the aggregation share the user_id partitioning (one
+    shuffle); weights are integer epoch-milliseconds so the weighted
+    sum routes through DECIMAL(38,6) — wide enough for value*dt at
+    week-long gaps — and stays order-independent. The final division
+    happens in DOUBLE on both engines from identical exact sums."""
+    ev = load_table(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    dt_ms = F.unix_millis(F.lead("ts").over(w)) - F.unix_millis(F.col("ts"))
+    seg = ev.select("user_id", "value", dt_ms.alias("dt_ms")).filter(
+        F.col("dt_ms").isNotNull()
+    )
+    return seg.groupBy("user_id").agg(
+        F.round(
+            F.sum((F.col("value") * F.col("dt_ms")).cast("decimal(38,6)"))
+            .cast("double")
+            / F.sum("dt_ms").cast("double"),
+            6,
+        ).alias("tw_avg_value"),
+        F.sum("dt_ms").alias("observed_ms"),
+    )

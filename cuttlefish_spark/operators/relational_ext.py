@@ -694,3 +694,41 @@ def histogram_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("o_totalprice").alias("min_price"),
         F.max("o_totalprice").alias("max_price"),
     )
+
+
+_STRATA_RATES = {"view": 50, "click": 100, "purchase": 500, "signup": 1000, "error": 0}
+
+
+@query(
+    "stratified_sample",
+    layer="B",
+    oracle="""
+    SELECT event_id, user_id, event_type
+    FROM events
+    WHERE CAST('0x' || substr(md5(CAST(event_id AS VARCHAR)), 1, 15) AS BIGINT)
+          % 1000 <
+          CASE event_type WHEN 'view' THEN 50 WHEN 'click' THEN 100
+                          WHEN 'purchase' THEN 500 WHEN 'signup' THEN 1000
+                          ELSE 0 END
+    """,
+)
+def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sampling: a different keep-rate per
+    event_type (views 5%, clicks 10%, purchases 50%, signups 100%,
+    errors dropped) — the class-rebalancing downsample a training
+    pipeline applies to skewed event logs. Hash-threshold per stratum
+    instead of rng (df.sampleBy) so the sample is REPRODUCIBLE across
+    runs and engines and composes with incremental ingestion: a row's
+    fate depends only on its key.
+
+    Pure narrow filter — no shuffle, no state; the per-stratum
+    threshold is a CASE lookup fused into the scan filter, and at
+    100 TB the md5 window (functions.hash60) is the only added cost
+    per row."""
+    ev = load_table(spark, sf_dir, "events")
+    threshold = F.lit(0)
+    for etype, rate in _STRATA_RATES.items():
+        threshold = F.when(F.col("event_type") == etype, rate).otherwise(threshold)
+    return ev.filter(
+        hash60(F.col("event_id").cast("string")) % 1000 < threshold
+    ).select("event_id", "user_id", "event_type")

@@ -297,3 +297,44 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("centroid"),
         F.count(F.lit(1)).alias("n_vectors"),
     )
+
+
+@query(
+    "embedding_array_stats",
+    layer="C",
+    oracle="""
+    WITH d AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS a FROM embeddings
+    )
+    SELECT vec_id, label,
+           CAST(len(a) AS BIGINT) AS n_dims,
+           round(sqrt(list_dot_product(a, a)), 6) AS l2_norm,
+           CAST(len(list_filter(a, x -> x > 0)) AS BIGINT) AS n_positive,
+           CAST(list_max(a) AS DOUBLE) AS max_val,
+           CAST(list_min(a) AS DOUBLE) AS min_val
+    FROM d
+    """,
+)
+def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector profile via array higher-order functions: dimension
+    count, L2 norm, positive-component count, min/max — the embedding
+    sanity screen (zero vectors, clipped activations, dimension drift)
+    run before vectors are trusted by dedup or ANN.
+
+    Everything is JVM-side higher-order algebra on array<double> —
+    size / aggregate-fold / filter / array_max — inside one codegen
+    stage with zero shuffles: the 100 TB cost is exactly one scan.
+    The norm reuses functions.dot (sequential fold == DuckDB's
+    list_dot_product evaluation order) and rounds to 6, the float
+    parity contract used across the similarity family."""
+    e = load_table(spark, sf_dir, "embeddings")
+    a = F.col("embedding").cast("array<double>")
+    return e.select(
+        "vec_id",
+        "label",
+        F.size(a).cast("long").alias("n_dims"),
+        F.round(F.sqrt(dot(a, a)), 6).alias("l2_norm"),
+        F.size(F.filter(a, lambda x: x > 0)).cast("long").alias("n_positive"),
+        F.array_max(a).alias("max_val"),
+        F.array_min(a).alias("min_val"),
+    )

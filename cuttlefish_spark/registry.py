@@ -31,6 +31,7 @@ _OPERATOR_MODULES = [
     "cuttlefish_spark.operators.relational",
     "cuttlefish_spark.operators.relational_ext",
     "cuttlefish_spark.operators.behavioral",
+    "cuttlefish_spark.operators.profiling",
     "cuttlefish_spark.operators.scale",
     "cuttlefish_spark.operators.text",
     "cuttlefish_spark.operators.dedup",

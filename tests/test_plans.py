@@ -89,3 +89,70 @@ def test_session_window_single_shuffle(spark, sf_dir):
     """Native session windows: one exchange on the session key."""
     df = SPECS["session_window_native"].fn(spark, sf_dir)
     assert checks.count_exchanges(df) == 1
+
+
+def test_scd2_single_exchange(spark, sf_dir):
+    """lag + running-sum + group-by + lead all cluster on user_id:
+    Catalyst must plan exactly ONE shuffle for the whole SCD2 build."""
+    df = SPECS["scd2_collapse"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 1
+
+
+def test_time_weighted_avg_single_exchange(spark, sf_dir):
+    """lead() and the per-user aggregation share the user_id
+    partitioning — one exchange."""
+    df = SPECS["time_weighted_avg"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 1
+
+
+def test_hopping_window_expand_no_extra_shuffle(spark, sf_dir):
+    """The 2x window assignment is an in-place Expand feeding ONE
+    aggregation exchange — never a join against a window table."""
+    df = SPECS["hopping_window"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "Expand" in plan
+    assert checks.count_exchanges(df) == 1
+
+
+def test_narrow_scans_stay_shuffle_free(spark, sf_dir):
+    """Pure per-row operators must not shuffle at all: their 100 TB
+    cost is exactly one scan."""
+    for name in ["stratified_sample", "pii_redact", "embedding_array_stats"]:
+        df = SPECS[name].fn(spark, sf_dir)
+        assert checks.count_exchanges(df) == 0, name
+
+
+def test_profile_table_single_scan(spark, sf_dir):
+    """However many columns are profiled, the table is scanned once
+    (multi-distinct goes through Expand, not repeated scans)."""
+    import re
+
+    df = SPECS["profile_table"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE)) == 1
+    assert "Expand" in plan
+
+
+def test_string_agg_single_exchange(spark, sf_dir):
+    """Top-3 cut + listagg share the nationkey/window partitioning;
+    the collect_list groups carry at most 3 structs."""
+    df = SPECS["string_agg_ordered"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 1
+
+
+def test_funnel_no_nested_loop(spark, sf_dir):
+    """The ordered-funnel chain must stay equi-join (hash/merge);
+    a BroadcastNestedLoopJoin would be the O(n*m) range-join trap."""
+    df = SPECS["funnel_steps"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert checks.count_exchanges(df) <= 6
+
+
+def test_histogram_bins_map_side_combine(spark, sf_dir):
+    """Arithmetic bucketing is a single partial-aggregated shuffle."""
+    df = SPECS["histogram_bins"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.count_exchanges(df) == 1
+    assert len([1 for line in plan.splitlines()
+                if line.startswith("(") and "HashAggregate" in line]) >= 2
