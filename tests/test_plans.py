@@ -122,15 +122,23 @@ def test_narrow_scans_stay_shuffle_free(spark, sf_dir):
         assert checks.count_exchanges(df) == 0, name
 
 
-def test_profile_table_single_scan(spark, sf_dir):
-    """However many columns are profiled, the table is scanned once
-    (multi-distinct goes through Expand, not repeated scans)."""
+def test_profile_table_columnar_branches(spark, sf_dir):
+    """One column-pruned scan per profiled column (same total bytes as
+    a single scan on columnar parquet), each branch a two-phase
+    HashAggregate — never the Expand/SortAggregate multi-distinct
+    plan that multiplies shuffle volume by the column count."""
     import re
 
     df = SPECS["profile_table"].fn(spark, sf_dir)
     plan = checks.formatted_plan(df)
-    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE)) == 1
-    assert "Expand" in plan
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, flags=re.MULTILINE)) == 5
+    assert "Expand" not in plan
+    assert "HashAggregate" in plan
+    # every scan projects exactly its one profiled column
+    for line in plan.splitlines():
+        if "ReadSchema" in line:
+            inner = line.split("struct<", 1)[-1].rsplit(">", 1)[0]
+            assert inner.count(":") == 1, line
 
 
 def test_string_agg_single_exchange(spark, sf_dir):
