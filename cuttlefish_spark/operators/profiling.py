@@ -77,3 +77,57 @@ def profile_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+_FK_EDGES = [
+    ("orders.o_custkey -> customer.c_custkey", "orders", "o_custkey", "customer", "c_custkey"),
+    ("lineitem.l_orderkey -> orders.o_orderkey", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem.l_partkey -> part.p_partkey", "lineitem", "l_partkey", "part", "p_partkey"),
+]
+
+
+def _fk_oracle(label: str, child: str, fk: str, parent: str, pk: str) -> str:
+    return f"""
+    SELECT '{label}' AS fk_edge,
+           CAST(COUNT(*) AS BIGINT) AS n_child_rows,
+           CAST(COUNT(*) FILTER (WHERE p.{pk} IS NULL) AS BIGINT) AS n_orphans
+    FROM {child} c LEFT JOIN (SELECT DISTINCT {pk} FROM {parent}) p
+      ON c.{fk} = p.{pk}
+    """
+
+
+@query(
+    "fk_integrity_audit",
+    layer="B",
+    oracle=" UNION ALL ".join(_fk_oracle(*e) for e in _FK_EDGES),
+)
+def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Referential-integrity audit: for each declared FK edge, the
+    child row count and the number of orphans (child keys with no
+    parent) — the join-safety precondition every pipeline should
+    assert before trusting inner joins, since an orphaned FK silently
+    DROPS rows from an inner join.
+
+    Each edge is a left join against the DISTINCT parent keys: the
+    parent side collapses to its key column (broadcast-sized for dims
+    even at 100 TB — customer keys, not customer rows), and the audit
+    aggregate is a 1-row-per-edge union. Orphan counting via
+    IS NULL on the parent key after the left join keeps the whole
+    check one equi-join per edge, no subquery-per-row."""
+    from functools import reduce
+
+    parts = []
+    for label, child, fk, parent, pk in _FK_EDGES:
+        c = load_table(spark, sf_dir, child).select(F.col(fk).alias("fk_val"))
+        p = load_table(spark, sf_dir, parent).select(
+            F.col(pk).alias("pk_val")
+        ).distinct()
+        joined = c.join(F.broadcast(p), c.fk_val == p.pk_val, "left")
+        parts.append(
+            joined.agg(
+                F.lit(label).alias("fk_edge"),
+                F.count(F.lit(1)).alias("n_child_rows"),
+                F.count(F.when(F.col("pk_val").isNull(), 1)).alias("n_orphans"),
+            )
+        )
+    return reduce(lambda a, b: a.unionAll(b), parts)

@@ -732,3 +732,159 @@ def stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.filter(
         hash60(F.col("event_id").cast("string")) % 1000 < threshold
     ).select("event_id", "user_id", "event_type")
+
+
+@query(
+    "cdc_merge",
+    layer="B",
+    oracle="""
+    WITH base AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'U' AS op, 1 AS seq
+        FROM orders
+    ),
+    updates AS (
+        SELECT o_orderkey, o_orderstatus,
+               o_totalprice + 1000.0 AS o_totalprice, 'U' AS op, 2 AS seq
+        FROM orders WHERE o_orderkey % 3 = 0
+    ),
+    deletes AS (
+        SELECT o_orderkey, o_orderstatus, o_totalprice, 'D' AS op, 3 AS seq
+        FROM orders WHERE o_orderkey % 97 = 0
+    ),
+    log AS (
+        SELECT * FROM base UNION ALL SELECT * FROM updates
+        UNION ALL SELECT * FROM deletes
+    )
+    SELECT o_orderkey, o_orderstatus,
+           CAST(o_totalprice AS DOUBLE) AS o_totalprice
+    FROM (
+        SELECT *, row_number() OVER (PARTITION BY o_orderkey
+                                     ORDER BY seq DESC) AS rn
+        FROM log
+    )
+    WHERE rn = 1 AND op <> 'D'
+    """,
+)
+def cdc_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CDC merge (MERGE INTO semantics on plain parquet): apply a
+    change log of upserts and deletes onto a base snapshot and emit
+    the new snapshot — latest change per key wins, tombstones drop the
+    key. The core lakehouse compaction every warehouse-less pipeline
+    reimplements. The change feed here is synthesized
+    deterministically from `orders` (every 3rd key gets a price-bumped
+    update — an exact +1000.0 so both engines produce the identical
+    IEEE double, no rounding step — every 97th a delete) so the query is self-contained.
+
+    Plan shape: union-all of the three legs is shuffle-free; ONE
+    window shuffle on the merge key resolves winners (row_number over
+    seq DESC), and the tombstone filter rides the same stage. At
+    100 TB this is the standard approach when the change feed is a
+    meaningful fraction of the base; for small feeds, production
+    narrows the rewrite to affected partitions first (partition-pruned
+    anti-join + append) — same winner-resolution kernel."""
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    base = o.select(
+        "*", F.lit("U").alias("op"), F.lit(1).alias("seq")
+    )
+    updates = (
+        o.filter(F.col("o_orderkey") % 3 == 0)
+        .withColumn("o_totalprice", F.col("o_totalprice") + 1000.0)
+        .select("*", F.lit("U").alias("op"), F.lit(2).alias("seq"))
+    )
+    deletes = o.filter(F.col("o_orderkey") % 97 == 0).select(
+        "*", F.lit("D").alias("op"), F.lit(3).alias("seq")
+    )
+    log = base.unionAll(updates).unionAll(deletes)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("seq").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .filter((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+    )
+
+
+@query(
+    "datetime_functions",
+    layer="B",
+    oracle="""
+    SELECT event_id,
+           CAST(date_part('year', ts) AS BIGINT) AS y,
+           CAST(date_part('quarter', ts) AS BIGINT) AS q,
+           CAST(date_part('month', ts) AS BIGINT) AS mo,
+           CAST(date_part('day', ts) AS BIGINT) AS d,
+           CAST(date_part('hour', ts) AS BIGINT) AS h,
+           CAST(date_part('isodow', ts) - 1 AS BIGINT) AS wd,
+           CAST(date_part('doy', ts) AS BIGINT) AS doy,
+           CAST(ts + INTERVAL '7 days' AS TIMESTAMP) AS ts_plus_7d,
+           CAST(date_trunc('quarter', ts) AS TIMESTAMP) AS quarter_start,
+           CAST(floor(epoch(ts)) AS BIGINT) AS epoch_s
+    FROM events
+    """,
+)
+def datetime_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Datetime function library surface: calendar field extraction
+    (year/quarter/month/day/hour, ISO weekday, day-of-year), interval
+    arithmetic, quarter truncation, and epoch seconds — the timestamp
+    toolbox the reference needed three bespoke Racket converters for
+    (SURVEY.md A15-A17), shown here as one narrow codegen'd
+    projection, zero shuffles. Weekday is pinned to the ISO Monday=0
+    convention on both engines (Spark weekday() == DuckDB isodow-1;
+    Spark's dayofweek() is Sunday=1 and deliberately avoided)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.year("ts").cast("long").alias("y"),
+        F.quarter("ts").cast("long").alias("q"),
+        F.month("ts").cast("long").alias("mo"),
+        F.dayofmonth("ts").cast("long").alias("d"),
+        F.hour("ts").cast("long").alias("h"),
+        F.weekday("ts").cast("long").alias("wd"),
+        F.dayofyear("ts").cast("long").alias("doy"),
+        (F.col("ts") + F.expr("INTERVAL 7 DAYS")).alias("ts_plus_7d"),
+        F.date_trunc("quarter", F.col("ts")).alias("quarter_start"),
+        F.unix_timestamp("ts").alias("epoch_s"),
+    )
+
+
+@query(
+    "string_functions",
+    layer="B",
+    oracle="""
+    SELECT c_custkey,
+           upper(c_name) AS name_upper,
+           reverse(c_name) AS name_rev,
+           split_part(c_name, '#', 2) AS name_num,
+           lpad(CAST(c_custkey AS VARCHAR), 10, '0') AS key_padded,
+           replace(c_mktsegment, 'AUTO', 'CAR') AS seg_replaced,
+           CAST(length(c_name) AS BIGINT) AS name_len,
+           CAST(strpos(c_name, '#') AS BIGINT) AS hash_pos,
+           substr(c_mktsegment, 1, 3) AS seg3,
+           concat_ws('|', c_mktsegment, c_name) AS joined
+    FROM customer
+    """,
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """String function library surface: case mapping, reverse,
+    split_part, padding, replace, length, substring search (1-based,
+    0 = absent on both engines), slicing, and delimiter-joined
+    concat — one narrow whole-stage-codegen projection, zero
+    shuffles. Every function here is shared semantics between Spark
+    and DuckDB under identical names or documented aliases
+    (strpos == instr/locate)."""
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.reverse(F.col("c_name")).alias("name_rev"),
+        F.split_part(F.col("c_name"), F.lit("#"), F.lit(2)).alias("name_num"),
+        F.lpad(F.col("c_custkey").cast("string"), 10, "0").alias("key_padded"),
+        F.replace(F.col("c_mktsegment"), F.lit("AUTO"), F.lit("CAR")).alias(
+            "seg_replaced"
+        ),
+        F.length("c_name").cast("long").alias("name_len"),
+        F.instr(F.col("c_name"), "#").cast("long").alias("hash_pos"),
+        F.substring("c_mktsegment", 1, 3).alias("seg3"),
+        F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
+    )

@@ -198,3 +198,60 @@ def session_window_native(spark: SparkSession, sf_dir: str) -> DataFrame:
             "sum_value",
         )
     )
+
+
+N_JOIN_SALTS = 8
+
+
+@query(
+    "skew_salted_join",
+    layer="B",
+    oracle="""
+    WITH dim AS (
+        SELECT event_type, COUNT(*) AS type_total
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(d.type_total) AS BIGINT) AS type_total,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM events e JOIN dim d ON e.event_type = d.event_type
+    GROUP BY e.event_type
+    """,
+)
+def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted skew join: the fact side joins a per-type dimension on
+    event_type — a 5-value key, the canonical pathological join key
+    (every row of a type lands on ONE reducer in a plain shuffle
+    join). The salt fix, stated explicitly: the fact side adds
+    salt = hash(row) % N, the dim side explodes N replicas, and the
+    join runs on (key, salt) — fan-in per task drops N-fold, by
+    construction rather than by AQE heuristic. The final re-aggregate
+    on the bare key is over |keys| x N partial rows, i.e. nothing.
+
+    (With a truly dim-sized right side a broadcast join sidesteps
+    skew entirely — the salt pattern is for when BOTH sides are too
+    big to broadcast; the dim here stands in for that case, and the
+    broadcast-join variant is pinned separately by broadcast_join.)
+    Results are identical to the unsalted join, which is what the
+    oracle states."""
+    ev = load_table(spark, sf_dir, "events")
+    dim = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("type_total"))
+    salted_fact = ev.select(
+        "event_type",
+        "value",
+        (F.pmod(F.xxhash64("event_id"), F.lit(N_JOIN_SALTS))).alias("salt"),
+    )
+    salted_dim = dim.select(
+        "event_type",
+        "type_total",
+        F.explode(F.array(*[F.lit(i) for i in range(N_JOIN_SALTS)])).alias("salt"),
+    )
+    joined = salted_fact.hint("shuffle_hash").join(
+        salted_dim, ["event_type", "salt"]
+    )
+    return joined.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.max("type_total").alias("type_total"),
+        dec_sum(F.col("value"), alias="sum_value"),
+    )

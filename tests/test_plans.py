@@ -164,3 +164,33 @@ def test_histogram_bins_map_side_combine(spark, sf_dir):
     assert checks.count_exchanges(df) == 1
     assert len([1 for line in plan.splitlines()
                 if line.startswith("(") and "HashAggregate" in line]) >= 2
+
+
+def test_cdc_merge_single_exchange(spark, sf_dir):
+    """Union legs are shuffle-free; ONE window shuffle on the merge
+    key resolves winners and drops tombstones."""
+    df = SPECS["cdc_merge"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "Union" in plan
+    assert checks.count_exchanges(df) == 1
+
+
+def test_skew_salted_join_shape(spark, sf_dir):
+    """The salted join must run as a (key, salt) hash join — never a
+    broadcast (the pattern exists for the both-sides-too-big case) —
+    and the salt must not add exchanges beyond fact, dim-agg,
+    dim-replicate, final re-aggregate."""
+    df = SPECS["skew_salted_join"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "ShuffledHashJoin" in plan or "SortMergeJoin" in plan
+    assert "BroadcastHashJoin" not in plan
+    assert checks.count_exchanges(df) <= 4
+
+
+def test_fk_audit_broadcasts_parent_keys(spark, sf_dir):
+    """Every FK edge joins against broadcast DISTINCT parent keys —
+    the child side never shuffles for the join itself."""
+    df = SPECS["fk_integrity_audit"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert checks.has_broadcast_join(df)
+    assert "SortMergeJoin" not in plan
