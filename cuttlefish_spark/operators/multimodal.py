@@ -199,3 +199,75 @@ def multimodal_framesample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     frames = with_payload.mapInPandas(_fake_frame_sample, schema=_FRAME_SCHEMA)
     return frames.select("doc_id", "frame_idx", "frame_bytes")
+
+
+N_AUDIO_SAMPLES = 256
+AUDIO_CHUNK = 64
+
+
+@query(
+    "multimodal_audio_features",
+    layer="C",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id, i,
+               (doc_id * 31 + i * 17) % 1000 - 500 AS k
+        FROM documents, (SELECT unnest(range(0, {N_AUDIO_SAMPLES})) AS i)
+    ),
+    c AS (
+        SELECT doc_id, CAST(i // {AUDIO_CHUNK} AS BIGINT) AS chunk, i, k,
+               lag(k) OVER (PARTITION BY doc_id, i // {AUDIO_CHUNK}
+                            ORDER BY i) AS pk
+        FROM s
+    )
+    SELECT doc_id, chunk,
+           round(sqrt(SUM(k * k) / (250000.0 * {AUDIO_CHUNK})), 6) AS rms,
+           CAST(COUNT(*) FILTER (WHERE pk IS NOT NULL
+                                 AND (k >= 0) <> (pk >= 0)) AS BIGINT)
+               AS n_zero_crossings
+    FROM c GROUP BY doc_id, chunk
+    """,
+)
+def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio feature extraction over an opaque payload: decode PCM,
+    window into fixed chunks, emit per-chunk RMS energy and
+    zero-crossing counts — the torchaudio/librosa front of a speech
+    pipeline. The DECODE is a deterministic fake (the container has no
+    audio libs): "samples" are an integer stream derived from doc_id
+    ((doc_id*31 + i*17) % 1000 - 500, scaled to [-1, 1)), standing in
+    for the codec exactly like multimodal_decode's pixel stub.
+
+    Spark-side shape is the real production contract: Arrow-batched
+    mapInPandas, one numpy reshape (n_chunks x chunk_len) per document,
+    vectorized energy/crossing math, typed long/double output schema —
+    zero shuffles, so 100 TB of audio costs one scan plus CPU. The
+    exactness trick making a *signal-processing* op oracle-checkable:
+    the RMS numerator stays an exact INTEGER sum of squares on both
+    engines; only the final divide + sqrt run in floating point
+    (identical single IEEE ops), then round(6)."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def _features(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        idx = np.arange(N_AUDIO_SAMPLES, dtype=np.int64)
+        n_chunks = N_AUDIO_SAMPLES // AUDIO_CHUNK
+        denom = 250000.0 * AUDIO_CHUNK
+        for pdf in batches:
+            out = {"doc_id": [], "chunk": [], "rms": [], "n_zero_crossings": []}
+            for doc_id in pdf["doc_id"]:
+                k = ((doc_id * 31 + idx * 17) % 1000 - 500).reshape(
+                    n_chunks, AUDIO_CHUNK
+                )
+                sum_k2 = (k * k).sum(axis=1)  # exact integer
+                rms = np.round(np.sqrt(sum_k2 / denom), 6)
+                nonneg = k >= 0
+                zcr = (nonneg[:, 1:] != nonneg[:, :-1]).sum(axis=1)
+                out["doc_id"].extend([doc_id] * n_chunks)
+                out["chunk"].extend(range(n_chunks))
+                out["rms"].extend(rms)
+                out["n_zero_crossings"].extend(zcr)
+            yield pd.DataFrame(out)
+
+    return d.select("doc_id").mapInPandas(
+        _features,
+        schema="doc_id bigint, chunk bigint, rms double, n_zero_crossings bigint",
+    )
