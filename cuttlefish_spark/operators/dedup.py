@@ -276,6 +276,159 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_CLUSTER_EDGE_SQL = r"""
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM (SELECT doc_id, source,
+                     list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM documents) a
+        JOIN (SELECT doc_id, source,
+                     list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+              FROM documents) b
+          ON a.source = b.source AND a.doc_id < b.doc_id
+         AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
+                 / len(list_distinct(a.w || b.w)) >= 0.7
+"""
+
+
+@query(
+    "dedup_clusters",
+    layer="C",
+    oracle=f"""
+    WITH RECURSIVE e AS ({_CLUSTER_EDGE_SQL}),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM e
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM e
+    ),
+    r AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT s.b AS node, r.lbl FROM r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (min(lbl) = node) AS is_canonical
+    FROM r GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-duplicate edges -> dedup clusters
+    and a canonical keep-list. Pair-producing dedup ops
+    (minhash_shingles, simhash_dedup, ngram_jaccard, editdist_near_dup)
+    emit EDGES; a real corpus dedup needs the transitive closure —
+    similarity is not transitive, so A~B and B~C must collapse into one
+    cluster even when A~C fails the threshold. Every doc gets
+    cluster_id = min doc_id of its component (singletons keep their
+    own id); `is_canonical` marks the one row per cluster a training
+    pipeline keeps.
+
+    Edges are token-set Jaccard >= 0.7 blocked by source (the
+    ngram_jaccard plan at a recall-oriented threshold), with a
+    length-ratio prefilter ahead of the O(|A|+|B|) intersect: J >= 0.7
+    forces 0.7 <= |A|/|B| <= 1/0.7, and the conjunct short-circuits
+    inside codegen, so mismatched-size pairs never pay the set math.
+
+    The closure runs as star contraction + tiny-graph iteration:
+    round 0 maps every node to min(self, min neighbor) in ONE
+    groupBy(node).min() over the edges (each label0 class is a star —
+    connected by construction), then the edge set is CONTRACTED to
+    distinct (label0(a), label0(b)) pairs — near-dup graphs are
+    clique-heavy, so this collapses orders of magnitude (510k edges ->
+    hundreds at sf0.1). Min-label propagation then iterates to fixpoint
+    on the contracted graph only (sum-of-labels is monotonically
+    non-increasing; unchanged sum = fixpoint), and a final join maps
+    doc -> star -> component. Full-size data is touched by exactly
+    three shuffles (edge join, star agg, label map-back); the
+    O(diameter) iterations run on the contracted remnant. At 100 TB you
+    repeat the contraction per round (large-star/small-star) and
+    checkpoint every few rounds to truncate lineage — same plan shape.
+    The DuckDB oracle runs the identical closure as a recursive CTE.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    t = d.select(
+        "doc_id", "source", F.array_distinct(tokens(F.col("text"))).alias("w")
+    )
+    a = t.select("source", F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
+    b = t.select("source", F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
+    na, nb = F.size("w_a"), F.size("w_b")
+    jaccard = F.size(F.array_intersect("w_a", "w_b")).cast("double") / F.size(
+        F.array_union("w_a", "w_b")
+    )
+    e = (
+        a.join(b, "source")
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & (na * 10 >= nb * 7)
+            & (nb * 10 >= na * 7)
+            & (jaccard >= 0.7)
+        )
+        .select("doc_a", "doc_b")
+        .persist()
+    )
+    sym = e.unionByName(
+        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    # Round 0: star contraction. label0(v) = min(v, min neighbor(v));
+    # singletons (no edges) keep their own id via the left join.
+    mins = sym.groupBy(F.col("doc_a").alias("node")).agg(
+        F.min("doc_b").alias("mn")
+    )
+    # localCheckpoint (not persist): the loop below builds plans on top
+    # of these frames every round; checkpointing truncates the logical
+    # plan so lineage — and plan-string size — stays O(1) per round
+    # instead of compounding the full Jaccard-join subtree each time.
+    lbl0 = (
+        d.select(F.col("doc_id").alias("node"))
+        .join(mins, "node", "left")
+        .select("node", F.least("node", F.coalesce("mn", "node")).alias("lbl"))
+        .localCheckpoint()
+    )
+    la = lbl0.select(F.col("node").alias("doc_a"), F.col("lbl").alias("ca"))
+    lb = lbl0.select(F.col("node").alias("doc_b"), F.col("lbl").alias("cb"))
+    contracted = (
+        e.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+        .distinct()
+    )
+    csym = contracted.unionByName(
+        contracted.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = csym.select(F.col("doc_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(30):
+        if prev_sum is None:  # contracted graph empty: stars ARE the components
+            break
+        prop = csym.join(labels, csym.doc_a == labels.node).select(
+            F.col("doc_b").alias("node"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:  # pragma: no cover - 30 rounds >> any sf's contracted diameter
+        raise RuntimeError("connected components did not converge in 30 rounds")
+    e.unpersist()
+    # Map back: doc -> its star's component label (stars not in the
+    # contracted graph are whole components already).
+    cc = labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("root"))
+    out = lbl0.join(cc, "lbl", "left").select(
+        F.col("node").alias("doc_id"),
+        F.coalesce("root", "lbl").alias("cluster_id"),
+    )
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 @query(
     "editdist_near_dup",
     layer="C",
