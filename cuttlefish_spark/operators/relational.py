@@ -252,14 +252,30 @@ def distinct_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query("distinct_approx", layer="B", oracle=None)
+@query(
+    "distinct_approx",
+    layer="B",
+    oracle="""
+    SELECT CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts_exact,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders_exact,
+           TRUE AS parts_err_lt_10pct,
+           TRUE AS orders_err_lt_10pct
+    FROM lineitem
+    """,
+)
 def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
     """HyperLogLog++ approx count-distinct next to the exact values.
 
-    Rows-only check (DuckDB's approx_distinct uses a different sketch,
-    so values can't hash-match). At 100 TB the approx path is the one
-    you actually run: one pass, no expand, fixed-size sketch per
-    partition merged on the driver side of one shuffle.
+    DuckDB's approx_distinct uses a different sketch, so the raw
+    estimates can't hash-match — instead the ERROR BOUND is the checked
+    contract (the property that makes a sketch usable): the estimate
+    must land within 10% (2x the default 5% rsd) of the exact count,
+    emitted as a boolean the oracle states as TRUE. Spark's HLL++ is
+    deterministic for a given column, so the boolean is stable, and a
+    broken sketch (or a tolerance regression) flips it and fails the
+    hash. At 100 TB the approx path is the one you actually run: one
+    pass, no expand, fixed-size sketch per partition merged through
+    one shuffle.
     """
     li = load_table(spark, sf_dir, "lineitem")
     # Exact and approx are computed in SEPARATE aggregates joined on a
@@ -276,7 +292,15 @@ def distinct_approx(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_partkey").alias("n_parts_approx"),
         F.approx_count_distinct("l_orderkey").alias("n_orders_approx"),
     )
-    return exact.crossJoin(approx)
+    err = lambda a, x: (  # noqa: E731
+        F.abs(F.col(a) - F.col(x)) * 10 < F.col(x)
+    )
+    return exact.crossJoin(approx).select(
+        "n_parts_exact",
+        "n_orders_exact",
+        err("n_parts_approx", "n_parts_exact").alias("parts_err_lt_10pct"),
+        err("n_orders_approx", "n_orders_exact").alias("orders_err_lt_10pct"),
+    )
 
 
 @query(

@@ -260,6 +260,117 @@ def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SKETCH_PS = [0.25, 0.5, 0.9]
+
+
+@query(
+    "percentile_sketch",
+    layer="B",
+    oracle=f"""
+    WITH q AS (
+        SELECT quantile_cont(o_totalprice,
+                             {_SKETCH_PS}) AS ex
+        FROM orders
+    )
+    SELECT CAST(0.25 AS DOUBLE) AS p, round(ex[1], 6) AS exact_value,
+           TRUE AS within_bracket FROM q
+    UNION ALL
+    SELECT CAST(0.5 AS DOUBLE), round(ex[2], 6), TRUE FROM q
+    UNION ALL
+    SELECT CAST(0.9 AS DOUBLE), round(ex[3], 6), TRUE FROM q
+    """,
+)
+def percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna sketch) next to the exact
+    percentiles, checked as a PROPERTY: each estimate must land inside
+    the exact [p-0.01, p+0.01] rank bracket — the bound that makes a
+    one-pass mergeable sketch substitutable for the exact sort. The
+    oracle states the booleans as TRUE plus the exact values; a sketch
+    regression flips a boolean and fails the hash (same pattern as
+    distinct_approx).
+
+    At 100 TB the sketch path is the only viable one: fixed-size
+    per-partition summaries merged through one shuffle, vs exact
+    percentile materializing every group's value set. Accuracy 10000
+    bounds rank error at n/10000, well inside the +-1pp bracket.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    brackets = [round(q, 2) for p in _SKETCH_PS for q in (p - 0.01, p, p + 0.01)]
+    agg = o.agg(
+        F.percentile_approx(
+            "o_totalprice", [float(p) for p in _SKETCH_PS], 10000
+        ).alias("ap"),
+        F.expr(
+            f"percentile(o_totalprice, array({', '.join(map(str, brackets))}))"
+        ).alias("ex"),
+    )
+    rows = []
+    for i, p in enumerate(_SKETCH_PS):
+        ap = F.col("ap")[i]
+        lo, mid, hi = (F.col("ex")[3 * i + j] for j in range(3))
+        rows.append(
+            F.struct(
+                F.lit(float(p)).alias("p"),
+                F.round(mid, 6).alias("exact_value"),
+                ((lo <= ap) & (ap <= hi)).alias("within_bracket"),
+            )
+        )
+    return agg.select(F.inline(F.array(*rows)))
+
+
+@query(
+    "dataset_split",
+    layer="B",
+    oracle="""
+    WITH s AS (
+        SELECT CASE WHEN h < 80 THEN 'train'
+                    WHEN h < 90 THEN 'validation'
+                    ELSE 'test' END AS split,
+               n_chars
+        FROM (SELECT CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                          AS BIGINT) % 100 AS h,
+                     n_chars
+              FROM documents)
+    )
+    SELECT split, COUNT(*) AS n_docs,
+           CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+           round(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents), 6) AS share
+    FROM s GROUP BY split
+    """,
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 80/10/10 train/validation/test split by content-
+    independent key hash — the split every training pipeline needs to
+    be REPRODUCIBLE across engines, runs, and incremental re-ingests
+    (rng-based df.randomSplit reshuffles docs between splits whenever
+    partitioning changes; hashing the id never does, so a doc's split
+    assignment is stable for the lifetime of the corpus).
+
+    The hash is the portable 60-bit md5 prefix (functions.hash60), so
+    the oracle reproduces the exact assignment. Emitted at summary
+    grain (per-split counts, char mass, share); the row-level form is
+    the same expression as a projection. One narrow map + one 3-group
+    aggregation — no join, no skew, scan-bound at any scale.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    h = hash60(F.col("doc_id").cast("string")) % 100
+    split = (
+        F.when(h < 80, "train").when(h < 90, "validation").otherwise("test")
+    )
+    agg = d.groupBy(split.alias("split")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+    )
+    return agg.select(
+        "split",
+        "n_docs",
+        "sum_chars",
+        F.round(
+            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6
+        ).alias("share"),
+    )
+
+
 @query(
     "window_range_frame",
     layer="B",

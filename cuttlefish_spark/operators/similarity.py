@@ -378,6 +378,124 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+KMEANS_K = 8
+
+_COS_SQL = (
+    "list_dot_product(v, c) / (sqrt(list_dot_product(v, v))"
+    " * sqrt(list_dot_product(c, c)))"
+)
+
+_KMEANS_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    c0 AS (
+        SELECT vec_id AS cid, v AS c FROM vecs WHERE vec_id < {KMEANS_K}
+    ),
+    a1 AS (
+        SELECT vec_id, v, cid FROM (
+            SELECT vecs.vec_id, vecs.v, c0.cid,
+                   row_number() OVER (PARTITION BY vecs.vec_id
+                       ORDER BY {_COS_SQL} DESC, cid) AS rn
+            FROM vecs CROSS JOIN c0
+        ) WHERE rn = 1
+    ),
+    m AS (
+        SELECT cid, pos,
+               round(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS mu
+        FROM (SELECT cid, unnest(v) AS x,
+                     unnest(range(1, len(v) + 1)) AS pos
+              FROM a1)
+        GROUP BY cid, pos
+    ),
+    c1 AS (SELECT cid, list(mu ORDER BY pos) AS c FROM m GROUP BY cid),
+    a2 AS (
+        SELECT vec_id, cid, cos FROM (
+            SELECT vecs.vec_id, c1.cid, {_COS_SQL} AS cos,
+                   row_number() OVER (PARTITION BY vecs.vec_id
+                       ORDER BY {_COS_SQL} DESC, cid) AS rn
+            FROM vecs CROSS JOIN c1
+        ) WHERE rn = 1
+    )
+    SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
+           round(CAST(SUM(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS avg_cosine
+    FROM a2 GROUP BY cid
+"""
+
+
+@query("embedding_kmeans", layer="C", oracle=_KMEANS_ORACLE)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embedding corpus — two unrolled Lloyd
+    rounds: deterministic init (first {KMEANS_K} vectors), cosine-argmax
+    assignment, per-dim mean recompute, reassignment, per-cluster
+    summary (size + mean cosine-to-centroid, the spherical inertia).
+    The clustering step behind IVF cell training, semantic dedup, and
+    topic bucketing of a training corpus.
+
+    The whole 2-round refinement is ONE static DAG — no driver loop:
+    assignment is a broadcast cross join ({KMEANS_K} centroid rows) +
+    per-vector argmax window, so the corpus is never shuffled for
+    assignment; the centroid update is posexplode -> groupBy(cid, dim)
+    with map-side partial (sum, count) — the standard mergeable-
+    centroid pattern that scales to any partitioning. At 100 TB each
+    extra Lloyd round appends the same two-stage pattern (or runs as a
+    driver loop over checkpointed centroids); the broadcast stays
+    K x dims doubles regardless of corpus size.
+
+    Determinism making an ITERATIVE ML algorithm oracle-checkable:
+    sequential-fold cosines (bitwise-equal to DuckDB list_dot_product),
+    centroid means through DECIMAL(18,9) partial sums rounded to 6
+    (order-independent), and the round-2 summary mean through
+    DECIMAL(18,6) of round-6 cosines. The oracle unrolls the identical
+    two rounds as CTEs.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def assign(cents: DataFrame) -> DataFrame:
+        sim = cosine_sim(F.col("v"), F.col("c")).alias("cos")
+        w = Window.partitionBy("vec_id").orderBy(F.col("cos").desc(), F.col("cid"))
+        return (
+            vecs.crossJoin(F.broadcast(cents))
+            .select("vec_id", "v", "cid", sim)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+
+    c0 = vecs.filter(F.col("vec_id") < KMEANS_K).select(
+        F.col("vec_id").alias("cid"), F.col("v").alias("c")
+    )
+    a1 = assign(c0)
+    mu = (
+        a1.select("cid", F.posexplode("v").alias("dim", "x"))
+        .groupBy("cid", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mu")
+        )
+    )
+    c1 = mu.groupBy("cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
+        ).alias("c")
+    )
+    a2 = assign(c1)
+    return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.round(
+            F.sum(F.round(F.col("cos"), 6).cast("decimal(18,6)")).cast("double")
+            / F.count(F.lit(1)),
+            6,
+        ).alias("avg_cosine"),
+    )
+
+
 @query(
     "embedding_array_stats",
     layer="C",

@@ -535,3 +535,62 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.regexp_count(aug, F.lit(_PHONE_RE)).cast("long").alias("n_phones"),
         F.md5(red).alias("redacted_md5"),
     )
+
+
+@query(
+    "class_balance",
+    layer="C",
+    oracle="""
+    WITH c AS (
+        SELECT source, lang, COUNT(*) AS n FROM documents GROUP BY 1, 2
+    ),
+    w AS (
+        SELECT source, lang, n,
+               SUM(n) OVER (PARTITION BY source) AS rs,
+               SUM(n) OVER (PARTITION BY lang) AS cs,
+               SUM(n) OVER () AS tot
+        FROM c
+    )
+    SELECT source, lang, CAST(n AS BIGINT) AS n_docs,
+           round(n * 1.0 / rs, 6) AS share_in_source,
+           round(2.0 * n * ln(n * 1.0 * tot / (rs * cs)), 6) AS g_contrib
+    FROM w
+    """,
+)
+def class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-balance / label-drift audit over the (source, lang)
+    contingency table: per-cell counts, within-source shares, and each
+    cell's G-test (log-likelihood ratio) contribution against the
+    independence hypothesis — the statistic behind "did source X start
+    sending a different language mix" drift alarms; summing g_contrib
+    gives the corpus-level G statistic (~chi-squared).
+
+    Plan shape: one coarse aggregation (cells = sources x langs, tiny
+    regardless of corpus size) followed by three window passes over
+    that tiny cell table for the row/column/grand totals — the marginal
+    sums never touch full-size data, so at 100 TB this is one scan +
+    one shuffle on a low-cardinality composite key (AQE-coalesced).
+    Determinism: every output is integer counts through single IEEE
+    double ops (one ln, one divide), round 6 — no accumulation-order
+    dependence.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    c = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("n"))
+    w = c.select(
+        "source",
+        "lang",
+        "n",
+        F.sum("n").over(Window.partitionBy("source")).alias("rs"),
+        F.sum("n").over(Window.partitionBy("lang")).alias("cs"),
+        F.sum("n").over(Window.partitionBy()).alias("tot"),
+    )
+    return w.select(
+        "source",
+        "lang",
+        F.col("n").alias("n_docs"),
+        F.round(F.col("n") / F.col("rs"), 6).alias("share_in_source"),
+        F.round(
+            2.0 * F.col("n") * F.log(F.col("n") * F.col("tot") / (F.col("rs") * F.col("cs"))),
+            6,
+        ).alias("g_contrib"),
+    )
