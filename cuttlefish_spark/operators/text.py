@@ -594,3 +594,155 @@ def class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("g_contrib"),
     )
+
+
+PACK_WINDOW = 2048
+
+
+@query(
+    "sequence_packing",
+    layer="C",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               END AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+        FROM t
+    )
+    SELECT source, CAST(cum_before // {PACK_WINDOW} AS BIGINT) AS window_id,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc
+    FROM c GROUP BY source, window_id
+    """,
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents are laid end-to-end
+    in deterministic order and cut into {PACK_WINDOW}-token context
+    windows; each doc is attributed to the window where it starts. The
+    batch-shaping step between a cleaned corpus and a pretraining run —
+    window fill (n_tokens vs {PACK_WINDOW}) is the padding-waste metric
+    packing exists to minimize.
+
+    Packing is PER SOURCE (Window.partitionBy(source).orderBy(doc_id)):
+    each source packs independently, so the running-sum — the one
+    inherently sequential step — parallelizes across sources and no
+    global sort exists in the plan. At 100 TB the partition key becomes
+    (source, shard_id) so each shard packs a bounded token mass in
+    memory via the same running-sum; deterministic doc order keeps
+    packed batches reproducible across reruns, which is what makes
+    training runs resumable. One shuffle (the window partition), one
+    aggregation.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    c = d.select(
+        "doc_id", "source", n_tok.alias("n_tok")
+    ).withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    return (
+        c.groupBy(
+            "source",
+            F.floor(F.col("cum_before") / PACK_WINDOW).alias("window_id"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            F.min("doc_id").alias("first_doc"),
+        )
+    )
+
+
+_DECON_SHINGLES_SQL = r"""
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                    AS BIGINT) % 100 AS h,
+               list_distinct(list_transform(
+                   range(1, greatest(len(w) - 3, 1)),
+                   i -> array_to_string(w[i:i+4], '_'))) AS sh
+        FROM (SELECT doc_id,
+                     regexp_split_to_array(trim(lower(text)), '\s+') AS w
+              FROM documents)
+"""
+
+DECON_DF_CAP = 10
+
+
+@query(
+    "decontaminate",
+    layer="C",
+    oracle=f"""
+    WITH d AS ({_DECON_SHINGLES_SQL}),
+    tr AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE h < 80),
+    te AS (SELECT doc_id, unnest(sh) AS s FROM d WHERE h >= 90),
+    rare AS (
+        SELECT s FROM (SELECT s, COUNT(*) AS dfreq FROM tr GROUP BY s)
+        WHERE dfreq <= {DECON_DF_CAP}
+    )
+    SELECT te.doc_id AS test_doc_id, tr.doc_id AS train_doc_id,
+           COUNT(*) AS n_shared
+    FROM te JOIN rare USING (s) JOIN tr USING (s)
+    GROUP BY 1, 2
+    HAVING COUNT(*) >= 2
+    """,
+)
+def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: find test-split documents whose
+    5-gram shingles leak from the train split — the overlap audit every
+    published eval requires (a test doc sharing >= 2 rare 5-grams with
+    a train doc is flagged with the offending train doc and the overlap
+    count). Splits are the deterministic hash buckets of dataset_split
+    (train h<80, test h>=90), so the audit is reproducible end-to-end.
+
+    The scale-critical move is the DOCUMENT-FREQUENCY CAP: shingles in
+    more than {DECON_DF_CAP} train docs (boilerplate, common phrases)
+    are dropped at the inverted-index build — they carry no
+    contamination signal and are exactly the hot keys that would skew
+    a 100 TB shingle join onto one reducer. The plan is one tokenize +
+    explode pass (persisted — train aggregation and test probe both
+    read it), then a train-side INVERTED INDEX groupBy(shingle) whose
+    posting lists are capped at {DECON_DF_CAP} entries, then the test
+    probe joins that index — so the join's build side holds only rare
+    (near-unique, uniformly hashed) keys with bounded fan-out, and the
+    posting-list explode can multiply a row by at most {DECON_DF_CAP}.
+    Same inverted-index-join shape as minhash banding, one final
+    aggregation at (test_doc, train_doc) grain.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    h = hash60(F.col("doc_id").cast("string")) % 100
+    sh = F.array_distinct(word_shingles(tokens(F.col("text")), k=5))
+    ex = (
+        d.select("doc_id", h.alias("h"), sh.alias("sh"))
+        .filter((F.col("h") < 80) | (F.col("h") >= 90))
+        .select("doc_id", "h", F.explode("sh").alias("s"))
+        .persist()
+    )
+    inv = (
+        ex.filter(F.col("h") < 80)
+        .groupBy("s")
+        .agg(
+            F.count(F.lit(1)).alias("dfreq"),
+            F.collect_list("doc_id").alias("train_docs"),
+        )
+        .filter(F.col("dfreq") <= DECON_DF_CAP)
+        .select("s", "train_docs")
+    )
+    te = ex.filter(F.col("h") >= 90).select(
+        F.col("doc_id").alias("test_doc_id"), "s"
+    )
+    return (
+        te.join(inv, "s")
+        .select("test_doc_id", F.explode("train_docs").alias("train_doc_id"))
+        .groupBy("test_doc_id", "train_doc_id")
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+        .filter(F.col("n_shared") >= 2)
+    )
