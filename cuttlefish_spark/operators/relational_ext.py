@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import dec_sum, hash60, tokens
-from cuttlefish_spark.io import load_table, spread
+from cuttlefish_spark.io import load_table, register_views, spread
 from cuttlefish_spark.registry import query
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -466,6 +466,119 @@ def sql_frontend_q3(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
     return spark.sql(_Q3_SQL)
+
+
+_Q5_SQL = """
+    SELECT n.n_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+               AS DOUBLE) AS revenue
+    FROM customer c
+    JOIN orders o   ON c.c_custkey   = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN supplier s ON l.l_suppkey   = s.s_suppkey
+                   AND c.c_nationkey = s.s_nationkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'ASIA'
+      AND o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1997-01-01'
+    GROUP BY n.n_name
+"""
+
+
+@query("sql_frontend_q5", layer="B", oracle=_Q5_SQL)
+def sql_frontend_q5(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 (local-supplier revenue): the SIX-WAY join — fact table
+    against two independent dimension chains (customer->nation->region
+    and supplier->nation->region) plus the correlated c_nationkey =
+    s_nationkey cut — run as one raw SQL text on both engines. The
+    canonical join-ORDERING stress: Catalyst must push the region
+    filter through nation before joining the fact side, broadcast
+    every dim (region 5 rows .. supplier), and leave lineitem-orders
+    as the only shuffle-worthy pair; AQE re-plans the middle joins to
+    broadcasts at runtime from the observed filtered sizes. At 100 TB
+    the o_orderdate year cut is the partition-pruning predicate (date-
+    partitioned orders), reading ~1/6 of the fact table before any
+    join runs."""
+    register_views(
+        spark, sf_dir,
+        ["customer", "orders", "lineitem", "supplier", "nation", "region"],
+    )
+    return spark.sql(_Q5_SQL)
+
+
+_EWMA_SQL = """
+    WITH lags AS (
+        SELECT event_id, user_id, ts, value,
+               lag(value, 1) OVER w AS l1,
+               lag(value, 2) OVER w AS l2,
+               lag(value, 3) OVER w AS l3
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           round(
+               (value
+                + 0.5 * coalesce(l1, 0)
+                + 0.25 * coalesce(l2, 0)
+                + 0.125 * coalesce(l3, 0))
+               / (1
+                  + 0.5 * (CASE WHEN l1 IS NULL THEN 0 ELSE 1 END)
+                  + 0.25 * (CASE WHEN l2 IS NULL THEN 0 ELSE 1 END)
+                  + 0.125 * (CASE WHEN l3 IS NULL THEN 0 ELSE 1 END)),
+               6) AS ewma
+    FROM lags
+"""
+
+
+@query("ewma_trailing", layer="B", oracle=_EWMA_SQL)
+def ewma_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing exponentially-weighted moving average (half-life decay
+    0.5 over the last 4 events) per user — the smoothing behind rate
+    dashboards and anomaly baselines on irregular event streams. The
+    truncated-lag formulation (lag(1..3) + renormalized weights at
+    series heads) makes EWMA — an inherently sequential recurrence —
+    a pure WINDOW expression: one shuffle on user_id, one sorted pass,
+    no recursion, no state. The weights are exact binary fractions and
+    the sum is written in one fixed left-to-right association, so both
+    engines produce bitwise-identical doubles from the same SQL text.
+    At 100 TB an unbounded-decay EWMA switches to
+    applyInPandasWithState (streaming) or a segmented-scan, but the
+    truncated form is what dashboards actually use — old terms decay
+    below float noise anyway."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_EWMA_SQL)
+
+
+_ZSCORE_SQL = """
+    WITH stats AS (
+        SELECT event_id, event_type, value,
+               avg(value)         OVER (PARTITION BY event_type) AS mu,
+               stddev_samp(value) OVER (PARTITION BY event_type) AS sigma
+        FROM events
+    )
+    SELECT event_id, event_type, value,
+           round((value - mu) / sigma, 4) AS zscore,
+           (abs(round((value - mu) / sigma, 4)) > 3) AS is_anomaly
+    FROM stats
+"""
+
+
+@query("anomaly_zscore", layer="B", oracle=_ZSCORE_SQL)
+def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score outlier flagging: every event scored against
+    its event_type's mean/stddev, |z| > 3 flagged — the first-line
+    data-quality tripwire for a metrics pipeline (fat-finger values,
+    unit regressions, broken emitters). Computed as analytic windows
+    over the full partition, so each event keeps its row — one shuffle
+    on event_type, stats and scoring in the same pass (the two window
+    functions share one sort). At 100 TB the whole-partition window
+    becomes a two-pass join (tiny stats agg broadcast back onto the
+    stream) — same algebra, and the z-scores round to 4 decimals
+    identically on both engines (stddev's co-moment merge order only
+    perturbs ~1e-15 relative)."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_ZSCORE_SQL)
 
 
 @query(
