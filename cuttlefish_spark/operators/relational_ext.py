@@ -1112,3 +1112,125 @@ def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.substring("c_mktsegment", 1, 3).alias("seg3"),
         F.concat_ws("|", "c_mktsegment", "c_name").alias("joined"),
     )
+
+
+_REGR_X = "(unix_millis(ts) - 1735689600000) / CAST(86400000 AS DOUBLE)"
+_REGR_X_DUCK = "(epoch_ms(ts) - 1735689600000) / CAST(86400000 AS DOUBLE)"
+
+
+def _regr_sql(x: str) -> str:
+    return f"""
+    SELECT event_type,
+           CAST(regr_count(value, {x}) AS BIGINT) AS n,
+           round(regr_slope(value, {x}), 6) AS slope,
+           round(regr_intercept(value, {x}), 6) AS intercept,
+           round(regr_r2(value, {x}), 6) AS r2,
+           round(regr_avgx(value, {x}), 6) AS avg_x,
+           round(regr_avgy(value, {x}), 6) AS avg_y
+    FROM events GROUP BY event_type
+    """
+
+
+@query("linear_regression", layer="B", oracle=_regr_sql(_REGR_X_DUCK))
+def linear_regression(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group ordinary least squares via the ANSI regr_* aggregate
+    family: slope/intercept/r2 of metric value against time (days) for
+    each event_type — the trend-detection aggregate behind capacity
+    forecasts and drift monitors, computed in ONE shuffle with map-side
+    partial co-moments (the same mergeable-moments machinery as
+    agg_stats, so it scales like any sum).
+
+    Two numeric guards make OLS oracle-checkable: x is integer
+    epoch-millis divided as an explicit DOUBLE (a bare `/86400000.0`
+    literal parses as DECIMAL in Spark and silently changes every
+    downstream type), and x is RECENTERED on a fixed epoch — intercept
+    is mean_y - slope*mean_x, so an uncentered epoch-scale mean_x
+    amplifies 1e-15 co-moment jitter into the 6th decimal (observed as
+    a round-boundary flip); centering keeps the cancellation benign.
+    """
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_regr_sql(_REGR_X))
+
+
+@query(
+    "array_functions",
+    layer="B",
+    oracle="""
+    WITH t AS (
+        SELECT doc_id,
+               regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(w) AS BIGINT) AS n_tokens,
+           array_to_string(w[1:5], ' ') AS first5,
+           array_to_string(list_sort(list_distinct(w))[1:3], ' ') AS sorted3,
+           list_contains(w, 'the') AS has_the,
+           CAST(coalesce(list_position(w, 'the'), 0) AS BIGINT) AS pos_the,
+           w[-1] AS last_token,
+           round(len(list_distinct(w)) * 1.0 / len(w), 6) AS distinct_ratio
+    FROM t
+    """,
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array function library surface over token arrays: size, slice,
+    sort+distinct, membership, 1-based position (0 = absent on both
+    engines), negative indexing, and type-token ratio — the completing
+    third of the scalar-function trio (string_functions,
+    datetime_functions). One narrow projection, all higher-order-free
+    built-ins, whole-stage codegen, zero shuffles."""
+    d = load_table(spark, sf_dir, "documents")
+    w = tokens(F.col("text"))
+    t = d.select("doc_id", w.alias("w"))
+    return t.select(
+        "doc_id",
+        F.size("w").cast("long").alias("n_tokens"),
+        F.array_join(F.slice("w", 1, 5), " ").alias("first5"),
+        F.array_join(
+            F.slice(F.array_sort(F.array_distinct("w")), 1, 3), " "
+        ).alias("sorted3"),
+        F.array_contains("w", "the").alias("has_the"),
+        F.array_position("w", "the").cast("long").alias("pos_the"),
+        F.element_at("w", -1).alias("last_token"),
+        F.round(
+            F.size(F.array_distinct("w")) * F.lit(1.0) / F.size("w"), 6
+        ).alias("distinct_ratio"),
+    )
+
+
+@query(
+    "bitwise_functions",
+    layer="B",
+    oracle="""
+    SELECT event_type,
+           bit_and(event_id) AS and_all,
+           bit_or(event_id) AS or_all,
+           bit_xor(event_id) AS xor_all,
+           CAST(SUM(bit_count(event_id)) AS BIGINT) AS total_bits,
+           CAST(MAX(event_id & 255) AS BIGINT) AS max_low_byte,
+           CAST(MIN(xor(event_id >> 4, event_id & 15)) AS BIGINT) AS min_mix
+    FROM events GROUP BY event_type
+    """,
+)
+def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise function surface: the bit_and/bit_or/bit_xor AGGREGATES
+    (flag-mask intersection/union/parity across a group — the compact
+    form of per-bit boolean rollups) plus scalar masks, shifts, and
+    popcount inside the aggregation. One shuffle, integer-exact on
+    both engines (no float parity concerns at all). Spark spells
+    scalar xor `^` where DuckDB spells it xor(); the oracle text
+    differs only in that token."""
+    ev = load_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_bitwise_events")
+    return spark.sql(
+        """
+        SELECT event_type,
+               bit_and(event_id) AS and_all,
+               bit_or(event_id) AS or_all,
+               bit_xor(event_id) AS xor_all,
+               CAST(SUM(bit_count(event_id)) AS BIGINT) AS total_bits,
+               CAST(MAX(event_id & 255) AS BIGINT) AS max_low_byte,
+               CAST(MIN((event_id >> 4) ^ (event_id & 15)) AS BIGINT) AS min_mix
+        FROM _bitwise_events GROUP BY event_type
+        """
+    )
