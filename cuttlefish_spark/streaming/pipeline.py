@@ -193,3 +193,57 @@ def run_available_now(stream_df: DataFrame, query_name: str, mode: str = "comple
     )
     q.awaitTermination()
     return q
+
+
+RUNNING_OUT_SCHEMA = "user_id long, n_events long, total_value double"
+
+
+def running_totals_stream(events: DataFrame, watermark: str = "2 hours",
+                          ttl_hours: int = 24) -> DataFrame:
+    """Per-user RUNNING totals with TTL state eviction — the custom
+    stateful-aggregation pattern dedup_stream's docstring defers to:
+    state keyed by user_id holds (count, sum, last-seen event time);
+    every micro-batch emits the user's updated lifetime totals (update
+    mode), and a user idle past `ttl_hours` of EVENT TIME is evicted
+    via EventTimeTimeout — the state-store-bounding contract that keeps
+    an unbounded keyed stream at O(active keys), not O(all keys ever).
+
+    This is the streaming twin of the batch groupBy(user_id) lifetime
+    aggregate (and the stateful sibling of window_running's cumulative
+    frame). At scale: one shuffle on user_id per micro-batch, Arrow-
+    batched state access, 24 bytes of state per key.
+    """
+    from pyspark.sql.streaming.state import GroupStateTimeout
+
+    import pandas as pd  # noqa: PLC0415
+
+    ttl_ms = ttl_hours * 3600 * 1000
+
+    def update(key, pdf_iter, state):
+        if state.hasTimedOut:
+            state.remove()
+            return
+        n, tot, last_ms = state.get if state.exists else (0, 0.0, 0)
+        for pdf in pdf_iter:
+            if len(pdf) == 0:
+                continue
+            n += len(pdf)
+            tot += float(pdf["value"].sum())
+            last_ms = max(last_ms, int(pdf["ts"].astype("int64").max()) // 1000)
+        state.update((n, tot, last_ms))
+        state.setTimeoutTimestamp(last_ms + ttl_ms)
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_value": [tot]}
+        )
+
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType=RUNNING_OUT_SCHEMA,
+            stateStructType="n long, total double, last_ms long",
+            outputMode="update",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

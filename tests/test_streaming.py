@@ -169,3 +169,44 @@ def test_watermark_drops_late_data(spark, tmp_path):
     # (event_id=3) was dropped, not merged.
     t_hour = [g for g in got if g[0].startswith("2023-11-14T22")]
     assert t_hour == [("2023-11-14T22:00:00", 1)]  # one emit, late row dropped
+
+
+def test_running_totals_stream_matches_batch(spark, sf_dir, stream_dir):
+    """Stateful running totals (applyInPandasWithState + TTL): after a
+    full availableNow drain, each user's LAST update-mode row must
+    equal the batch lifetime aggregate."""
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        running_totals_stream,
+    )
+
+    stream = running_totals_stream(read_events_stream(spark, stream_dir))
+    run_available_now(stream, "running_totals", mode="update")
+    got = (
+        spark.sql("SELECT * FROM running_totals")
+        .groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max("total_value").alias("total_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    want = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum("value").alias("total_value"),
+        )
+        .toPandas()
+        .set_index("user_id")
+        .sort_index()
+    )
+    assert (got["n_events"] == want["n_events"]).all()
+    assert (got["total_value"] - want["total_value"]).abs().max() < 1e-6
