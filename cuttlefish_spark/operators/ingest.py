@@ -1,7 +1,13 @@
 """Ingestion queries: the reference's end-to-end pipeline (fixture
-replay) and the markdown pandas_udf, declared as rows-only checks
-(neither is DuckDB-expressible: one replays adapter fixtures, the
-other calls a Python renderer).
+replay) and the markdown pandas_udf.
+
+The two pipeline queries are checked against a GOLDEN oracle: the
+fixture inputs are fixed, so the exact expected output is stated as a
+SQL VALUES block (the reference's own test strategy — golden capture,
+eventbrite.rkt:123-146). Any regression in an adapter's rename map,
+timestamp/offset math, markdown rendering, photo transform, or error
+routing changes a cell and fails the hash. markdown_html stays
+rows-only (500 rendered documents are not sensibly inlineable).
 """
 
 from __future__ import annotations
@@ -15,7 +21,37 @@ from cuttlefish_spark.registry import query
 from cuttlefish_spark.sources.adapters import dispatch_replay
 
 
-@query("ingest_normalize", layer="A", oracle=None)
+# Golden expected output of BOTH pipeline modes (replay and Python
+# DataSource) — generated from the verified run, asserted cell-exact.
+_INGEST_GOLDEN_SQL = """
+    SELECT CAST(chapter_id AS VARCHAR) AS chapter_id,
+           CAST(event_id AS VARCHAR) AS event_id,
+           CAST(url AS VARCHAR) AS url,
+           CAST(time AS DOUBLE) AS time,
+           CAST(utc_offset AS DOUBLE) AS utc_offset,
+           CAST(title AS VARCHAR) AS title,
+           CAST(description AS VARCHAR) AS description,
+           CAST(venue_city AS VARCHAR) AS venue_city,
+           CAST(venue_postal AS VARCHAR) AS venue_postal,
+           CAST(venue_lon AS DOUBLE) AS venue_lon,
+           CAST(venue_lat AS DOUBLE) AS venue_lat,
+           CAST(n_photos AS INTEGER) AS n_photos,
+           CAST(status AS VARCHAR) AS status,
+           CAST(error AS VARCHAR) AS error
+    FROM (VALUES
+        ('atlantis', NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, NULL, 0, 'ERROR', 'No adapter found: carrierpigeon'),
+        ('london', '44544109937', 'https://www.eventbrite.co.uk/e/papers-we-love-london-44544109937', 1520533800000, 0, 'PWL London: Spanner', 'Globally-distributed database.', 'London', 'EC2M 7EB', -0.0886, 51.5229, 0, 'OK', NULL),
+        ('london', '44544109938', 'https://www.eventbrite.co.uk/e/papers-we-love-london-44544109938', 1523554200000, 3600000, 'PWL London: Calvin', NULL, NULL, NULL, NULL, NULL, 0, 'OK', NULL),
+        ('london', '44544109939', 'https://www.eventbrite.co.uk/e/papers-we-love-london-44544109939', 1520791200000, -14400000, 'PWL London: FLP', 'Impossibility result.', 'New York', NULL, -74.0, 40.7, 0, 'OK', NULL),
+        ('newyork', 'qxw9yzl3', 'https://www.meetup.com/papers-we-love/events/qxw9yzl3/', 1529017200000, -14400000, 'PWL #51: CRDTs', NULL, NULL, NULL, NULL, NULL, 0, 'OK', NULL),
+        ('newyork', 'zvbxrpl2', 'https://www.meetup.com/papers-we-love/events/zvbxrpl2/', 1526425200000, -14400000, 'PWL #50: Sketching Algorithms', 'Count-Min Sketch and friends.', 'New York', '10013', -74.005, 40.723, 2, 'OK', NULL),
+        ('stlouis', '186112975332637', 'https://facebook.com/186112975332637', 1526428800000, -18000000, 'Papers We Love STL: Raft', '<div class="event-api-content"><p>We will read <strong>In Search of an Understandable Consensus Algorithm</strong>.</p>' || chr(10) || '<p>Bring questions!</p></div>', 'St. Louis', '63110', -90.245, 38.632, 0, 'OK', NULL),
+        ('stlouis', '201198900259786', 'https://facebook.com/201198900259786', 1529452800000, -18000000, 'Papers We Love STL: Paxos', '<div class="event-api-content"><p>Classic <em>Lamport</em>.</p></div>', NULL, NULL, NULL, NULL, 0, 'OK', NULL)
+    ) AS t(chapter_id, event_id, url, time, utc_offset, title, description, venue_city, venue_postal, venue_lon, venue_lat, n_photos, status, error)
+"""
+
+
+@query("ingest_normalize", layer="A", oracle=_INGEST_GOLDEN_SQL)
 def ingest_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The reference's whole pipeline as one declarative plan: chapters
     work-list -> adapter dispatch -> fetch (fixture replay) ->
@@ -48,7 +84,7 @@ def _flat_canonical(out: DataFrame) -> DataFrame:
     )
 
 
-@query("ingest_datasource", layer="A", oracle=None)
+@query("ingest_datasource", layer="A", oracle=_INGEST_GOLDEN_SQL)
 def ingest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Same pipeline as ingest_normalize, but the fetch step is a real
     Spark 4 Python DataSource (`cuttlefish_replay`): one input

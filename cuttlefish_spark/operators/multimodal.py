@@ -119,13 +119,32 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         )
 
 
-@query("multimodal_decode", layer="C", oracle=None)
+@query(
+    "multimodal_decode",
+    layer="C",
+    oracle="""
+    SELECT doc_id,
+           'text/plain' AS media_type,
+           CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
+           lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
+           [CAST(octet_length(encode(text)) % 251 AS DOUBLE),
+            CAST((octet_length(encode(text)) // 251) % 251 AS DOUBLE),
+            CAST(len(list_distinct(list_transform(
+                 range(1, least(length(text), 64) + 1),
+                 i -> text[i]))) AS DOUBLE),
+            CAST(ascii(substr(text, 1, 1)) AS DOUBLE)] AS features
+    FROM documents
+    """,
+)
 def multimodal_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary-column decode plumbing: text -> binary payload + typed
     metadata, then an Arrow-batched mapInPandas feature extractor.
 
-    Rows-only check (the decode is a Python-side stub, not
-    SQL-expressible). The partitioning story at scale: payloads stay
+    The decode itself is the deterministic stub (_fake_decode), so the
+    oracle can restate its byte math in SQL over the SAME payload bytes
+    (the corpus is ASCII, so DuckDB's char ops equal the Python-side
+    byte ops; the integral feature values survive the float32 Arrow
+    schema exactly). The partitioning story at scale: payloads stay
     with their rows (no shuffle), batches stream through Arrow, and the
     output schema is fixed so downstream plans are fully typed.
     """
