@@ -194,3 +194,44 @@ def test_fk_audit_broadcasts_parent_keys(spark, sf_dir):
     plan = checks.formatted_plan(df)
     assert checks.has_broadcast_join(df)
     assert "SortMergeJoin" not in plan
+
+
+def test_sequence_packing_single_shuffle(spark, sf_dir):
+    """Window(partitionBy source) + groupBy(source, window_id) must
+    share the source partitioning: one exchange total, no global sort."""
+    df = SPECS["sequence_packing"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 1
+
+
+def test_decontaminate_no_python_and_no_nested_loop(spark, sf_dir):
+    """The shingle-overlap audit is pure JVM built-ins (no Python eval
+    operators) and both joins are equi-joins on the shingle key."""
+    df = SPECS["decontaminate"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_linear_regression_partial_moments(spark, sf_dir):
+    """regr_* must plan as one shuffle with map-side partial moment
+    aggregation (mergeable co-moments)."""
+    df = SPECS["linear_regression"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 1
+    plan = checks.formatted_plan(df)
+    assert len([1 for line in plan.splitlines()
+                if line.startswith("(") and "HashAggregate" in line]) >= 2
+
+
+def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
+    """Both Lloyd-round assignments must broadcast the K-row centroid
+    side — the corpus is never shuffled for assignment."""
+    df = SPECS["embedding_kmeans"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 2  # K-row cross joins
+    assert "SortMergeJoin" not in plan
+
+
+def test_anomaly_zscore_single_shuffle(spark, sf_dir):
+    """Both analytic windows share the event_type partitioning."""
+    df = SPECS["anomaly_zscore"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 1
