@@ -1234,3 +1234,81 @@ def bitwise_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM _bitwise_events GROUP BY event_type
         """
     )
+
+
+_Q10_SQL = """
+    SELECT c.c_custkey, c.c_name,
+           CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)))
+               AS DOUBLE) AS revenue,
+           c.c_acctbal, n.n_name
+    FROM customer c
+    JOIN orders o   ON c.c_custkey   = o.o_custkey
+    JOIN lineitem l ON l.l_orderkey  = o.o_orderkey
+    JOIN nation n   ON c.c_nationkey = n.n_nationkey
+    WHERE o.o_orderdate >= TIMESTAMP '1996-01-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-04-01'
+      AND l.l_returnflag = 'R'
+    GROUP BY c.c_custkey, c.c_name, c.c_acctbal, n.n_name
+    ORDER BY revenue DESC, c.c_custkey
+    LIMIT 20
+"""
+
+
+@query("sql_frontend_q10", layer="B", oracle=_Q10_SQL)
+def sql_frontend_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q10 (returned-item reporting): quarter-scoped fact filter,
+    selective l_returnflag cut, four-way join, top-20 by grouped
+    revenue — the third raw-SQL TPC-H text next to Q3/Q5, completing
+    scan-filter / join-order / top-k coverage of the SQL front-end.
+    Catalyst pushes BOTH fact filters to their scans (date range on
+    orders, returnflag on lineitem) before any join, broadcasts
+    nation, and compiles the LIMIT into TakeOrderedAndProject (per-
+    partition heaps — no global sort materialization). c_custkey
+    tiebreak keeps the top-20 deterministic on both engines."""
+    register_views(
+        spark, sf_dir, ["customer", "orders", "lineitem", "nation"]
+    )
+    return spark.sql(_Q10_SQL)
+
+
+_TRY_MIXED = (
+    "CASE WHEN l_linenumber % 3 = 0 THEN 'x' || CAST(l_orderkey AS VARCHAR) "
+    "ELSE CAST(l_orderkey AS VARCHAR) END"
+)
+_TRY_DATE = "'2024-02-' || CAST(20 + 3 * l_linenumber AS VARCHAR)"
+
+
+@query(
+    "try_functions",
+    layer="B",
+    oracle=f"""
+    SELECT l_orderkey, l_linenumber,
+           TRY_CAST({_TRY_MIXED} AS BIGINT) AS parsed_key,
+           round(l_extendedprice / (l_linenumber - 1), 6) AS safe_ratio,
+           TRY_CAST({_TRY_DATE} AS TIMESTAMP) AS maybe_ts
+    FROM lineitem
+    """,
+)
+def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe function surface: try_cast over a mixed
+    valid/corrupt key column, try_divide with an organic zero
+    denominator, try_cast of partially-invalid date strings (Feb 23 /
+    26 / 29 parse; 32+ null out). The row-level form of the
+    reference's Either error channel (A20, api-runner.rkt:133-147):
+    under ANSI SQL (Spark 4 default) a single corrupt cell would
+    otherwise kill the whole job at 100 TB — try_* turns poison rows
+    into NULLs that flow to the dead-letter filter instead. DuckDB's
+    TRY_CAST and NULL-on-zero division state identical semantics, so
+    the oracle hash-checks all three null patterns exactly."""
+    register_views(spark, sf_dir, ["lineitem"])
+    spark_text = _TRY_MIXED.replace("VARCHAR", "STRING")
+    spark_date = _TRY_DATE.replace("VARCHAR", "STRING")
+    return spark.sql(
+        f"""
+        SELECT l_orderkey, l_linenumber,
+               try_cast({spark_text} AS BIGINT) AS parsed_key,
+               round(try_divide(l_extendedprice, l_linenumber - 1), 6) AS safe_ratio,
+               try_cast({spark_date} AS TIMESTAMP) AS maybe_ts
+        FROM lineitem
+        """
+    )
