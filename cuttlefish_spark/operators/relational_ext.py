@@ -1312,3 +1312,90 @@ def try_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lineitem
         """
     )
+
+
+@query(
+    "json_functions",
+    layer="B",
+    oracle="""
+    WITH j AS (
+        SELECT event_id, props,
+               json_object('id', event_id,
+                           'vals', [value, value * 2],
+                           'u', json_object('user_id', user_id)) AS doc
+        FROM events
+    )
+    SELECT event_id,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract_string(doc, '$.u.user_id') AS BIGINT) AS uid,
+           CAST(json_array_length(doc, '$.vals') AS BIGINT) AS n_vals,
+           round(CAST(json_extract(doc, '$.vals[0]') AS DOUBLE), 6) AS v0
+    FROM j
+    """,
+)
+def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON function surface: serialize a nested struct+array to a JSON
+    document (to_json), then path-extract scalars, nested fields, and
+    array lengths back out — the round-trip every semi-structured
+    pipeline does at its edges (A2/A10/A21 parity beyond the plain
+    get_json_object of nested_json_extract). Path evaluation is
+    JVM-side on a narrow projection: zero shuffles, codegen throughout.
+    Numbers cross the JSON boundary as CAST(... AS BIGINT/DOUBLE), not
+    strings, so float formatting differences between the two engines'
+    serializers never reach the hash."""
+    ev = load_table(spark, sf_dir, "events")
+    doc = F.to_json(
+        F.struct(
+            F.col("event_id").alias("id"),
+            F.array(F.col("value"), F.col("value") * 2).alias("vals"),
+            F.struct(F.col("user_id")).alias("u"),
+        )
+    )
+    return ev.select(
+        "event_id",
+        F.get_json_object("props", "$.k").cast("long").alias("k_val"),
+        F.get_json_object(doc, "$.u.user_id").cast("long").alias("uid"),
+        F.json_array_length(F.get_json_object(doc, "$.vals")).cast("long").alias("n_vals"),
+        F.round(F.get_json_object(doc, "$.vals[0]").cast("double"), 6).alias("v0"),
+    )
+
+
+@query(
+    "map_functions",
+    layer="B",
+    oracle="""
+    WITH m AS (
+        SELECT event_id, map(['base', 'double'], [value, value * 2]) AS km
+        FROM events
+    )
+    SELECT event_id,
+           map_keys(km) AS ks,
+           list_transform(map_values(km), x -> round(x, 6)) AS vs,
+           round(element_at(km, 'base')[1], 6) AS base_val,
+           CAST(cardinality(km) AS INTEGER) AS n_entries
+    FROM m
+    """,
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Map-typed column surface: build a map from key/value arrays,
+    read it back via map_keys / map_values / element_at / cardinality —
+    the typed dictionary column under feature bundles and sparse
+    attributes (the engine's sink-side map_from_entries re-nesting,
+    nest_events_per_key, is this surface's aggregation sibling). Map
+    values cross to the output as ROUNDED arrays/scalars (maps
+    themselves hash unstably across engines' dict ordering, so the
+    contract is: construct maps freely, always EXPORT through
+    keys/values/element_at). Narrow projection, zero shuffles."""
+    ev = load_table(spark, sf_dir, "events")
+    km = F.map_from_arrays(
+        F.array(F.lit("base"), F.lit("double")),
+        F.array(F.col("value"), F.col("value") * 2),
+    )
+    t = ev.select("event_id", km.alias("km"))
+    return t.select(
+        "event_id",
+        F.map_keys("km").alias("ks"),
+        F.transform(F.map_values("km"), lambda x: F.round(x, 6)).alias("vs"),
+        F.round(F.element_at("km", F.lit("base")), 6).alias("base_val"),
+        F.size("km").alias("n_entries"),
+    )
