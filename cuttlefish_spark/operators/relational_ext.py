@@ -1399,3 +1399,69 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.element_at("km", F.lit("base")), 6).alias("base_val"),
         F.size("km").alias("n_entries"),
     )
+
+
+def _locf_sql(ignore_nulls_inside: bool) -> str:
+    # DuckDB spells it last_value(v IGNORE NULLS); Spark spells it
+    # last_value(v) IGNORE NULLS — same ANSI semantics, one token moved.
+    lv = (
+        "last_value(v IGNORE NULLS)"
+        if ignore_nulls_inside
+        else "last_value(v) IGNORE NULLS"
+    )
+    return f"""
+    WITH marked AS (
+        SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts,
+               CASE WHEN event_type = 'error' THEN NULL ELSE value END AS v
+        FROM events
+    )
+    SELECT event_id, user_id, ts, v AS raw_value,
+           coalesce(v, {lv} OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)) AS filled_value,
+           (v IS NULL) AS was_imputed
+    FROM marked
+    """
+
+
+@query("locf_impute", layer="B", oracle=_locf_sql(ignore_nulls_inside=True))
+def locf_impute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOCF (last-observation-carried-forward) imputation: error events
+    are treated as missing readings and filled from the user's most
+    recent valid value — the standard gap-repair step for sensor /
+    metric streams before feature extraction (a user's leading errors
+    stay NULL: nothing to carry). One window over (user_id | ts) via
+    last_value(IGNORE NULLS) on the strictly-preceding frame — one
+    shuffle, one sorted pass, same cost class as any lag. The
+    `was_imputed` flag is the lineage column an auditable pipeline
+    keeps. The SQL differs between engines by one token position
+    (IGNORE NULLS placement, see _locf_sql)."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_locf_sql(ignore_nulls_inside=False))
+
+
+_RANKING_SQL = """
+    SELECT event_id, event_type,
+           CAST(floor(value / 10) AS BIGINT) AS value_band,
+           CAST(rank()       OVER w AS BIGINT) AS rnk,
+           CAST(dense_rank() OVER w AS BIGINT) AS drnk,
+           CAST(row_number() OVER (PARTITION BY event_type
+                 ORDER BY floor(value / 10) DESC, event_id) AS BIGINT) AS rn
+    FROM events
+    WINDOW w AS (PARTITION BY event_type ORDER BY floor(value / 10) DESC)
+"""
+
+
+@query("ranking_functions", layer="B", oracle=_RANKING_SQL)
+def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ranking-function surface under real TIES: rank (gapped),
+    dense_rank (gapless), row_number (tie-broken) over banded values —
+    the three give different answers exactly when ties exist, which is
+    what this pins (banding value into deciles manufactures heavy
+    ties). Completes the window-function matrix next to
+    window_distribution (ntile/percent_rank/cume_dist) and window_rank
+    (top-k row_number). One shuffle; all three functions share the
+    sorted pass. row_number carries its own deterministic event_id
+    tiebreak — rank/dense_rank are tie-stable by definition."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_RANKING_SQL)
