@@ -79,3 +79,53 @@ def udtf_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, t.pos, t.ngram "
         "FROM _udtf_docs d, LATERAL doc_ngrams(d.text, 2) t"
     )
+
+
+_GEOMEAN_ORACLE = """
+    SELECT event_type,
+           round(exp(avg(ln(value))), 4) AS geomean,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    WHERE value > 0
+    GROUP BY event_type
+"""
+
+
+@query("udaf_geomean", layer="B", oracle=_GEOMEAN_ORACLE)
+def udaf_geomean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom AGGREGATE through the pandas grouped-agg UDF — the one
+    rung of the extension ladder (scalar pandas_udf, grouped-map,
+    mapInPandas, UDTF, DataSource, applyInPandasWithState) not yet
+    exercised: per-group geometric mean of event values, a
+    user-defined reduction Spark has no built-in for.
+
+    The UDAF receives each group's column as ONE Arrow-backed pandas
+    Series and returns a scalar — numpy does log/mean vectorized. At
+    scale the caveat is honest: grouped-agg UDFs materialize the whole
+    group in memory (no partial aggregation), so for skew-prone keys
+    the production form is the algebraic rewrite exp(avg(ln(x))) —
+    pure built-ins with map-side partials — which is exactly what the
+    oracle states; this query exists to prove the custom-UDAF surface
+    against it. round(4) absorbs the accumulation-order difference
+    between numpy's pairwise mean and the engines' streaming avg.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import functions as F
+    from pyspark.sql.functions import pandas_udf
+
+    def _geomean(v):
+        return float(np.exp(np.log(v.to_numpy()).mean()))
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf cannot introspect — attach real type objects instead.
+    _geomean.__annotations__ = {"v": pd.Series, "return": float}
+    geomean = pandas_udf("double")(_geomean)
+
+    ev = load_table(spark, sf_dir, "events").filter(F.col("value") > 0)
+    # A grouped-agg pandas UDF cannot share an agg() with built-in
+    # aggregates — Spark plans them through different operators — so
+    # the count comes from a second tiny aggregation joined back.
+    g = ev.groupBy("event_type").agg(F.round(geomean("value"), 4).alias("geomean"))
+    n = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+    return g.join(F.broadcast(n), "event_type").select("event_type", "geomean", "n")
