@@ -1465,3 +1465,74 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     tiebreak — rank/dense_rank are tie-stable by definition."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_RANKING_SQL)
+
+
+def _rolling_sql(median_fn: str) -> str:
+    # Spark spells the exact-median aggregate `percentile`; DuckDB
+    # spells it `quantile_cont` — same linear interpolation.
+    return f"""
+    SELECT event_id, user_id, CAST(ts AS TIMESTAMP) AS ts, value,
+           round({median_fn}(value, 0.5) OVER w, 6) AS med5,
+           round(min(value) OVER w, 6) AS lo5,
+           round(max(value) OVER w, 6) AS hi5
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS BETWEEN 4 PRECEDING AND CURRENT ROW)
+    """
+
+
+@query("rolling_median", layer="B", oracle=_rolling_sql("quantile_cont"))
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling robust statistics: trailing-5-event median / min / max
+    per user — the outlier-resistant smoothing band (median filters
+    shrug off the single fat-finger spike that wrecks a rolling mean,
+    which is why monitoring baselines prefer them). An exact aggregate
+    evaluated as a WINDOW over a bounded ROWS frame: one shuffle on
+    user_id, one sorted pass, all three statistics sharing the frame.
+    The frame is O(1) rows, so — unlike whole-partition exact
+    percentiles — this stays cheap at any scale; the engines' median
+    functions differ in name only (percentile vs quantile_cont), both
+    linear-interpolating."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_rolling_sql("percentile"))
+
+
+def _resample_sql(epoch_ms_fn: str) -> str:
+    b = "CAST(date_trunc('hour', ts) AS TIMESTAMP) + INTERVAL 15 MINUTE * CAST(floor(minute(ts) / 15) + 1 AS INTEGER)"
+    return f"""
+    WITH nxt AS (
+        SELECT user_id, ts, value,
+               lead(ts)    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nts,
+               lead(value) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS nval,
+               {b} AS grid_ts
+        FROM events
+    )
+    SELECT user_id, grid_ts,
+           round(value + (nval - value)
+                 * CAST({epoch_ms_fn}(grid_ts) - {epoch_ms_fn}(ts) AS DOUBLE)
+                 / CAST({epoch_ms_fn}(nts) - {epoch_ms_fn}(ts) AS DOUBLE),
+                 6) AS interp_value
+    FROM nxt
+    WHERE nts > grid_ts AND nts <> ts
+    """
+
+
+@query("resample_interpolate", layer="B", oracle=_resample_sql("epoch_ms"))
+def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grid resampling with linear interpolation: each user's irregular
+    event stream sampled onto the next quarter-hour boundary — when two
+    consecutive events straddle a grid point, the value AT the grid
+    point is linearly interpolated between them. The alignment step
+    before any cross-series arithmetic (correlating streams sampled at
+    different times requires a common clock); LOCF (locf_impute) is the
+    step-function sibling, this is the continuous one.
+
+    One lead() window on user_id — interpolation needs only the
+    straddling pair, never a generate_series explosion per user.
+    Determinism: slopes are computed from exact integer epoch-millis
+    deltas in one fixed double expression, round 6 — both engines
+    produce identical IEEE results (Spark spells epoch-millis
+    unix_millis, DuckDB epoch_ms; the text differs in that token).
+    """
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_resample_sql("unix_millis"))
