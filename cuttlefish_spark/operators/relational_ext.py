@@ -1536,3 +1536,75 @@ def resample_interpolate(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_resample_sql("unix_millis"))
+
+
+_FULL_OUTER_SQL = """
+    WITH u AS (
+        SELECT user_id, COUNT(*) AS n_events,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+        FROM events GROUP BY user_id
+    )
+    SELECT coalesce(u.user_id, c.c_custkey) AS entity_id,
+           u.n_events, u.total_value, c.c_name, c.c_acctbal,
+           (u.user_id IS NOT NULL AND c.c_custkey IS NOT NULL) AS in_both,
+           CASE WHEN c.c_custkey IS NULL THEN 'events_only'
+                WHEN u.user_id   IS NULL THEN 'customer_only'
+                ELSE 'matched' END AS presence
+    FROM u
+    FULL OUTER JOIN customer c ON u.user_id = c.c_custkey
+"""
+
+
+@query("full_outer_join", layer="B", oracle=_FULL_OUTER_SQL)
+def full_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FULL OUTER join with coalesced key and presence tagging — the
+    reconciliation join (activity stream vs account master) where BOTH
+    unmatched sides must survive: event traffic from unknown accounts
+    AND dormant accounts with no traffic are each findings, not rows to
+    drop. Completes the join matrix next to inner/broadcast/semi/anti/
+    left-outer/as-of/range/interval. Full outer cannot broadcast
+    (either side may need to emit unmatched rows), so it plans as a
+    shuffle join on the key — at 100 TB you pre-aggregate the fact side
+    first (done here: one group-by shrinks events to one row per user
+    BEFORE the join), which is the difference between joining 100 TB
+    and joining gigabytes."""
+    register_views(spark, sf_dir, ["events", "customer"])
+    return spark.sql(_FULL_OUTER_SQL)
+
+
+_NOT_IN_SQL = """
+    SELECT
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey IN (SELECT o_custkey FROM orders)) AS n_in,
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)) AS n_not_in,
+        (SELECT COUNT(*) FROM customer
+         WHERE c_custkey NOT IN
+             (SELECT CASE WHEN o_orderkey % 1000 = 0 THEN NULL
+                          ELSE o_custkey END
+              FROM orders)) AS n_not_in_with_nulls,
+        (SELECT COUNT(*) FROM customer c
+         WHERE EXISTS (SELECT 1 FROM orders o
+                       WHERE o.o_custkey = c.c_custkey
+                         AND o.o_totalprice > 400000)) AS n_exists_big,
+        (SELECT COUNT(*) FROM customer c
+         WHERE NOT EXISTS (SELECT 1 FROM orders o
+                           WHERE o.o_custkey = c.c_custkey)) AS n_not_exists
+"""
+
+
+@query("subquery_semantics", layer="B", oracle=_NOT_IN_SQL)
+def subquery_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IN / NOT IN / EXISTS / NOT EXISTS subquery semantics in one row —
+    including the ANSI trap this query exists to pin: NOT IN against a
+    list containing a NULL returns ZERO rows (x <> NULL is unknown for
+    every x), while the equivalent NOT EXISTS keeps working. Engines
+    that "fix" this break standard semantics; both Spark and DuckDB
+    implement it faithfully, and n_not_in_with_nulls = 0 is the
+    hash-checked witness. Catalyst rewrites each predicate to the same
+    physical shapes as semi_anti_join (left-semi / null-aware left-anti
+    broadcast joins) — the null-aware anti join is the expensive one at
+    scale, which is why production schemas keep join keys NOT NULL and
+    pipelines prefer NOT EXISTS."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_NOT_IN_SQL)
