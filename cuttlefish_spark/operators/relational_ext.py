@@ -1608,3 +1608,56 @@ def subquery_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
     pipelines prefer NOT EXISTS."""
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_NOT_IN_SQL)
+
+
+_SKETCH_UNION_ORACLE = """
+    SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_global,
+           TRUE AS union_est_within_5pct,
+           CAST(5 AS BIGINT) AS n_groups,
+           TRUE AS group_ests_within_5pct
+    FROM events
+"""
+
+
+@query("sketch_union", layer="B", oracle=_SKETCH_UNION_ORACLE)
+def sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HLL sketch MERGEABILITY (Spark 4 hll_sketch_agg / hll_union_agg
+    / hll_sketch_estimate): per-group distinct-user sketches are built
+    once, then the GLOBAL distinct count comes from unioning the five
+    group sketches — no second scan of the data. This is the property
+    that makes sketch columns materializable: store a sketch per
+    partition/day, answer any rollup's distinct count by merging
+    sketches, never re-reading 100 TB. Checked as error-bound
+    properties (same pattern as distinct_approx): the union estimate
+    and every per-group estimate must land within 5% of exact, stated
+    as TRUE by the oracle."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(
+        """
+        WITH sk AS (
+            SELECT event_type,
+                   hll_sketch_agg(user_id) AS s,
+                   COUNT(DISTINCT user_id) AS exact_g
+            FROM events GROUP BY event_type
+        ),
+        per_group AS (
+            SELECT CAST(COUNT(*) AS BIGINT) AS n_groups,
+                   every(abs(hll_sketch_estimate(s) - exact_g) * 20
+                         <= exact_g) AS group_ests_within_5pct
+            FROM sk
+        ),
+        merged AS (
+            SELECT hll_sketch_estimate(hll_union_agg(s)) AS est_global FROM sk
+        ),
+        ex AS (
+            SELECT CAST(COUNT(DISTINCT user_id) AS BIGINT) AS exact_global
+            FROM events
+        )
+        SELECT ex.exact_global,
+               abs(merged.est_global - ex.exact_global) * 20
+                   <= ex.exact_global AS union_est_within_5pct,
+               per_group.n_groups,
+               per_group.group_ests_within_5pct
+        FROM ex, merged, per_group
+        """
+    )
