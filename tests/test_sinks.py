@@ -81,3 +81,26 @@ def test_write_json_with_audit(spark, tmp_path):
     assert metrics["n_rows"] == 8
     assert metrics["n_ok"] == 7
     assert metrics["n_error"] == 1
+
+
+def test_compact_parquet_reduces_file_count(spark, sf_dir, tmp_path):
+    """200 tiny files -> the planned file count, same rows."""
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.sinks.compact import (
+        compact_parquet,
+        parquet_bytes,
+        plan_target_files,
+    )
+
+    src = str(tmp_path / "fragmented")
+    dst = str(tmp_path / "compacted")
+    ev = load_table(spark, sf_dir, "events")
+    ev.repartition(200).write.parquet(src)
+    n_small = len(list((tmp_path / "fragmented").glob("*.parquet")))
+    assert n_small >= 150  # genuinely fragmented input
+
+    written = compact_parquet(spark, src, dst, target_file_mb=128)
+    n_files = len(list((tmp_path / "compacted").glob("*.parquet")))
+    assert written == plan_target_files(parquet_bytes(src), 128)
+    assert n_files == written < n_small
+    assert spark.read.parquet(dst).count() == ev.count()
