@@ -1661,3 +1661,69 @@ def sketch_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM ex, merged, per_group
         """
     )
+
+
+_TARGET_ENCODE_SQL = """
+    WITH g AS (
+        SELECT CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS global_mean
+        FROM events
+    ),
+    c AS (
+        SELECT event_type, COUNT(*) AS n,
+               CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS s
+        FROM events GROUP BY event_type
+    )
+    SELECT c.event_type, c.n,
+           round(c.s / c.n, 6) AS raw_mean,
+           round((c.s + 50 * g.global_mean) / (c.n + 50), 6) AS encoded,
+           round(g.global_mean, 6) AS global_mean
+    FROM c CROSS JOIN g
+"""
+
+
+@query("target_encode", layer="B", oracle=_TARGET_ENCODE_SQL)
+def target_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Smoothed target encoding: each category's value replaced by a
+    shrinkage blend of its own mean and the global mean,
+    (sum + m*global)/(n + m) with m=50 — the standard high-cardinality
+    categorical encoder (rare categories collapse toward the prior
+    instead of memorizing noise; frequent ones keep their own signal).
+    Two aggregations (per-category and global) + a 1-row cross join —
+    both map-side-partial single shuffles; at 100 TB the encoder table
+    is categories-sized and broadcasts back onto the training scan.
+    Decimal partial sums keep both means exact, so the blend is one
+    fixed double expression, round 6."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_TARGET_ENCODE_SQL)
+
+
+_BINNING_SQL = """
+    WITH b AS (
+        SELECT value, ntile(10) OVER (ORDER BY value, event_id) AS bin
+        FROM events
+    )
+    SELECT bin, COUNT(*) AS n,
+           round(MIN(value), 6) AS lo,
+           round(MAX(value), 6) AS hi,
+           round(CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)
+                 / COUNT(*), 6) AS bin_mean
+    FROM b GROUP BY bin
+"""
+
+
+@query("feature_binning", layer="B", oracle=_BINNING_SQL)
+def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equal-frequency (quantile) binning: values ntile'd into 10
+    equal-count bins, each reported with its boundaries and mean — the
+    discretization transform behind gradient-boosting histograms, WoE
+    encoding, and drift dashboards (equal-WIDTH bins are
+    histogram_bins; equal-frequency adapts to the distribution). The
+    event_id tiebreak makes tied values assign deterministically on
+    both engines. The global ntile is a single total-order window —
+    fine at test scale, but the 100 TB form computes approx quantile
+    CUTS first (percentile_sketch's one-pass path) and bins by range
+    comparison, which restores full parallelism; the output contract
+    (bin, boundaries, stats) is identical."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_BINNING_SQL)
