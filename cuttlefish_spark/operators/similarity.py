@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from cuttlefish_spark.functions import cosine_sim, dot
+from cuttlefish_spark.functions import cosine_sim, dot, hash60
 from cuttlefish_spark.io import load_table
 from cuttlefish_spark.registry import query
 
@@ -534,4 +534,79 @@ def embedding_array_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.filter(a, lambda x: x > 0)).cast("long").alias("n_positive"),
         F.array_max(a).alias("max_val"),
         F.array_min(a).alias("min_val"),
+    )
+
+
+N_NEGATIVES = 3
+
+_NEG_SAMPLE_ORACLE = f"""
+    WITH n AS (SELECT COUNT(*) AS n_vecs FROM embeddings),
+    cand AS (
+        SELECT e.vec_id AS anchor_id, e.label AS anchor_label, k.i AS k,
+               CAST('0x' || substr(md5(CAST(e.vec_id AS VARCHAR) || '#'
+                                       || CAST(k.i AS VARCHAR)), 1, 15)
+                    AS BIGINT) % n.n_vecs AS neg_id
+        FROM embeddings e
+        CROSS JOIN (SELECT unnest(range(0, {N_NEGATIVES})) AS i) k
+        CROSS JOIN n
+    )
+    SELECT c.anchor_id, c.anchor_label, CAST(c.k AS INTEGER) AS k,
+           c.neg_id, t.label AS neg_label,
+           (t.label = c.anchor_label) AS is_hard
+    FROM cand c JOIN embeddings t ON t.vec_id = c.neg_id
+    WHERE c.neg_id <> c.anchor_id
+"""
+
+
+@query("negative_sampling", layer="C", oracle=_NEG_SAMPLE_ORACLE)
+def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic negative sampling for contrastive training: each
+    anchor vector draws {N_NEGATIVES} pseudo-random negatives via the
+    portable hash (hash60(anchor '#' k) mod corpus size) — reproducible
+    across engines, runs, and repartitions, which is what makes
+    contrastive batches replayable (rng-based sampling changes every
+    negative on every retry). Accidental self-draws are dropped;
+    `is_hard` marks same-label negatives (the in-batch hards a
+    curriculum upweights). Plan: a {N_NEGATIVES}-row explode, then ONE
+    equi-join back to the corpus on the uniformly-distributed sampled
+    id — no skew by construction; at 100 TB this is a standard keyed
+    shuffle join producing 3x corpus rows."""
+    e = load_table(spark, sf_dir, "embeddings")
+    n_vecs = F.broadcast(e.agg(F.count(F.lit(1)).alias("n_vecs")))
+    k = F.explode(F.sequence(F.lit(0), F.lit(N_NEGATIVES - 1))).alias("k")
+    cand = (
+        e.select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            k,
+        )
+        .crossJoin(n_vecs)
+        .select(
+            "anchor_id",
+            "anchor_label",
+            "k",
+            (
+                hash60(
+                    F.concat(
+                        F.col("anchor_id").cast("string"),
+                        F.lit("#"),
+                        F.col("k").cast("string"),
+                    )
+                )
+                % F.col("n_vecs")
+            ).alias("neg_id"),
+        )
+    )
+    t = e.select(F.col("vec_id").alias("neg_id"), F.col("label").alias("neg_label"))
+    return (
+        cand.join(t, "neg_id")
+        .filter(F.col("neg_id") != F.col("anchor_id"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.col("k").cast("int").alias("k"),
+            "neg_id",
+            "neg_label",
+            (F.col("neg_label") == F.col("anchor_label")).alias("is_hard"),
+        )
     )

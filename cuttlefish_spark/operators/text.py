@@ -746,3 +746,96 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_shared"))
         .filter(F.col("n_shared") >= 2)
     )
+
+
+PMI_VOCAB = 50
+PMI_MIN_CODF = 5
+
+_PMI_SQL = rf"""
+    WITH dt AS (
+        SELECT doc_id, unnest(list_distinct(
+                   regexp_split_to_array(trim(lower(text)), '\s+'))) AS tok
+        FROM documents
+    ),
+    voc AS (
+        SELECT tok, COUNT(*) AS df
+        FROM dt GROUP BY tok
+        ORDER BY df DESC, tok
+        LIMIT {PMI_VOCAB}
+    ),
+    ft AS (SELECT dt.doc_id, dt.tok FROM dt JOIN voc USING (tok)),
+    n AS (SELECT COUNT(DISTINCT doc_id) AS n_docs FROM documents),
+    pairs AS (
+        SELECT a.tok AS tok_a, b.tok AS tok_b, COUNT(*) AS co_df
+        FROM ft a JOIN ft b ON a.doc_id = b.doc_id AND a.tok < b.tok
+        GROUP BY a.tok, b.tok
+        HAVING COUNT(*) >= {PMI_MIN_CODF}
+    )
+    SELECT p.tok_a, p.tok_b, p.co_df,
+           round(ln(CAST(p.co_df AS DOUBLE) * n.n_docs
+                    / (CAST(va.df AS DOUBLE) * vb.df)), 6) AS pmi
+    FROM pairs p
+    JOIN voc va ON va.tok = p.tok_a
+    JOIN voc vb ON vb.tok = p.tok_b
+    CROSS JOIN n
+"""
+
+
+@query("cooccurrence_pmi", layer="C", oracle=_PMI_SQL)
+def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token co-occurrence PMI over the vocabulary head: document-level
+    pointwise mutual information ln(P(a,b)/(P(a)P(b))) for every pair
+    of the top-{PMI_VOCAB} tokens co-occurring in >= {PMI_MIN_CODF}
+    docs — the corpus-statistics signal behind collocation discovery,
+    word-association embeddings (word2vec's ancestor), and tokenizer
+    merge candidates. Positive PMI = tokens travel together; negative =
+    they repel.
+
+    The scale-defining move is restricting the pair space to the
+    VOCABULARY HEAD first (the same top-k as vocab_topk, deterministic
+    df-then-token tiebreak): the per-doc self-join then fans out at
+    most C({PMI_VOCAB},2) pairs per doc instead of C(doc_len,2), and
+    the co-occurrence aggregation lands on a bounded key space. At
+    100 TB the head list broadcasts; counts are integer-exact; the one
+    ln per output row rounds to 6 identically on both engines."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    dt = d.select(
+        "doc_id", F.explode(F.array_distinct(tokens(F.col("text")))).alias("tok")
+    )
+    voc = (
+        dt.groupBy("tok")
+        .agg(F.count(F.lit(1)).alias("df"))
+        .orderBy(F.col("df").desc(), "tok")
+        .limit(PMI_VOCAB)
+    )
+    ft = dt.join(F.broadcast(voc.select("tok")), "tok").persist()
+    n = F.broadcast(d.agg(F.countDistinct("doc_id").alias("n_docs")))
+    a = ft.select("doc_id", F.col("tok").alias("tok_a"))
+    b = ft.select("doc_id", F.col("tok").alias("tok_b"))
+    pairs = (
+        a.join(b, "doc_id")
+        .filter(F.col("tok_a") < F.col("tok_b"))
+        .groupBy("tok_a", "tok_b")
+        .agg(F.count(F.lit(1)).alias("co_df"))
+        .filter(F.col("co_df") >= PMI_MIN_CODF)
+    )
+    va = voc.select(F.col("tok").alias("tok_a"), F.col("df").alias("df_a"))
+    vb = voc.select(F.col("tok").alias("tok_b"), F.col("df").alias("df_b"))
+    return (
+        pairs.join(F.broadcast(va), "tok_a")
+        .join(F.broadcast(vb), "tok_b")
+        .crossJoin(n)
+        .select(
+            "tok_a",
+            "tok_b",
+            "co_df",
+            F.round(
+                F.log(
+                    F.col("co_df").cast("double")
+                    * F.col("n_docs")
+                    / (F.col("df_a").cast("double") * F.col("df_b"))
+                ),
+                6,
+            ).alias("pmi"),
+        )
+    )
