@@ -1727,3 +1727,155 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     (bin, boundaries, stats) is identical."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_BINNING_SQL)
+
+
+_SNAPSHOT_DIFF_SQL = """
+    WITH snap_a AS (
+        SELECT o_orderkey, o_custkey, o_totalprice, o_orderpriority
+        FROM orders WHERE o_orderkey % 97 <> 0
+    ),
+    snap_b AS (
+        SELECT o_orderkey, o_custkey,
+               CASE WHEN o_orderkey % 89 = 0
+                    THEN o_totalprice + 1.0 ELSE o_totalprice END AS o_totalprice,
+               o_orderpriority
+        FROM orders WHERE o_orderkey % 101 <> 0
+    )
+    SELECT coalesce(a.o_orderkey, b.o_orderkey) AS o_orderkey,
+           CASE WHEN a.o_orderkey IS NULL THEN 'added'
+                WHEN b.o_orderkey IS NULL THEN 'removed'
+                ELSE 'changed' END AS change_type
+    FROM snap_a a
+    FULL OUTER JOIN snap_b b ON a.o_orderkey = b.o_orderkey
+    WHERE a.o_orderkey IS NULL OR b.o_orderkey IS NULL
+       OR md5(concat_ws('|', a.o_custkey, round(a.o_totalprice, 2),
+                        a.o_orderpriority))
+          <> md5(concat_ws('|', b.o_custkey, round(b.o_totalprice, 2),
+                           b.o_orderpriority))
+"""
+
+
+@query("snapshot_diff", layer="B", oracle=_SNAPSHOT_DIFF_SQL)
+def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot reconciliation: diff two versions of a table into
+    added / removed / changed rows — the detection side of CDC
+    (cdc_merge APPLIES a change log; this DERIVES one when the source
+    can't emit it: nightly vendor dumps, backfill audits, replication
+    checks). Snapshots are simulated deterministically (every 97th key
+    missing from A, every 101st from B, every 89th price bumped in B).
+
+    The comparison is hash-based: each side reduces its non-key columns
+    to ONE md5 over a canonical string, so the full-outer join compares
+    a single value regardless of schema width — at 100 TB the row-hash
+    is precomputed at write time (a `row_hash` column), making the
+    nightly diff one join on the key with a one-column payload instead
+    of a whole-row comparison. Unchanged pairs are filtered before the
+    output, so the result is findings-only."""
+    register_views(spark, sf_dir, ["orders"])
+    return spark.sql(_SNAPSHOT_DIFF_SQL)
+
+
+_PATH_SQL = """
+    WITH flagged AS (
+        SELECT user_id, ts, event_id, event_type,
+               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
+                                            ORDER BY ts, event_id)
+                         <= INTERVAL 30 MINUTE
+                    THEN 0 ELSE 1 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id, event_type,
+               SUM(new_session) OVER (PARTITION BY user_id
+                                      ORDER BY ts, event_id
+                                      ROWS UNBOUNDED PRECEDING) AS session_no
+        FROM flagged
+    ),
+    ranked AS (
+        SELECT user_id, session_no, event_type,
+               row_number() OVER (PARTITION BY user_id, session_no
+                                  ORDER BY ts, event_id) AS step
+        FROM sessions
+    ),
+    paths AS (
+        SELECT user_id, session_no,
+               string_agg(event_type, '>' ORDER BY step) AS path
+        FROM ranked WHERE step <= 3
+        GROUP BY user_id, session_no
+    )
+    SELECT path, COUNT(*) AS n_sessions
+    FROM paths GROUP BY path HAVING COUNT(*) >= 5
+"""
+
+
+@query("path_analysis", layer="B", oracle=_PATH_SQL)
+def path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """User-journey path analysis: each session's first three event
+    types joined into an ordered path string, counted across sessions —
+    the Sankey-diagram / funnel-discovery query (which entry paths
+    dominate, where do sessions diverge). Stacks the engine's
+    primitives end-to-end: gaps-and-islands sessionization (lag +
+    running sum), per-session step ranking, ORDER BY-aggregated
+    string_agg, then a path-grain count. All windows and the final
+    aggregations share the user_id exchange until the last path-count
+    shuffle — two exchanges total at any scale. Spark states the
+    ordered string_agg as sorted-struct collect + array_join (the
+    string_agg_ordered pattern); the oracle uses DuckDB's native
+    string_agg(... ORDER BY)."""
+    ev = load_table(spark, sf_dir, "events")
+    w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_order)
+    flagged = ev.withColumn(
+        "new_session",
+        F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1)),
+    )
+    sessions = flagged.withColumn(
+        "session_no",
+        F.sum("new_session").over(
+            w_order.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ),
+    )
+    w_step = Window.partitionBy("user_id", "session_no").orderBy("ts", "event_id")
+    ranked = sessions.withColumn("step", F.row_number().over(w_step)).filter(
+        F.col("step") <= 3
+    )
+    pair = F.struct(F.col("step"), F.col("event_type"))
+    paths = ranked.groupBy("user_id", "session_no").agg(
+        F.array_join(
+            F.transform(F.array_sort(F.collect_list(pair)), lambda s: s["event_type"]),
+            ">",
+        ).alias("path")
+    )
+    return (
+        paths.groupBy("path")
+        .agg(F.count(F.lit(1)).alias("n_sessions"))
+        .filter(F.col("n_sessions") >= 5)
+    )
+
+
+_TIME_ROLLUP_SQL = """
+    SELECT CAST(date_trunc('week', ts) AS TIMESTAMP) AS week,
+           CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour,
+           COUNT(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY ROLLUP (CAST(date_trunc('week', ts) AS TIMESTAMP),
+                     CAST(date_trunc('day', ts) AS TIMESTAMP),
+                     CAST(date_trunc('hour', ts) AS TIMESTAMP))
+"""
+
+
+@query("time_rollup", layer="B", oracle=_TIME_ROLLUP_SQL)
+def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calendar-hierarchy ROLLUP: hour, day, week and grand totals in
+    ONE pass — the time-axis OLAP cube every metrics dashboard
+    renders, where agg_rollup's dimension hierarchy (region->nation)
+    becomes the natural week->day->hour containment. The grouping-set
+    expansion happens before the single exchange, so one shuffle
+    yields all four granularities; at 100 TB the alternative — four
+    separate date_trunc aggregations — is four scans of the fact
+    table. Identical SQL text on both engines (date_trunc('week')
+    starts Monday in both)."""
+    register_views(spark, sf_dir, ["events"])
+    return spark.sql(_TIME_ROLLUP_SQL)
