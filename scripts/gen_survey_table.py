@@ -45,7 +45,7 @@ def main() -> None:
     survey = REPO / "SURVEY.md"
     text = survey.read_text()
     start = text.index("### 2.C Engine operator surface")
-    end = text.index("\nUDF surface:", start)
+    end = text.index("\nUDF surface", start)
     survey.write_text(text[:start] + HEADER + "\n".join(rows) + "\n" + text[end:])
     print(f"wrote {len(rows)} rows to SURVEY.md §2.C")
 
