@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
-from cuttlefish_spark.io import load_table, spread
+from cuttlefish_spark.io import load_table, register_views, spread
 from cuttlefish_spark.registry import query
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -838,4 +838,134 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
                 6,
             ).alias("pmi"),
         )
+    )
+
+
+MIX_ALPHA = 0.5
+
+_MIX_SQL = f"""
+    WITH counts AS (
+        SELECT source, COUNT(*) AS n FROM documents GROUP BY source
+    ),
+    rates AS (
+        SELECT source, n,
+               round(pow(n, {MIX_ALPHA})
+                     / sum(pow(n, {MIX_ALPHA})) OVER (), 6) AS mix_weight,
+               round(least(1.0,
+                   pow(n, {MIX_ALPHA}) / sum(pow(n, {MIX_ALPHA})) OVER ()
+                   * (SELECT COUNT(*) FROM documents) * 0.2 / n), 6) AS keep_rate
+        FROM counts
+    ),
+    kept AS (
+        SELECT d.source,
+               CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR) || ':mix'),
+                                   1, 15) AS BIGINT) % 1000000
+                   < CAST(r.keep_rate * 1000000 AS BIGINT) AS keep
+        FROM documents d JOIN rates r USING (source)
+    )
+    SELECT r.source, r.n, r.mix_weight, r.keep_rate,
+           CAST((SELECT COUNT(*) FROM kept k
+                 WHERE k.source = r.source AND k.keep) AS BIGINT) AS n_kept
+    FROM rates r
+"""
+
+
+@query("weighted_sampling", layer="C", oracle=_MIX_SQL)
+def weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based source mixing: each source's share of a 20%
+    corpus sample follows n^{MIX_ALPHA} (alpha=0.5) instead of raw
+    size — the dataset-weighting step of every pretraining mix
+    (down-weights the dominant crawl, up-weights small high-value
+    sources; alpha=1 is proportional, alpha=0 uniform). Per-source
+    keep rates are derived in-plan from the count profile, then each
+    doc keeps deterministically via the portable hash against its
+    source's rate — reproducible across engines/runs/partitionings,
+    unlike rng df.sample. Two tiny aggregations + one broadcast join
+    of the rate table onto the scan; the hash threshold evaluates
+    row-local, so the sample never shuffles the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    w_all = Window.partitionBy()
+    pw = F.pow(F.col("n"), MIX_ALPHA)
+    total_docs = d.count()
+    rates = counts.select(
+        "source",
+        "n",
+        F.round(pw / F.sum(pw).over(w_all), 6).alias("mix_weight"),
+        F.round(
+            F.least(
+                F.lit(1.0),
+                pw / F.sum(pw).over(w_all) * F.lit(total_docs) * 0.2 / F.col("n"),
+            ),
+            6,
+        ).alias("keep_rate"),
+    )
+    h = hash60(F.concat(F.col("doc_id").cast("string"), F.lit(":mix"))) % 1000000
+    kept = (
+        d.join(F.broadcast(rates), "source")
+        .filter(h < (F.col("keep_rate") * 1000000).cast("long"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "source", "left").select(
+        "source",
+        "n",
+        "mix_weight",
+        "keep_rate",
+        F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+    )
+
+
+TOKEN_BUDGET = 20000
+
+_BUDGET_SQL = f"""
+    WITH scored AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\\s+'))
+               END AS n_tok,
+               length(regexp_replace(text, '[^!?.,;:]', '', 'g')) * 1.0
+                   / greatest(length(text), 1) AS punct_ratio
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (ORDER BY punct_ratio, doc_id
+                                ROWS UNBOUNDED PRECEDING) AS cum_tok
+        FROM scored
+    )
+    SELECT doc_id, source, n_tok, CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM ranked WHERE cum_tok <= {TOKEN_BUDGET}
+"""
+
+
+@query("token_budget_trim", layer="C", oracle=_BUDGET_SQL)
+def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data selection under a token budget: documents are ranked by a
+    quality signal (low punctuation density first, doc_id tiebreak)
+    and kept greedily until the cumulative token count hits
+    {TOKEN_BUDGET} — the budgeted-selection step when compute, not
+    data, is the binding constraint (the pruning move behind
+    quality-filtered pretraining subsets). One global running sum over
+    the quality order; at 100 TB the total order becomes per-stratum
+    budgets (quality decile x source) so each stratum's cumsum
+    parallelizes — same plan shape as sequence_packing's per-source
+    windows. The oracle states the same pipeline in DuckDB SQL."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"), lowercase=False))
+    punct = F.length(F.regexp_replace(F.col("text"), r"[^!?.,;:]", ""))
+    scored = d.select(
+        "doc_id",
+        "source",
+        n_tok.alias("n_tok"),
+        (punct * F.lit(1.0) / F.greatest(F.length("text"), F.lit(1))).alias(
+            "punct_ratio"
+        ),
+    )
+    w = Window.orderBy("punct_ratio", "doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    ranked = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    return ranked.filter(F.col("cum_tok") <= TOKEN_BUDGET).select(
+        "doc_id", "source", "n_tok", F.col("cum_tok").cast("long").alias("cum_tok")
     )
