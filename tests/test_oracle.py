@@ -37,3 +37,37 @@ def test_entry_smoke(spark):
     df = e.entry(spark)
     assert df.count() > 0
     assert set(e.oracle_sql()) <= set(e.queries())
+
+
+def test_dedup_clusters_chain_graph(spark, tmp_path):
+    """Connected components on a CHAIN — the worst case for min-label
+    propagation (the sf corpora form near-cliques, which converge in
+    one round; a chain of diameter n forces the contracted-graph
+    iteration to actually iterate). Docs 0..5 are built so each
+    consecutive pair shares >0.7 token Jaccard but distant pairs do
+    not: one component, canonical id 0. Doc 50 is disjoint: a
+    singleton."""
+    from cuttlefish_spark.registry import load_all
+
+    base = [f"w{i}" for i in range(12)]
+    rows = []
+    # doc k uses tokens [2k, 2k+12): consecutive docs share 10/14 ≈ 0.71
+    for k in range(6):
+        toks = [f"t{j}" for j in range(2 * k, 2 * k + 12)]
+        rows.append((k, " ".join(toks), "en", "chain", len(" ".join(toks))))
+    rows.append((50, " ".join(base), "en", "solo", len(" ".join(base))))
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    sf_dir = str(tmp_path / "chainsf")
+    df.write.parquet(sf_dir + "/documents.parquet")
+
+    out = (
+        load_all()["dedup_clusters"].fn(spark, sf_dir)
+        .toPandas()
+        .set_index("doc_id")
+        .sort_index()
+    )
+    assert (out.loc[0:5, "cluster_id"] == 0).all()
+    assert out.loc[50, "cluster_id"] == 50
+    assert out["is_canonical"].sum() == 2
