@@ -14,6 +14,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.types import TimestampNTZType
 
 TABLES = [
     "region",
@@ -46,10 +47,17 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # epoch-millis UTC, data_formats.md:21-22). Pinned at runtime so
     # results are identical under any caller's session, not just ours.
     spark.conf.set("spark.sql.session.timeZone", "UTC")
+    # Parquet timestamp[us] with isAdjustedToUTC=false would otherwise
+    # arrive as TIMESTAMP_NTZ, which unix_millis() et al. reject.
+    spark.conf.set("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
     df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
     for field in df.schema.fields:
         if field.name == "ts" and field.dataType.simpleString() == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif isinstance(field.dataType, TimestampNTZType):
+            # Exact under the UTC session tz pinned above; covers any
+            # NTZ-encoded timestamp column regardless of name.
+            df = df.withColumn(field.name, F.col(field.name).cast("timestamp"))
     return df
 
 

@@ -23,19 +23,44 @@ from pyspark.sql import types as T
 
 from cuttlefish_spark.functions import dec_sum
 
-# Parquet-level schema of the events table: ts is TIMESTAMP(NANOS) in
-# the file, read as raw long (legacy.parquet.nanosAsLong) and converted
-# to a microsecond timestamp — same contract as io.load_table.
-EVENTS_FILE_SCHEMA = T.StructType(
-    [
-        T.StructField("event_id", T.LongType()),
-        T.StructField("ts", T.LongType()),
-        T.StructField("user_id", T.LongType()),
-        T.StructField("event_type", T.StringType()),
-        T.StructField("value", T.DoubleType()),
-        T.StructField("props", T.StringType()),
-    ]
-)
+def _events_file_schema(source_dir: str) -> tuple[T.StructType, bool]:
+    """Schema for the events file stream, derived from the parquet
+    footer of one input file (a single driver-side footer read at
+    stream-definition time — no data scan).
+
+    The writer's timestamp flavor has changed under the engine before
+    (TIMESTAMP(NANOS) in r1, timestamp[us]/NTZ in r2), so the contract
+    is: whatever the footer says, `ts` comes out as a UTC TIMESTAMP.
+    Returns (schema, nanos_as_long): nanos files must be read as raw
+    longs (vectorized reader rejects NANOS) and converted."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    files = sorted(glob.glob(f"{source_dir}/*.parquet"))
+    nanos = False
+    ts_field = T.StructField("ts", T.TimestampType())
+    if files:
+        import pyarrow as pa
+
+        arrow_ts = pq.read_schema(files[0]).field("ts").type
+        if getattr(arrow_ts, "unit", None) == "ns" or arrow_ts == pa.int64():
+            # TIMESTAMP(NANOS) or raw int64 nanos: read as long, convert.
+            nanos = True
+            ts_field = T.StructField("ts", T.LongType())
+        elif getattr(arrow_ts, "tz", None) is None:
+            ts_field = T.StructField("ts", T.TimestampNTZType())
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            ts_field,
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+            T.StructField("props", T.StringType()),
+        ]
+    )
+    return schema, nanos
 
 
 def read_events_stream(
@@ -45,11 +70,14 @@ def read_events_stream(
     ingest rate limit (A22's streaming analogue)."""
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     spark.conf.set("spark.sql.session.timeZone", "UTC")
-    reader = spark.readStream.schema(EVENTS_FILE_SCHEMA)
+    schema, nanos = _events_file_schema(source_dir)
+    reader = spark.readStream.schema(schema)
     if max_files_per_trigger is not None:
         reader = reader.option("maxFilesPerTrigger", max_files_per_trigger)
     df = reader.parquet(source_dir)
-    return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    if nanos:
+        return df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return df.withColumn("ts", F.col("ts").cast("timestamp"))
 
 
 def tumbling_stream(events: DataFrame, watermark: str = "2 hours") -> DataFrame:

@@ -56,6 +56,34 @@ def test_jsonl_round_trip(spark, sf_dir, tmp_path):
     _assert_same(src, back)
 
 
+def test_ntz_parquet_normalized(spark, tmp_path):
+    """Regression: parquet timestamp[us] with isAdjustedToUTC=false
+    (what pandas/pyarrow write by default) must load as TIMESTAMP, not
+    TIMESTAMP_NTZ — round 2 lost 8 queries when the test data switched
+    to this encoding. The load contract is: any ts-bearing table works
+    with unix_millis() regardless of the writer's timestamp flavor."""
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    tbl = pa.table(
+        {
+            "event_id": pa.array([1, 2], pa.int64()),
+            "ts": pa.array(
+                pd.to_datetime(["2024-01-01 00:00:00", "2024-01-01 01:00:00"]),
+                pa.timestamp("us"),  # no tz => isAdjustedToUTC=false
+            ),
+        }
+    )
+    d = tmp_path / "ntz_sf"
+    d.mkdir()
+    pq.write_table(tbl, str(d / "events.parquet"))
+    df = load_table(spark, str(d), "events")
+    assert df.schema["ts"].dataType.simpleString() == "timestamp"
+    got = df.select(F.unix_millis("ts").alias("ms")).orderBy("ms").collect()
+    assert [r["ms"] for r in got] == [1704067200000, 1704070800000]
+
+
 def test_multiline_json_read(spark, sf_dir, tmp_path):
     """multiLine=True is the A2 parity mode (one JSON document per
     file, the reference's chapters.json shape, api-runner.rkt:171-178)."""
