@@ -229,64 +229,121 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Token-set MinHash signature: same 4-windows-of-one-md5 scheme as the
+# shingle signatures above, but over distinct 1-gram tokens — shared by
+# ngram_jaccard and the dedup_clusters edge generator.
+_TOKSIG_SQL = rf"""
+        SELECT doc_id, w,
+               {_mh_sql(1)} || {_mh_sql(9)} AS band1,
+               {_mh_sql(17)} || {_mh_sql(25)} AS band2
+        FROM (SELECT doc_id, w, list_transform(w, x -> md5(x)) AS h
+              FROM (SELECT doc_id,
+                           list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                    FROM documents))
+"""
+
+
+def _token_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Candidate near-dup pairs via token-set MinHash band collisions.
+
+    The scale-safe candidate generator: 4 MinHashes from disjoint hex
+    windows of one md5 per token, 2 bands of 2, candidates = pairs
+    colliding on either band (two equi-joins + union + distinct). The
+    band keys are high-cardinality by construction, so each join is a
+    uniform keyed shuffle — NO low-cardinality block key, no per-block
+    O(n^2). Token sets ride along so verification needs no re-join.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
+
+    def mh(start: int):
+        return F.array_min(F.transform(F.col("h"), lambda x: F.substring(x, start, 8)))
+
+    sig = (
+        t.withColumn("h", F.transform(F.col("w"), F.md5))
+        .select(
+            "doc_id",
+            "w",
+            F.concat(mh(1), mh(9)).alias("band1"),
+            F.concat(mh(17), mh(25)).alias("band2"),
+        )
+        .persist()
+    )
+    sig.count()  # materialize once; four join branches read the cache
+
+    def band_join(band: str) -> DataFrame:
+        a = sig.select(
+            F.col("doc_id").alias("doc_a"), F.col(band).alias("k"), F.col("w").alias("w_a")
+        )
+        b = sig.select(
+            F.col("doc_id").alias("doc_b"), F.col(band).alias("k"), F.col("w").alias("w_b")
+        )
+        return a.join(b, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+
+    return (
+        band_join("band1")
+        .unionByName(band_join("band2"))
+        .dropDuplicates(["doc_a", "doc_b"])
+    )
+
+
 @query(
     "ngram_jaccard",
     layer="C",
-    oracle=r"""
-    WITH t AS (
-        SELECT doc_id, source,
-               list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-        FROM documents
+    oracle=f"""
+    WITH sig AS ({_TOKSIG_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (a.band1 = b.band1 OR a.band2 = b.band2)
     )
     SELECT doc_a, doc_b, jaccard FROM (
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-                   / len(list_distinct(a.w || b.w)) AS jaccard
-        FROM t a JOIN t b
-          ON a.source = b.source AND a.doc_id < b.doc_id
+        SELECT c.doc_a, c.doc_b,
+               CAST(len(list_intersect(sa.w, sb.w)) AS DOUBLE)
+                   / len(list_distinct(sa.w || sb.w)) AS jaccard
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
     ) WHERE jaccard >= 0.9
     """,
 )
 def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Exact 1-gram (token-set) Jaccard near-dups within a blocking key.
+    """Exact 1-gram (token-set) Jaccard near-dups over MinHash band
+    candidates.
 
-    Blocking on `source` bounds the self-join the way real pipelines
-    block on domain/url-prefix: each block shuffles independently and
-    the cross product is per-block, never global. Pairs with token-set
-    Jaccard >= 0.9 survive.
+    Candidate generation is the banded MinHash equi-join
+    (_token_band_candidates) — the same S-curve LSH as minhash_shingles
+    (b=2, r=2: P[candidate] = 1-(1-j^2)^2, >= 0.96 at the j=0.9
+    emit threshold) — then ONLY candidates pay the exact token-set
+    Jaccard. Earlier rounds blocked on `source` (~5 values), which is
+    per-block O(n^2) and dies at corpus scale; band keys are
+    high-cardinality so every shuffle stays uniform. The oracle states
+    the identical deterministic candidate generation, so both engines
+    see the same pair set.
     """
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
-    t = d.select(
-        "doc_id", "source", F.array_distinct(tokens(F.col("text"))).alias("w")
-    )
-    a = t.select(
-        F.col("source"), F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a")
-    )
-    b = t.select(
-        F.col("source"), F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b")
-    )
+    cand = _token_band_candidates(spark, sf_dir)
     jaccard = F.size(F.array_intersect("w_a", "w_b")).cast("double") / F.size(
         F.array_union("w_a", "w_b")
     )
     return (
-        a.join(b, "source")
-        .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", jaccard.alias("jaccard"))
+        cand.select("doc_a", "doc_b", jaccard.alias("jaccard"))
         .filter(F.col("jaccard") >= 0.9)
     )
 
 
-_CLUSTER_EDGE_SQL = r"""
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
-        FROM (SELECT doc_id, source,
-                     list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-              FROM documents) a
-        JOIN (SELECT doc_id, source,
-                     list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
-              FROM documents) b
-          ON a.source = b.source AND a.doc_id < b.doc_id
-         AND CAST(len(list_intersect(a.w, b.w)) AS DOUBLE)
-                 / len(list_distinct(a.w || b.w)) >= 0.7
+_CLUSTER_EDGE_SQL = f"""
+        SELECT c.doc_a, c.doc_b
+        FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sig a JOIN sig b
+                ON a.doc_id < b.doc_id
+               AND (a.band1 = b.band1 OR a.band2 = b.band2)) c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE len(sa.w) * 10 >= len(sb.w) * 7
+          AND len(sb.w) * 10 >= len(sa.w) * 7
+          AND CAST(len(list_intersect(sa.w, sb.w)) AS DOUBLE)
+                  / len(list_distinct(sa.w || sb.w)) >= 0.7
 """
 
 
@@ -294,7 +351,8 @@ _CLUSTER_EDGE_SQL = r"""
     "dedup_clusters",
     layer="C",
     oracle=f"""
-    WITH RECURSIVE e AS ({_CLUSTER_EDGE_SQL}),
+    WITH RECURSIVE sig AS ({_TOKSIG_SQL}),
+    e AS ({_CLUSTER_EDGE_SQL}),
     sym AS (
         SELECT doc_a AS a, doc_b AS b FROM e
         UNION ALL
@@ -321,8 +379,9 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     own id); `is_canonical` marks the one row per cluster a training
     pipeline keeps.
 
-    Edges are token-set Jaccard >= 0.7 blocked by source (the
-    ngram_jaccard plan at a recall-oriented threshold), with a
+    Edges are token-set Jaccard >= 0.7 over MinHash band candidates
+    (_token_band_candidates — the ngram_jaccard generator at a
+    recall-oriented threshold; NO low-cardinality block key), with a
     length-ratio prefilter ahead of the O(|A|+|B|) intersect: J >= 0.7
     forces 0.7 <= |A|/|B| <= 1/0.7, and the conjunct short-circuits
     inside codegen, so mismatched-size pairs never pay the set math.
@@ -344,20 +403,14 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle runs the identical closure as a recursive CTE.
     """
     d = spread(spark, load_table(spark, sf_dir, "documents"))
-    t = d.select(
-        "doc_id", "source", F.array_distinct(tokens(F.col("text"))).alias("w")
-    )
-    a = t.select("source", F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
-    b = t.select("source", F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
     na, nb = F.size("w_a"), F.size("w_b")
     jaccard = F.size(F.array_intersect("w_a", "w_b")).cast("double") / F.size(
         F.array_union("w_a", "w_b")
     )
     e = (
-        a.join(b, "source")
+        _token_band_candidates(spark, sf_dir)
         .filter(
-            (F.col("doc_a") < F.col("doc_b"))
-            & (na * 10 >= nb * 7)
+            (na * 10 >= nb * 7)
             & (nb * 10 >= na * 7)
             & (jaccard >= 0.7)
         )

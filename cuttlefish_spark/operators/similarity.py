@@ -78,51 +78,129 @@ def embedding_cosine_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(F.col("cosine").desc(), F.col("vec_id")).limit(10)
 
 
-@query(
-    "embedding_near_dup",
-    layer="C",
-    oracle=f"""
+N_PLANES = 8
+
+
+def _plane_weights() -> list[list[float]]:
+    """Deterministic pseudo-random +-1 hyperplanes: sign from the
+    parity of md5(f"{dim}_{plane}") — reproducible in SQL, no RNG."""
+    import hashlib
+
+    return [
+        [
+            1.0 if int(hashlib.md5(f"{i}_{p}".encode()).hexdigest()[:15], 16) & 1 else -1.0
+            for i in range(64)
+        ]
+        for p in range(N_PLANES)
+    ]
+
+
+def _bucket_bits_sql() -> str:
+    """DuckDB expression list for the sign-bit LSH bucket string."""
+    return ", ".join(
+        "CASE WHEN list_dot_product(v, ["
+        + ", ".join(str(x) for x in w)
+        + "]) >= 0 THEN '1' ELSE '0' END"
+        for w in _plane_weights()
+    )
+
+
+def _near_dup_oracle() -> str:
+    bits = _bucket_bits_sql()
+    return f"""
     WITH t AS (
         SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
-    n AS (
-        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm FROM t
+    sig AS (
+        SELECT vec_id, label, v, sqrt(list_dot_product(v, v)) AS nrm,
+               concat({bits}) AS bucket
+        FROM t
     )
     SELECT vec_id_a, vec_id_b, label, cosine FROM (
         SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b, a.label AS label,
                round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6) AS cosine
-        FROM n a JOIN n b ON a.label = b.label AND a.vec_id < b.vec_id
-    ) WHERE cosine >= 0.35
-    """,
-)
+        FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND a.label = b.label AND a.vec_id < b.vec_id
+    ) WHERE cosine >= 0.25
+    """
+
+
+@query("embedding_near_dup", layer="C", oracle=_near_dup_oracle())
 def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Embedding-cosine near-duplicate pairs, blocked by label.
+    """Embedding-cosine near-duplicate pairs over LSH-bucket candidates,
+    reported per label.
 
-    Blocking turns the O(n^2) global cross product into independent
-    per-block problems (one keyed shuffle); in production the block
-    key is an LSH bucket (random-hyperplane sign bits) instead of a
-    label — same plan shape.
+    Candidate generation is the random-hyperplane LSH bucket (the same
+    deterministic sign-bit signature as embedding_lsh_bucket) — the
+    bucket key is high-cardinality (~2^planes cells), so the grouped
+    shuffle is uniform and per-group work is bounded at any corpus
+    size. Earlier rounds blocked on `label` (a handful of values),
+    which is per-block O(n^2) — dead at 100 TB. Same-label filtering
+    now happens INSIDE the bucket kernel (the dedup question is still
+    "near-dups within a class"), and the oracle states the identical
+    bucket + label join so both engines see the same pair set.
 
-    Each block is scored as ONE numpy matmul (V @ V.T over the
-    Arrow-transferred block) inside applyInPandas — the vectorized
-    production path for pairwise scoring: a 200-vector block is a
-    single 200x64 @ 64x200 BLAS call instead of ~20k interpreted
-    per-pair folds (measured ~10x faster at sf0.1). Block size is
-    bounded by the blocking key (an LSH bucket at scale), so the
-    per-group matrix always fits an executor. Only the upper triangle
-    (vec_id_a < vec_id_b) of pairs above the similarity threshold
-    leaves the worker (0.35 here so the synthetic corpus — max same-label
-    cosine ~0.51 — exercises the emit path; a production dedup pass
-    would set ~0.9),
-    so the shuffle-back is near-empty."""
+    Each bucket is scored as ONE numpy matmul (V @ V.T over the
+    Arrow-transferred block) inside applyInPandas: a 200-vector block
+    is a single BLAS call instead of ~20k interpreted per-pair folds.
+    Only upper-triangle pairs with round(cosine,6) >= 0.25 leave the
+    worker. Threshold 0.25: bucket collision already implies high bit
+    agreement, and the synthetic corpus's strongest bucket-colliding
+    same-label pair is ~0.27 at sf0.001 / ~0.37 at sf0.01 — 0.25 keeps
+    the emit path exercised (and guard-testable as nonzero) at every
+    test scale; a production dedup pass would set ~0.9."""
     e = load_table(spark, sf_dir, "embeddings")
     t = e.select(
-        "label", "vec_id", F.col("embedding").cast("array<double>").alias("v")
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
     )
 
-    return t.groupBy("label").applyInPandas(
-        _block_pair_scorer("label", 0.35),
-        schema="vec_id_a bigint, vec_id_b bigint, label int, cosine double",
+    def _signatures(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes_t = np.array(_plane_weights()).T  # 64 x N_PLANES
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy())
+            bits = (m @ planes_t) >= 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "bucket": [
+                        "".join("1" if b else "0" for b in row) for row in bits
+                    ],
+                    "v": pdf["v"],
+                }
+            )
+
+    sig = t.mapInPandas(
+        _signatures, schema="vec_id bigint, label int, bucket string, v array<double>"
+    )
+
+    def _pairs(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        m = np.stack(pdf["v"].to_numpy())
+        nrm = np.sqrt((m * m).sum(axis=1))
+        cos = (m @ m.T) / np.outer(nrm, nrm)
+        ia, ib = np.triu_indices(len(pdf), k=1)
+        scores = np.round(cos[ia, ib], 6)
+        labels = pdf["label"].to_numpy()
+        keep = (scores >= 0.25) & (labels[ia] == labels[ib])
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_id_a": ids[ia[keep]],
+                "vec_id_b": ids[ib[keep]],
+                "label": labels[ia[keep]],
+                "cosine": scores[keep],
+            }
+        )
+
+    return sig.groupBy("bucket").applyInPandas(
+        _pairs, schema="vec_id_a bigint, vec_id_b bigint, label int, cosine double"
     )
 
 
@@ -157,31 +235,8 @@ def _block_pair_scorer(key: str, threshold: float):
     return _pairs
 
 
-N_PLANES = 8
-
-
-def _plane_weights() -> list[list[float]]:
-    """Deterministic pseudo-random +-1 hyperplanes: sign from the
-    parity of md5(f"{dim}_{plane}") — reproducible in SQL, no RNG."""
-    import hashlib
-
-    return [
-        [
-            1.0 if int(hashlib.md5(f"{i}_{p}".encode()).hexdigest()[:15], 16) & 1 else -1.0
-            for i in range(64)
-        ]
-        for p in range(N_PLANES)
-    ]
-
-
 def _lsh_oracle() -> str:
-    planes = _plane_weights()
-    bits = ", ".join(
-        "CASE WHEN list_dot_product(v, ["
-        + ", ".join(str(x) for x in w)
-        + "]) >= 0 THEN '1' ELSE '0' END"
-        for w in planes
-    )
+    bits = _bucket_bits_sql()
     return f"""
     WITH t AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings

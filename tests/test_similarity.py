@@ -24,3 +24,24 @@ def test_topk_excludes_probe_and_sorted(spark, sf_dir):
     df = SPECS["embedding_cosine_topk"].fn(spark, sf_dir).toPandas()
     assert 0 not in set(df["vec_id"])
     assert list(df["cosine"]) == sorted(df["cosine"], reverse=True)
+
+
+def test_pair_emitters_nonzero(spark, sf_dir):
+    """Guard: every pair-emitting near-dup operator must find pairs at
+    the test sf. Round 2 proved the data can change under the engine;
+    an empty pair set hash-matches a broken oracle trivially, so
+    emptiness here means the operator (or its candidate generation)
+    silently stopped seeing the corpus."""
+    import pyspark.sql.functions as F
+
+    for name in [
+        "minhash_shingles",
+        "simhash_dedup",
+        "ngram_jaccard",
+        "embedding_near_dup",
+        "editdist_near_dup",
+    ]:
+        assert SPECS[name].fn(spark, sf_dir).limit(1).count() > 0, f"{name} emitted 0 pairs"
+    clusters = SPECS["dedup_clusters"].fn(spark, sf_dir)
+    multi = clusters.groupBy("cluster_id").count().filter(F.col("count") > 1)
+    assert multi.limit(1).count() > 0, "dedup_clusters produced only singletons"
