@@ -1720,13 +1720,56 @@ def feature_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
     encoding, and drift dashboards (equal-WIDTH bins are
     histogram_bins; equal-frequency adapts to the distribution). The
     event_id tiebreak makes tied values assign deterministically on
-    both engines. The global ntile is a single total-order window —
-    fine at test scale, but the 100 TB form computes approx quantile
-    CUTS first (percentile_sketch's one-pass path) and bins by range
-    comparison, which restores full parallelism; the output contract
-    (bin, boundaries, stats) is identical."""
-    register_views(spark, sf_dir, ["events"])
-    return spark.sql(_BINNING_SQL)
+    both engines.
+
+    The global rank is DISTRIBUTED (never a single-task
+    Window.orderBy): range-repartition on the sort key so partitions
+    tile the total order, lift one per-partition count row to the
+    driver, and each partition ranks within itself plus its exclusive
+    offset — the same two-phase pattern as token_budget_trim. The
+    exact-NTILE bucket then falls out of the closed form (first n%k
+    buckets take ceil(n/k) rows), so the plan stays fully parallel at
+    any corpus size while matching ntile() row-for-row."""
+    ev = load_table(spark, sf_dir, "events").select("value", "event_id")
+    nparts = spark.sparkContext.defaultParallelism
+    part = (
+        ev.repartitionByRange(nparts, "value", "event_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    subs = sorted(
+        (r["pid"], r["count"]) for r in part.groupBy("pid").count().collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in subs:
+        offsets.append((pid, acc))
+        acc += cnt
+    n, k = acc, 10
+    q, r = divmod(n, k)
+    off_df = spark.createDataFrame(offsets, "pid int, off bigint")
+    w = Window.partitionBy("pid").orderBy("value", "event_id")
+    rn = (F.row_number().over(w) + F.col("off")).alias("rn")
+    # Exact ntile(k) from the global row number: the first r buckets
+    # hold q+1 rows, the rest q.
+    binned = part.join(F.broadcast(off_df), "pid").select("value", rn)
+    bucket = (
+        F.when(F.col("rn") <= r * (q + 1), F.ceil(F.col("rn") / (q + 1)))
+        .otherwise(r + F.ceil((F.col("rn") - r * (q + 1)) / F.greatest(F.lit(q), F.lit(1))))
+        .cast("int")
+        .alias("bin")
+    )
+    return (
+        binned.select("value", bucket)
+        .groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.min("value"), 6).alias("lo"),
+            F.round(F.max("value"), 6).alias("hi"),
+            F.round(
+                (dec_sum(F.col("value")) / F.count(F.lit(1))).cast("double"), 6
+            ).alias("bin_mean"),
+        )
+    )
 
 
 _SNAPSHOT_DIFF_SQL = """

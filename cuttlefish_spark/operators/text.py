@@ -887,7 +887,10 @@ def weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
     w_all = Window.partitionBy()
     pw = F.pow(F.col("n"), MIX_ALPHA)
-    total_docs = d.count()
+    # total corpus size folds out of the SAME counts aggregate (a
+    # window-sum over the tiny per-source frame) — no separate
+    # d.count() driver job scanning the corpus twice.
+    total_docs = F.sum("n").over(w_all)
     rates = counts.select(
         "source",
         "n",
@@ -895,7 +898,7 @@ def weighted_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(
             F.least(
                 F.lit(1.0),
-                pw / F.sum(pw).over(w_all) * F.lit(total_docs) * 0.2 / F.col("n"),
+                pw / F.sum(pw).over(w_all) * total_docs * 0.2 / F.col("n"),
             ),
             6,
         ).alias("keep_rate"),
@@ -946,11 +949,21 @@ def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     and kept greedily until the cumulative token count hits
     {TOKEN_BUDGET} — the budgeted-selection step when compute, not
     data, is the binding constraint (the pruning move behind
-    quality-filtered pretraining subsets). One global running sum over
-    the quality order; at 100 TB the total order becomes per-stratum
-    budgets (quality decile x source) so each stratum's cumsum
-    parallelizes — same plan shape as sequence_packing's per-source
-    windows. The oracle states the same pipeline in DuckDB SQL."""
+    quality-filtered pretraining subsets).
+
+    The prefix sum is DISTRIBUTED — never a global Window.orderBy
+    (which funnels the whole corpus through one task). Two-phase
+    cumsum: (1) range-repartition on the quality order so partitions
+    tile the total order, take ONE per-partition subtotal row to the
+    driver (numPartitions scalars), turn those into exclusive-prefix
+    offsets; (2) each partition windows ONLY within itself
+    (partitionBy pid) and adds its offset. Identical result for any
+    boundary placement because (punct_ratio, doc_id) is a strict total
+    order. Partitions whose offset already exceeds the budget are
+    dropped wholesale by the broadcast offset join BEFORE sorting, so
+    at 100 TB only the head partitions pay the window — the rest of
+    the corpus is touched by exactly one narrow pass + one range
+    shuffle. The oracle states the same pipeline in DuckDB SQL."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tokens(F.col("text"), lowercase=False))
     punct = F.length(F.regexp_replace(F.col("text"), r"[^!?.,;:]", ""))
@@ -962,10 +975,32 @@ def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
             "punct_ratio"
         ),
     )
-    w = Window.orderBy("punct_ratio", "doc_id").rowsBetween(
+    nparts = spark.sparkContext.defaultParallelism
+    part = (
+        scored.repartitionByRange(nparts, "punct_ratio", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        # One shuffle, consumed by two jobs (subtotals, then the
+        # windowed pass) — checkpoint so the scan+shuffle runs once.
+        .localCheckpoint()
+    )
+    subs = sorted(
+        (r["pid"], r["sub"])
+        for r in part.groupBy("pid").agg(F.sum("n_tok").alias("sub")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, sub in subs:
+        offsets.append((pid, acc))
+        acc += sub or 0
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offsets if o <= TOKEN_BUDGET], "pid int, off bigint"
+    )
+    w = Window.partitionBy("pid").orderBy("punct_ratio", "doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    ranked = scored.withColumn("cum_tok", F.sum("n_tok").over(w))
+    ranked = (
+        part.join(F.broadcast(off_df), "pid")  # drops post-budget partitions
+        .withColumn("cum_tok", F.sum("n_tok").over(w) + F.col("off"))
+    )
     return ranked.filter(F.col("cum_tok") <= TOKEN_BUDGET).select(
         "doc_id", "source", "n_tok", F.col("cum_tok").cast("long").alias("cum_tok")
     )

@@ -66,3 +66,24 @@ def has_whole_stage_codegen(df: DataFrame) -> bool:
         df._jdf.queryExecution(), "codegen"
     )
     return "WholeStageCodegen" in s
+
+
+def global_ordered_windows(df: DataFrame) -> list[str]:
+    """windowspecdefinition occurrences that are ORDERED but have NO
+    partition columns — the single-task global prefix-scan
+    anti-pattern (the whole input funnels through one window task).
+
+    Detection is on the analyzed logical plan: windowspecdefinition's
+    argument list is (partitionCols..., orderCols ASC|DESC..., frame);
+    if the FIRST argument already carries a sort direction, the
+    partition list is empty. Unordered global windows (a windowed
+    grand total over an already-tiny aggregate) are not flagged."""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    flagged = []
+    for m in re.finditer(r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)", plan):
+        first_arg = m.group(1).split(",")[0]
+        if " ASC" in first_arg or " DESC" in first_arg:
+            flagged.append(m.group(0)[:120])
+    return flagged

@@ -235,3 +235,22 @@ def test_anomaly_zscore_single_shuffle(spark, sf_dir):
     """Both analytic windows share the event_type partitioning."""
     df = SPECS["anomaly_zscore"].fn(spark, sf_dir)
     assert checks.count_exchanges(df) == 1
+
+
+def test_no_global_ordered_windows(spark, sf_dir):
+    """No query may contain an ORDERED window with an empty partition
+    spec over unbounded input — that's a single-task global prefix
+    scan, the 100 TB killer this suite exists to catch. vocab_topk is
+    the one documented exemption: its rank window runs AFTER a
+    TakeOrderedAndProject cut, so it only ever sees 50 rows."""
+    from cuttlefish_spark.plans.checks import global_ordered_windows
+
+    exempt = {"vocab_topk"}
+    offenders = {}
+    for name, spec in SPECS.items():
+        if name in exempt:
+            continue
+        flagged = global_ordered_windows(spec.fn(spark, sf_dir))
+        if flagged:
+            offenders[name] = flagged[0]
+    assert not offenders, f"global ordered windows: {offenders}"
