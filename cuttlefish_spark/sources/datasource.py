@@ -17,9 +17,13 @@ TokenBucket is acquired per request, placing the reference's adaptive
 throttle (meetup.rkt:9-26) where it belongs at scale: one bucket per
 task, not a global lock.
 
-Replay mode reads the inline fixtures (the reference's own test
-strategy, eventbrite.rkt:123-146). A live HTTP mode would change ONLY
-`_fetch` — the partition/throttle/error plumbing is identical.
+Both modes run the SAME fetch body (sources.fetch.fetch_events:
+throttle -> GET -> header-driven throttle update -> Either errors);
+only the transport differs. `transport=replay` (default) answers from
+the golden fixtures through HTTP-shaped responses (the reference's own
+test strategy, eventbrite.rkt:123-146); `transport=live` performs the
+real urllib GET against the worker APIs (meetup.rkt:83-84,
+facebook.rkt:82-83, eventbrite.rkt:114).
 """
 
 from __future__ import annotations
@@ -54,37 +58,38 @@ class ChapterReplayReader(DataSourceReader):
         return [ChapterPartition(c) for c in fixtures.CHAPTERS]
 
     def read(self, partition: ChapterPartition) -> Iterator[tuple]:
-        from cuttlefish_spark.sources import fixtures
+        from cuttlefish_spark.sources.fetch import (
+            FixtureTransport,
+            fetch_events,
+            http_transport,
+        )
         from cuttlefish_spark.sources.throttle import TokenBucket
 
         chapter_id, _title, adapter, service_id, organization = partition.chapter
         bucket = TokenBucket(rate_per_sec=float(self.options.get("rate_per_sec", 1000.0)))
-        bucket.acquire()
 
         if adapter not in ("meetup", "facebook", "eventbrite"):
+            bucket.acquire()
             yield (chapter_id, adapter, service_id, None, "ERROR",
                    f"No adapter found: {adapter}")
             return
-        payloads = _fetch(adapter, service_id, organization, fixtures)
-        if payloads is None:
-            yield (chapter_id, adapter, service_id, None, "ERROR",
-                   f"fetch failed for {service_id}")
+        transport = (
+            http_transport
+            if self.options.get("transport", "replay") == "live"
+            else FixtureTransport()
+        )
+        events, error = fetch_events(
+            adapter,
+            service_id,
+            organization or service_id,
+            transport=transport,
+            bucket=bucket,
+        )
+        if error is not None:
+            yield (chapter_id, adapter, service_id, None, "ERROR", error)
             return
-        for event in payloads:
+        for event in events:
             yield (chapter_id, adapter, service_id, json.dumps(event), "OK", None)
-
-
-def _fetch(adapter: str, service_id: str, organization: str | None, fixtures):
-    """Replay-mode fetch: the HTTP GET of meetup.rkt:83-84 et al.,
-    answered from the golden fixtures. Returns a list of raw event
-    dicts, or None for a miss (stands in for an HTTP error)."""
-    if adapter == "meetup":
-        return fixtures.MEETUP_RAW.get(service_id)
-    if adapter == "facebook":
-        env = fixtures.FACEBOOK_RAW.get(service_id)
-        return None if env is None else env["data"]
-    env = fixtures.EVENTBRITE_RAW.get(organization or service_id)
-    return None if env is None else env["events"]
 
 
 class ChapterReplayDataSource(DataSource):

@@ -178,3 +178,136 @@ def test_convert_chapters_yaml(spark, tmp_path):
     rows = {r.chapter_id: r for r in convert_chapters_yaml(spark, str(p)).collect()}
     assert rows["newyork"].adapter == "meetup"  # injected default
     assert rows["london"].adapter == "eventbrite"
+
+
+def test_fetch_events_ok_and_throttle_update():
+    """fetch_events drives the full worker body (meetup.rkt:66-95):
+    bucket acquired per request, headers fed back to the throttle,
+    envelope unwrapped per adapter."""
+    from cuttlefish_spark.sources.fetch import FixtureTransport, fetch_events
+    from cuttlefish_spark.sources.throttle import TokenBucket
+
+    naps = []
+    clock_now = [0.0]
+
+    def clock():
+        return clock_now[0]
+
+    def sleep(s):
+        naps.append(s)
+        clock_now[0] += s
+
+    # remaining below min_remaining => next acquire backs off reset+2s
+    transport = FixtureTransport(ratelimit_remaining=1, ratelimit_reset=5.0)
+    bucket = TokenBucket(rate_per_sec=1000.0, clock=clock, sleep=sleep)
+    events, error = fetch_events(
+        "meetup", "papers-we-love", None, transport=transport, bucket=bucket
+    )
+    assert error is None and len(events) > 0
+    (url, params), = transport.calls
+    assert url == "https://api.meetup.com/papers-we-love/events"
+    assert params["status"] == "upcoming,past"  # meetup.rkt:31-36
+    bucket.acquire()
+    assert naps and abs(sum(naps) - 7.0) < 1e-9  # reset(5) + 2
+
+
+def test_fetch_events_404_and_read_error():
+    """HTTP error -> \"Couldn't fetch id: 404\" (README.md:66-72);
+    transport raise -> read-error message (meetup.rkt:76-80)."""
+    from cuttlefish_spark.sources.fetch import FixtureTransport, fetch_events
+    from cuttlefish_spark.sources.throttle import TokenBucket
+
+    events, error = fetch_events(
+        "meetup", "no-such-chapter", None,
+        transport=FixtureTransport(), bucket=TokenBucket(rate_per_sec=1000.0),
+    )
+    assert events is None and error == "Couldn't fetch no-such-chapter: 404"
+
+    def broken(url, params):
+        raise OSError("connection reset")
+
+    events, error = fetch_events(
+        "meetup", "x", None, transport=broken, bucket=TokenBucket(rate_per_sec=1000.0)
+    )
+    assert events is None and error == "Could not read data for x"
+
+
+def test_fetch_events_bad_json():
+    from cuttlefish_spark.sources.fetch import fetch_events
+    from cuttlefish_spark.sources.throttle import TokenBucket
+
+    def junk(url, params):
+        return 200, {}, "not json {"
+
+    events, error = fetch_events(
+        "facebook", "svc", None, transport=junk, bucket=TokenBucket(rate_per_sec=1000.0)
+    )
+    assert events is None and error == "Couldn't format svc into correct JSON"
+
+
+def test_fetch_request_shapes():
+    """facebook/eventbrite URL + param parity (facebook.rkt:67-83,
+    eventbrite.rkt:98-114), config-driven tokens."""
+    from cuttlefish_spark.sources.fetch import build_request
+
+    url, params = build_request(
+        "facebook", "svc1", None, {"facebook-access-token": "tok"}
+    )
+    assert url == "https://graph.facebook.com/v2.9/svc1/events"
+    assert params == {"since": "132001640", "access_token": "tok"}
+    url, params = build_request(
+        "eventbrite", "svc2", "org9", {"eventbrite-access-tokens": {"svc2": "ebtok"}}
+    )
+    assert url == "https://www.eventbriteapi.com/v3/organizations/org9/events/"
+    assert params == {"expand": "venue.address", "token": "ebtok"}
+
+
+def test_datasource_404_rows_flow_to_error_channel(spark):
+    """A chapter whose fixture is missing surfaces the HTTP 404 through
+    the DataSource's Either columns instead of failing the job."""
+    from cuttlefish_spark.sources.datasource import register
+
+    register(spark)
+    df = spark.read.format("cuttlefish_replay").load()
+    errs = {
+        r["error"] for r in df.filter("status = 'ERROR'").collect() if r["error"]
+    }
+    assert any("Couldn't fetch" in e or "No adapter found" in e for e in errs)
+
+
+def test_runtime_config_defaults_and_override(spark, tmp_path):
+    """A1 (main.rkt:35-62): missing rc file -> defaults; rc file keys
+    override; resolved chapter-json-file drives the chapters scan."""
+    import json as _json
+
+    from cuttlefish_spark.sources.config import load_config, resolve_config_path
+
+    cwd = str(tmp_path)
+    cfg = load_config(cwd=cwd)
+    assert cfg["json-out-path"] == "/tmp"
+    assert cfg["chapter-json-file"] == str(tmp_path / "chapters.json")
+    assert resolve_config_path(cwd=cwd) == tmp_path / ".cuttlefishrc"
+
+    chapters = tmp_path / "my_chapters.json"
+    chapters.write_text(_json.dumps({
+        "boston": {"title": "Boston",
+                   "dataService": {"adapter": "meetup", "id": "papers-we-love"}}
+    }))
+    (tmp_path / ".cuttlefishrc").write_text(_json.dumps({
+        "chapter-json-file": str(chapters), "json-out-path": str(tmp_path / "out")
+    }))
+    cfg = load_config(cwd=cwd)
+    assert cfg["chapter-json-file"] == str(chapters)   # overridden
+    assert cfg["json-out-path"] == str(tmp_path / "out")
+    assert cfg["logfile-path"] == str(tmp_path / "logs")  # default kept
+
+    from cuttlefish_spark.sources.config import chapters_from_config
+
+    rows = chapters_from_config(spark, cfg).collect()
+    assert [(r["chapter_id"], r["adapter"], r["service_id"]) for r in rows] == [
+        ("boston", "meetup", "papers-we-love")
+    ]
+
+    explicit = tmp_path / "alt.rc"
+    explicit.write_text(_json.dumps({"json-out-path": "/data/out"}))
+    assert load_config(arg=str(explicit), cwd=cwd)["json-out-path"] == "/data/out"
