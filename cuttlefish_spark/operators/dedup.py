@@ -145,19 +145,27 @@ def minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # production "write signatures, then join" two-job pipeline.
     sig.count()
 
-    def band_join(band: str) -> DataFrame:
-        a = sig.select(
-            F.col("doc_id").alias("doc_a"), F.col(band).alias("k"), F.col("sh").alias("sh_a")
-        )
-        b = sig.select(
-            F.col("doc_id").alias("doc_b"), F.col(band).alias("k"), F.col("sh").alias("sh_b")
-        )
-        return a.join(b, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
-
+    # Narrow, DISJOINT band joins (band2 fires only when band1
+    # differs) — no pair dedup shuffle, payload arrays broadcast-
+    # joined once per candidate; see _token_band_candidates.
+    a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("band1").alias("k"))
+    b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("band1").alias("k"))
+    cand1 = a1.join(b1, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+    a2 = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("band2").alias("k"), F.col("band1").alias("p_a")
+    )
+    b2 = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("band2").alias("k"), F.col("band1").alias("p_b")
+    )
+    cand2 = (
+        a2.join(b2, "k")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
+        .select("doc_a", "doc_b")
+    )
     cand = (
-        band_join("band1")
-        .unionByName(band_join("band2"))
-        .dropDuplicates(["doc_a", "doc_b"])
+        cand1.unionByName(cand2)
+        .join(F.broadcast(sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))), "doc_a")
+        .join(F.broadcast(sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))), "doc_b")
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
@@ -269,22 +277,35 @@ def _token_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .persist()
     )
-    sig.count()  # materialize once; four join branches read the cache
+    sig.count()  # materialize once; all join branches read the cache
 
-    def band_join(band: str) -> DataFrame:
-        a = sig.select(
-            F.col("doc_id").alias("doc_a"), F.col(band).alias("k"), F.col("w").alias("w_a")
-        )
-        b = sig.select(
-            F.col("doc_id").alias("doc_b"), F.col(band).alias("k"), F.col("w").alias("w_b")
-        )
-        return a.join(b, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
-
-    return (
-        band_join("band1")
-        .unionByName(band_join("band2"))
-        .dropDuplicates(["doc_a", "doc_b"])
+    # Band joins stay NARROW (id pairs only) — token arrays are
+    # fetched once per candidate afterwards, not dragged through the
+    # band shuffles. The OR-of-bands is made DISJOINT instead of
+    # union+dropDuplicates: the band2 join only emits pairs whose
+    # band1 keys differ, so no pair appears twice and the multi-
+    # million-row dedup shuffle disappears (same pair set as the
+    # oracle's DISTINCT over the OR join).
+    a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("band1").alias("k"))
+    b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("band1").alias("k"))
+    cand1 = a1.join(b1, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+    a2 = sig.select(
+        F.col("doc_id").alias("doc_a"), F.col("band2").alias("k"), F.col("band1").alias("p_a")
     )
+    b2 = sig.select(
+        F.col("doc_id").alias("doc_b"), F.col("band2").alias("k"), F.col("band1").alias("p_b")
+    )
+    cand2 = (
+        a2.join(b2, "k")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
+        .select("doc_a", "doc_b")
+    )
+    cand = cand1.unionByName(cand2)
+    wa = sig.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
+    wb = sig.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
+    # The signature table is docs-sized (tiny next to the pair set) —
+    # broadcast both payload fetches so candidates never re-shuffle.
+    return cand.join(F.broadcast(wa), "doc_a").join(F.broadcast(wb), "doc_b")
 
 
 @query(
