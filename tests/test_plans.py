@@ -254,3 +254,26 @@ def test_no_global_ordered_windows(spark, sf_dir):
         if flagged:
             offenders[name] = flagged[0]
     assert not offenders, f"global ordered windows: {offenders}"
+
+
+def test_weighted_sampling_builds_without_driver_jobs(spark, sf_dir):
+    """weighted_sampling must be ONE lazy DAG: building the frame may
+    not run any Spark job (the old plan ran a separate d.count() for
+    the corpus total; it now folds into the counts aggregate)."""
+    sc = spark.sparkContext
+    group = "ws-build-probe"
+    sc.setJobGroup(group, "weighted_sampling build")
+    try:
+        SPECS["weighted_sampling"].fn(spark, sf_dir)
+        tracker = sc.statusTracker()
+        stage_names = [
+            (tracker.getStageInfo(s).name if tracker.getStageInfo(s) else "")
+            for j in tracker.getJobIdsForGroup(group)
+            for s in tracker.getJobInfo(j).stageIds
+        ]
+    finally:
+        sc.setJobGroup(None, None)
+    # spark.read.parquet runs an unavoidable 1-task footer/schema job;
+    # anything else (the old plan's d.count()) is a real driver action.
+    real = [n for n in stage_names if not n.startswith("parquet at")]
+    assert real == [], f"building weighted_sampling ran driver actions: {real}"
