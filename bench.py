@@ -82,6 +82,12 @@ def main() -> None:
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
         timings[name] = round(min(runs), 3)
+        # Cache hygiene: the dedup/LSH queries persist signature tables
+        # internally; dropping them between queries keeps each timing a
+        # function of ITS plan, not of a neighbor's leftover cache
+        # pressure (executor memory eviction churn showed up as 3-4x
+        # noise on queries that happened to run after the dedup block).
+        spark.catalog.clearCache()
 
     # Reference-parity microbenchmark (BASELINE.md): the Layer-A
     # normalize-and-account pipeline over `events`, reported as rows/s.
