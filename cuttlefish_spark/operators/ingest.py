@@ -94,8 +94,17 @@ def ingest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     from_json per adapter and normalized by the same declarative
     converters as replay mode — fetch and convert stay split exactly
     like worker-* vs convert-json in the reference."""
-    from pyspark.sql import types as T
+    return datasource_canonical(spark)
 
+
+def datasource_canonical(
+    spark: SparkSession,
+    chapters_path: str | None = None,
+    transport: str = "replay",
+) -> DataFrame:
+    """DataSource fetch -> canonical frame, parameterized by work-list
+    and transport — the reusable body behind ingest_datasource and the
+    end-to-end runner (run.run_pipeline)."""
     from cuttlefish_spark.sources import adapters as ad
     from cuttlefish_spark.sources.datasource import register
 
@@ -105,7 +114,10 @@ def ingest_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
     # the source (= re-fetches every API at scale). Caching the raw
     # fetch before fan-out is the scale-correct contract (the reference
     # likewise fetches once per chapter, api-runner.rkt:129-143).
-    raw = spark.read.format("cuttlefish_replay").load().persist()
+    reader = spark.read.format("cuttlefish_replay").option("transport", transport)
+    if chapters_path:
+        reader = reader.option("chapters_path", chapters_path)
+    raw = reader.load().persist()
     schemas = {
         "meetup": ad._MEETUP_RAW_SCHEMA,
         "facebook": ad._FACEBOOK_RAW_SCHEMA,

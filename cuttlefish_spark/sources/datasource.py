@@ -53,6 +53,25 @@ class ChapterReplayReader(DataSourceReader):
         # One work item per partition — the reference's chunk-list
         # (chunk-list.rkt:6-18) balanced by count; Spark balances by
         # task scheduling, which also absorbs per-key latency skew.
+        # `chapters_path` points at a chapters.json work-list (the
+        # reference's config-driven table, api-runner.rkt:171-178);
+        # without it the golden fixture chapters drive the replay.
+        path = self.options.get("chapters_path")
+        if path:
+            with open(path, encoding="utf-8") as fh:
+                doc = json.load(fh)
+            return [
+                ChapterPartition(
+                    (
+                        cid,
+                        payload.get("title"),
+                        (payload.get("dataService") or {}).get("adapter"),
+                        (payload.get("dataService") or {}).get("id"),
+                        (payload.get("dataService") or {}).get("organization"),
+                    )
+                )
+                for cid, payload in doc.items()
+            ]
         from cuttlefish_spark.sources import fixtures
 
         return [ChapterPartition(c) for c in fixtures.CHAPTERS]

@@ -311,3 +311,43 @@ def test_runtime_config_defaults_and_override(spark, tmp_path):
     explicit = tmp_path / "alt.rc"
     explicit.write_text(_json.dumps({"json-out-path": "/data/out"}))
     assert load_config(arg=str(explicit), cwd=cwd)["json-out-path"] == "/data/out"
+
+
+def test_run_pipeline_end_to_end(spark, tmp_path):
+    """main.rkt twin: config -> chapters-driven DataSource fetch ->
+    normalize -> per-chapter JSON files -> audit log. The rc file
+    narrows the work-list to two chapters plus a dead-letter one."""
+    import json as _json
+
+    from cuttlefish_spark.run import run_pipeline
+    from cuttlefish_spark.sources.config import load_config
+
+    chapters = tmp_path / "chapters.json"
+    chapters.write_text(_json.dumps({
+        "newyork": {"title": "New York",
+                    "dataService": {"adapter": "meetup", "id": "papers-we-love"}},
+        "london": {"title": "London",
+                   "dataService": {"adapter": "eventbrite",
+                                   "id": "papers-we-love-london",
+                                   "organization": "2417467656"}},
+        "atlantis": {"title": "Atlantis",
+                     "dataService": {"adapter": "carrierpigeon", "id": "deep-six"}},
+    }))
+    (tmp_path / ".cuttlefishrc").write_text(_json.dumps({
+        "chapter-json-file": str(chapters),
+        "json-out-path": str(tmp_path / "out"),
+        "logfile-path": str(tmp_path / "logs"),
+    }))
+    audit = run_pipeline(spark, config=load_config(cwd=str(tmp_path)))
+    rows = {(r["chapter_id"], r["status"]): r["n_events"] for r in audit.collect()}
+    assert rows[("newyork", "OK")] == 2
+    assert rows[("london", "OK")] == 3
+    assert rows[("atlantis", "ERROR")] == 1
+
+    out_files = sorted(p.name for p in (tmp_path / "out").iterdir())
+    assert out_files == ["london.json", "newyork.json"]
+    ny = _json.loads((tmp_path / "out" / "newyork.json").read_text())
+    assert set(ny) == {"qxw9yzl3", "zvbxrpl2"}  # {event_id: record} shape
+
+    log = (tmp_path / "logs" / "cuttlefish.log").read_text()
+    assert "ERROR: atlantis" in log and "WROTE: newyork" in log
