@@ -251,7 +251,9 @@ _TOKSIG_SQL = rf"""
 """
 
 
-def _token_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
+def _token_band_candidates(
+    spark: SparkSession, sf_dir: str, min_jaccard: float | None = None
+) -> DataFrame:
     """Candidate near-dup pairs via token-set MinHash band collisions.
 
     The scale-safe candidate generator: 4 MinHashes from disjoint hex
@@ -260,6 +262,13 @@ def _token_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     band keys are high-cardinality by construction, so each join is a
     uniform keyed shuffle — NO low-cardinality block key, no per-block
     O(n^2). Token sets ride along so verification needs no re-join.
+
+    `min_jaccard` enables the implied length-ratio prune: J >= t
+    forces t <= |A|/|B| <= 1/t, and token COUNTS (4-byte ints) ride
+    the band joins for free, so mismatched-size pairs are dropped
+    BEFORE their token arrays are ever fetched. Pure pruning — the
+    surviving pair set is unchanged, so callers' oracles don't state
+    it.
     """
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
@@ -272,6 +281,7 @@ def _token_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_id",
             "w",
+            F.size("w").alias("nw"),
             F.concat(mh(1), mh(9)).alias("band1"),
             F.concat(mh(17), mh(25)).alias("band2"),
         )
@@ -279,28 +289,37 @@ def _token_band_candidates(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     sig.count()  # materialize once; all join branches read the cache
 
-    # Band joins stay NARROW (id pairs only) — token arrays are
+    # Band joins stay NARROW (ids + token counts) — token arrays are
     # fetched once per candidate afterwards, not dragged through the
     # band shuffles. The OR-of-bands is made DISJOINT instead of
     # union+dropDuplicates: the band2 join only emits pairs whose
     # band1 keys differ, so no pair appears twice and the multi-
     # million-row dedup shuffle disappears (same pair set as the
     # oracle's DISTINCT over the OR join).
-    a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("band1").alias("k"))
-    b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("band1").alias("k"))
+    a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
+                    F.col("band1").alias("k"))
+    b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
+                    F.col("band1").alias("k"))
     cand1 = a1.join(b1, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
-    a2 = sig.select(
-        F.col("doc_id").alias("doc_a"), F.col("band2").alias("k"), F.col("band1").alias("p_a")
-    )
-    b2 = sig.select(
-        F.col("doc_id").alias("doc_b"), F.col("band2").alias("k"), F.col("band1").alias("p_b")
-    )
+    a2 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
+                    F.col("band2").alias("k"), F.col("band1").alias("p_a"))
+    b2 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
+                    F.col("band2").alias("k"), F.col("band1").alias("p_b"))
     cand2 = (
         a2.join(b2, "k")
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
-        .select("doc_a", "doc_b")
+        .select("doc_a", "doc_b", "nw_a", "nw_b")
     )
-    cand = cand1.unionByName(cand2)
+    cand = cand1.unionByName(cand2.select(*cand1.columns))
+    if min_jaccard is not None:
+        # |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so
+        # J >= t implies min/max >= t. Integer form avoids float edges.
+        scale = int(round(min_jaccard * 1000))
+        cand = cand.filter(
+            (F.col("nw_a") * 1000 >= F.col("nw_b") * scale)
+            & (F.col("nw_b") * 1000 >= F.col("nw_a") * scale)
+        )
+    cand = cand.drop("nw_a", "nw_b")
     wa = sig.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
     wb = sig.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
     # The signature table is docs-sized (tiny next to the pair set) —
@@ -343,7 +362,7 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     the identical deterministic candidate generation, so both engines
     see the same pair set.
     """
-    cand = _token_band_candidates(spark, sf_dir)
+    cand = _token_band_candidates(spark, sf_dir, min_jaccard=0.9)
     jaccard = F.size(F.array_intersect("w_a", "w_b")).cast("double") / F.size(
         F.array_union("w_a", "w_b")
     )
@@ -424,17 +443,12 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     The DuckDB oracle runs the identical closure as a recursive CTE.
     """
     d = spread(spark, load_table(spark, sf_dir, "documents"))
-    na, nb = F.size("w_a"), F.size("w_b")
     jaccard = F.size(F.array_intersect("w_a", "w_b")).cast("double") / F.size(
         F.array_union("w_a", "w_b")
     )
     e = (
-        _token_band_candidates(spark, sf_dir)
-        .filter(
-            (na * 10 >= nb * 7)
-            & (nb * 10 >= na * 7)
-            & (jaccard >= 0.7)
-        )
+        _token_band_candidates(spark, sf_dir, min_jaccard=0.7)
+        .filter(jaccard >= 0.7)
         .select("doc_a", "doc_b")
         .persist()
     )
