@@ -45,16 +45,33 @@ def run_pipeline(
     write_keyed_json(ok, config["json-out-path"])
 
     audit = audit_counts(out)
-    log_dir = config["logfile-path"]
-    os.makedirs(log_dir, exist_ok=True)
     lines = [
         f"{r['log_line']} ({r['n_events']})"
         for r in audit.orderBy("chapter_id", "status").collect()
     ]
-    with open(os.path.join(log_dir, "cuttlefish.log"), "a", encoding="utf-8") as fh:
-        fh.write("\n".join(lines) + "\n")
+    append_log(config["logfile-path"], lines)
     out.unpersist()
     return audit
+
+
+def append_log(log_dir: str, lines: list[str], today=None) -> None:
+    """Append audit lines to `cuttlefish.log`, rotating daily (A24,
+    reference logger.rkt:54-63: an hourly alarm restarts the log file
+    at hour 0 — here the day boundary is checked on write, which is
+    the driver-side equivalent without a daemon thread). A log last
+    written on an earlier day is renamed `cuttlefish-YYYY-MM-DD.log`
+    before the append starts the fresh file."""
+    import datetime as _dt
+
+    os.makedirs(log_dir, exist_ok=True)
+    path = os.path.join(log_dir, "cuttlefish.log")
+    today = today or _dt.date.today()
+    if os.path.exists(path):
+        stamp = _dt.date.fromtimestamp(os.path.getmtime(path))
+        if stamp < today:
+            os.replace(path, os.path.join(log_dir, f"cuttlefish-{stamp.isoformat()}.log"))
+    with open(path, "a", encoding="utf-8") as fh:
+        fh.write("\n".join(lines) + "\n")
 
 
 def main() -> None:

@@ -351,3 +351,23 @@ def test_run_pipeline_end_to_end(spark, tmp_path):
 
     log = (tmp_path / "logs" / "cuttlefish.log").read_text()
     assert "ERROR: atlantis" in log and "WROTE: newyork" in log
+
+
+def test_log_rotation_daily(tmp_path):
+    """A24 twin (logger.rkt:54-63): a log last written on an earlier
+    day is rolled to cuttlefish-YYYY-MM-DD.log before the next append."""
+    import datetime as dt
+    import os
+
+    from cuttlefish_spark.run import append_log
+
+    d = str(tmp_path / "logs")
+    append_log(d, ["WROTE: a (1)"])
+    # age the current log file to yesterday
+    y = dt.date.today() - dt.timedelta(days=1)
+    old_mtime = dt.datetime.combine(y, dt.time(12)).timestamp()
+    os.utime(os.path.join(d, "cuttlefish.log"), (old_mtime, old_mtime))
+    append_log(d, ["WROTE: b (2)"])
+    files = sorted(os.listdir(d))
+    assert files == [f"cuttlefish-{y.isoformat()}.log", "cuttlefish.log"]
+    assert (tmp_path / "logs" / "cuttlefish.log").read_text() == "WROTE: b (2)\n"
