@@ -117,10 +117,11 @@ def minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     each band join shuffles on its own uniformly-hashed band key.
 
     The signature table is persisted before the self-joins: it feeds
-    four join branches, and without materialization Spark re-tokenizes
-    and re-hashes the corpus once per branch. At 100 TB you'd write it
-    to a signatures table (it's ~200 B/doc, orders of magnitude smaller
-    than the corpus); persist() is the in-session equivalent.
+    the two band-join branches plus the two payload fetches, and
+    without materialization Spark re-tokenizes and re-hashes the
+    corpus once per branch. At 100 TB you'd write it to a signatures
+    table (it's ~200 B/doc, orders of magnitude smaller than the
+    corpus); persist() is the in-session equivalent.
     """
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     sh = F.array_distinct(word_shingles(tokens(F.col("text")), k=3))
@@ -258,10 +259,10 @@ def _token_band_candidates(
 
     The scale-safe candidate generator: 4 MinHashes from disjoint hex
     windows of one md5 per token, 2 bands of 2, candidates = pairs
-    colliding on either band (two equi-joins + union + distinct). The
-    band keys are high-cardinality by construction, so each join is a
-    uniform keyed shuffle — NO low-cardinality block key, no per-block
-    O(n^2). Token sets ride along so verification needs no re-join.
+    colliding on either band (two equi-joins, made disjoint below).
+    The band keys are high-cardinality by construction, so each join
+    is a uniform keyed shuffle — NO low-cardinality block key, no
+    per-block O(n^2).
 
     `min_jaccard` enables the implied length-ratio prune: J >= t
     forces t <= |A|/|B| <= 1/t, and token COUNTS (4-byte ints) ride
