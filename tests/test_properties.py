@@ -1,0 +1,84 @@
+"""Property-based tests (hypothesis) for the closed-form math the
+engine relies on — the pieces where an off-by-one would corrupt
+results silently rather than crash.
+"""
+
+from __future__ import annotations
+
+from hypothesis import given, settings
+from hypothesis import strategies as st
+
+
+def _ntile_closed_form(rn: int, n: int, k: int) -> int:
+    """The bucket formula feature_binning applies to the global row
+    number (first n%k buckets take ceil(n/k) rows, the rest floor)."""
+    import math
+
+    q, r = divmod(n, k)
+    if rn <= r * (q + 1):
+        return math.ceil(rn / (q + 1))
+    return r + math.ceil((rn - r * (q + 1)) / max(q, 1))
+
+
+def _ntile_reference(n: int, k: int) -> list[int]:
+    """Definitional NTILE: deal n ordered rows into k buckets, bucket
+    sizes differing by at most one, larger buckets first."""
+    q, r = divmod(n, k)
+    out = []
+    for bucket in range(1, k + 1):
+        out.extend([bucket] * (q + (1 if bucket <= r else 0)))
+    return out
+
+
+@given(n=st.integers(1, 500), k=st.integers(1, 20))
+@settings(max_examples=200, deadline=None)
+def test_ntile_closed_form_matches_definition(n, k):
+    want = _ntile_reference(n, k)
+    got = [_ntile_closed_form(rn, n, k) for rn in range(1, n + 1)]
+    assert got == want
+
+
+@given(
+    subtotals=st.lists(st.integers(0, 1000), min_size=1, max_size=50),
+)
+@settings(max_examples=100, deadline=None)
+def test_exclusive_prefix_offsets(subtotals):
+    """The offset construction used by token_budget_trim /
+    feature_binning: offset[i] + within-partition cumsum must equal
+    the global cumsum for every element, for ANY partition split."""
+    offsets, acc = [], 0
+    for sub in subtotals:
+        offsets.append(acc)
+        acc += sub
+    running = 0
+    for i, sub in enumerate(subtotals):
+        assert offsets[i] == running
+        running += sub
+    assert acc == sum(subtotals)
+
+
+@given(
+    rate=st.floats(0.5, 100.0),
+    burst=st.integers(1, 5),
+    n=st.integers(1, 40),
+)
+@settings(max_examples=50, deadline=None)
+def test_token_bucket_enforces_rate(rate, burst, n):
+    """Acquiring n tokens through a TokenBucket must consume at least
+    (n - burst)/rate seconds of (simulated) time — the throttle can
+    never run ahead of its configured rate."""
+    from cuttlefish_spark.sources.throttle import TokenBucket
+
+    now = [0.0]
+
+    def clock():
+        return now[0]
+
+    def sleep(s):
+        now[0] += s
+
+    b = TokenBucket(rate_per_sec=rate, burst=burst, clock=clock, sleep=sleep)
+    for _ in range(n):
+        b.acquire()
+    min_elapsed = max(0.0, (n - burst) / rate)
+    assert now[0] >= min_elapsed - 1e-6
