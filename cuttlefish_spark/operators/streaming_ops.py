@@ -1,0 +1,72 @@
+"""Driver-checkable streaming surface: the watermarked tumbling-window
+stream drained to completion and returned as a batch frame.
+
+The reference is strictly one-shot batch (main.rkt:61-62); the engine's
+streaming twins (streaming/pipeline.py) are normally asserted
+stream==batch in tests only. This query makes that equivalence
+ORACLE-CHECKED by the external driver too: the stream runs availableNow
+over the same events data, and the drained result must hash-match the
+SAME DuckDB SQL as the batch tumbling_window — a streaming plan held to
+a batch engine's answer, exactly the guarantee a lambda-architecture
+replacement needs.
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import tempfile
+import uuid
+
+from pyspark.sql import DataFrame, SparkSession
+
+from cuttlefish_spark.registry import query
+
+
+@query(
+    "streaming_tumbling_hourly",
+    layer="C",
+    oracle="""
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly tumbling aggregate computed BY THE STREAMING ENGINE
+    (file source -> withWatermark -> window -> memory sink, drained
+    with availableNow), returned as the finished batch table.
+
+    Scale posture is Structured Streaming's standard stateful-agg
+    story: state keyed by (window, event_type), watermark (2h) bounds
+    state size, the file source paces intake via maxFilesPerTrigger
+    when throttled. The oracle is the identical SQL the batch
+    tumbling_window answers — stream and batch are interchangeable on
+    closed input, which is the micro-batch model's core claim.
+
+    The memory sink (and the collect off it) is the harness contract
+    only — a memory sink is driver-resident by definition and the
+    drained aggregate is bounded (hours x event types). Production
+    points the same writeStream at a file/table sink
+    (sinks.json_sink.stream_to_keyed_json is the engine's keyed
+    variant) and never drives results through the driver."""
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        tumbling_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
+    name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
+    run_available_now(tumbling_stream(read_events_stream(spark, d)), name)
+    out = spark.table(name)
+    # Materialize off the memory sink so the temp dir can be removed
+    # and the sink table doesn't accumulate across repeated calls.
+    result = spark.createDataFrame(out.collect(), out.schema)
+    spark.catalog.dropTempView(name)
+    shutil.rmtree(d, ignore_errors=True)
+    return result

@@ -39,6 +39,7 @@ _OPERATOR_MODULES = [
     "cuttlefish_spark.operators.multimodal",
     "cuttlefish_spark.operators.ingest",
     "cuttlefish_spark.operators.udtf_ops",
+    "cuttlefish_spark.operators.streaming_ops",
 ]
 
 
