@@ -63,10 +63,56 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
     name = f"stream_tumbling_{uuid.uuid4().hex[:8]}"
     run_available_now(tumbling_stream(read_events_stream(spark, d)), name)
+    return _drain_memory_sink(spark, name, d)
+
+
+def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFrame:
+    """Materialize the memory-sink table so the temp source dir can be
+    removed and sink tables don't accumulate across repeated calls."""
     out = spark.table(name)
-    # Materialize off the memory sink so the temp dir can be removed
-    # and the sink table doesn't accumulate across repeated calls.
     result = spark.createDataFrame(out.collect(), out.schema)
     spark.catalog.dropTempView(name)
-    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(src_dir, ignore_errors=True)
     return result
+
+
+@query(
+    "streaming_interval_join",
+    layer="C",
+    oracle="""
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM events p JOIN events c
+      ON p.event_type = 'purchase' AND c.event_type = 'click'
+     AND p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 60 MINUTE
+    """,
+)
+def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stream-stream interval join (each purchase x the same user's
+    clicks from the preceding hour) run BY THE STREAMING ENGINE and
+    hash-checked against the equivalent batch SQL.
+
+    Both sides carry watermarks and the event-time range bounds state,
+    the two requirements that make an unbounded stream-stream join
+    feasible; on closed input the emitted pair set must equal the
+    batch range join exactly, which the oracle enforces. Memory-sink
+    caveats as streaming_tumbling_hourly."""
+    from cuttlefish_spark.streaming.pipeline import (
+        interval_join_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
+    name = f"stream_ij_{uuid.uuid4().hex[:8]}"
+    run_available_now(
+        interval_join_stream(read_events_stream(spark, d)), name, mode="append"
+    )
+    return _drain_memory_sink(spark, name, d)
