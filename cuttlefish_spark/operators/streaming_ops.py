@@ -98,6 +98,58 @@ def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFram
 
 
 @query(
+    "streaming_sessionize",
+    layer="C",
+    oracle="""
+    WITH flagged AS (
+        SELECT user_id, ts, value,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER w) > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    numbered AS (
+        SELECT user_id, ts, value,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                      ROWS UNBOUNDED PRECEDING) AS sid
+        FROM flagged
+    )
+    SELECT user_id,
+           CAST(min(ts) AS TIMESTAMP) AS session_start,
+           CAST(max(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS session_end,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS session_value
+    FROM numbered GROUP BY user_id, sid
+    """,
+)
+def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session windows (30-min gap) computed BY THE STREAMING ENGINE
+    (F.session_window + watermarked state) and hash-checked against
+    the gap-and-cumsum SQL the batch sessionize answers.
+
+    Semantics pinned empirically: an event exactly `gap` after its
+    predecessor MERGES (Spark starts a new session only when the gap
+    is strictly exceeded), matching the batch `> gap` rule, so the
+    same oracle covers both engines; session_end = last event + gap.
+    State is keyed by (user, open session) and the watermark closes
+    and evicts sessions once event time passes end+gap. Memory-sink
+    caveats as streaming_tumbling_hourly."""
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        session_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
+    name = f"stream_sess_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_available_now(session_stream(read_events_stream(spark, d)), name)
+    return _drain_memory_sink(spark, name, d)
+
+
+@query(
     "streaming_interval_join",
     layer="C",
     oracle="""
