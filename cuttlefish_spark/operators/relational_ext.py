@@ -1380,9 +1380,9 @@ def json_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events
     )
     SELECT event_id,
-           map_keys(km) AS ks,
-           list_transform(map_values(km), x -> round(x, 6)) AS vs,
-           round(element_at(km, 'base')[1], 6) AS base_val,
+           array_to_string(map_keys(km), ',') AS ks_csv,
+           round(element_at(km, 'base')[1], 6) AS v_base,
+           round(element_at(km, 'double')[1], 6) AS v_double,
            CAST(cardinality(km) AS INTEGER) AS n_entries
     FROM m
     """,
@@ -1392,11 +1392,13 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     read it back via map_keys / map_values / element_at / cardinality —
     the typed dictionary column under feature bundles and sparse
     attributes (the engine's sink-side map_from_entries re-nesting,
-    nest_events_per_key, is this surface's aggregation sibling). Map
-    values cross to the output as ROUNDED arrays/scalars (maps
-    themselves hash unstably across engines' dict ordering, so the
-    contract is: construct maps freely, always EXPORT through
-    keys/values/element_at). Narrow projection, zero shuffles."""
+    nest_events_per_key, is this surface's aggregation sibling). Export
+    contract: construct maps freely, but EXPORT only scalars — keys
+    array_join-ed to a csv string, values pulled out via element_at —
+    because maps hash unstably across engines' dict ordering and the
+    verification canonicalizer cannot sort array/map-typed columns at
+    all (pandas sort_values throws on lists; r3 driver failure).
+    Narrow projection, zero shuffles."""
     ev = load_table(spark, sf_dir, "events")
     km = F.map_from_arrays(
         F.array(F.lit("base"), F.lit("double")),
@@ -1405,9 +1407,9 @@ def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     t = ev.select("event_id", km.alias("km"))
     return t.select(
         "event_id",
-        F.map_keys("km").alias("ks"),
-        F.transform(F.map_values("km"), lambda x: F.round(x, 6)).alias("vs"),
-        F.round(F.element_at("km", F.lit("base")), 6).alias("base_val"),
+        F.array_join(F.map_keys("km"), ",").alias("ks_csv"),
+        F.round(F.element_at("km", F.lit("base")), 6).alias("v_base"),
+        F.round(F.element_at("km", F.lit("double")), 6).alias("v_double"),
         F.size("km").alias("n_entries"),
     )
 

@@ -96,11 +96,17 @@ def _plane_weights() -> list[list[float]]:
 
 
 def _bucket_bits_sql() -> str:
-    """DuckDB expression list for the sign-bit LSH bucket string."""
+    """DuckDB expression list for the sign-bit LSH bucket string.
+
+    The dot product is quantized (round to 6) before the sign test, in
+    lockstep with the numpy kernels: numpy sums pairwise while DuckDB
+    sums sequentially, so a dot within float rounding of zero could
+    otherwise flip a bucket bit in one engine only and change the
+    emitted pair set nondeterministically across engines."""
     return ", ".join(
-        "CASE WHEN list_dot_product(v, ["
+        "CASE WHEN round(list_dot_product(v, ["
         + ", ".join(str(x) for x in w)
-        + "]) >= 0 THEN '1' ELSE '0' END"
+        + "]), 6) >= 0 THEN '1' ELSE '0' END"
         for w in _plane_weights()
     )
 
@@ -161,7 +167,9 @@ def embedding_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes_t = np.array(_plane_weights()).T  # 64 x N_PLANES
         for pdf in batches:
             m = np.stack(pdf["v"].to_numpy())
-            bits = (m @ planes_t) >= 0
+            # quantize before the sign test (matches the oracle's
+            # round(...,6)): kills cross-engine bit flips at |dot|~0
+            bits = np.round(m @ planes_t, 6) >= 0
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],
@@ -281,7 +289,9 @@ def embedding_lsh_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         planes_t = np.array(_plane_weights()).T  # 64 x N_PLANES
         for pdf in batches:
             m = np.stack(pdf["v"].to_numpy())
-            bits = (m @ planes_t) >= 0
+            # quantize before the sign test (matches the oracle's
+            # round(...,6)): kills cross-engine bit flips at |dot|~0
+            bits = np.round(m @ planes_t, 6) >= 0
             yield pd.DataFrame(
                 {
                     "vec_id": pdf["vec_id"],

@@ -26,18 +26,33 @@ def run_pipeline(
     config: dict | None = None,
     config_arg: str | None = None,
     transport: str = "replay",
+    allow_fixture_chapters: bool = False,
 ) -> DataFrame:
     """Run the whole reference pipeline under `config`; returns the
-    per-chapter audit frame (chapter_id, status, n_events, log_line)."""
+    per-chapter audit frame (chapter_id, status, n_events, log_line).
+
+    A missing `chapter-json-file` is an ERROR, matching the reference
+    (an unreadable chapters table aborts the run) — a misconfigured
+    production run must not silently fetch demo data. The built-in
+    golden-fixture chapters are reachable only behind the explicit
+    `allow_fixture_chapters` replay/test flag."""
     from cuttlefish_spark.operators.ingest import datasource_canonical
     from cuttlefish_spark.sinks.json_sink import audit_counts, write_keyed_json
     from cuttlefish_spark.sources.config import load_config
 
     config = config or load_config(arg=config_arg)
     chapters_path = config["chapter-json-file"]
+    if not os.path.exists(chapters_path):
+        if not allow_fixture_chapters:
+            raise FileNotFoundError(
+                f"chapter-json-file not found: {chapters_path!r} "
+                "(pass allow_fixture_chapters=True to replay the "
+                "built-in fixture chapters in tests/demos)"
+            )
+        chapters_path = None
     out = datasource_canonical(
         spark,
-        chapters_path=chapters_path if os.path.exists(chapters_path) else None,
+        chapters_path=chapters_path,
         transport=transport,
     ).persist()
 

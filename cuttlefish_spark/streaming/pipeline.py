@@ -25,12 +25,19 @@ from cuttlefish_spark.functions import dec_sum
 
 def _events_file_schema(source_dir: str) -> tuple[T.StructType, bool]:
     """Schema for the events file stream, derived from the parquet
-    footer of one input file (a single driver-side footer read at
+    footers of the input files (driver-side footer reads at
     stream-definition time — no data scan).
 
     The writer's timestamp flavor has changed under the engine before
     (TIMESTAMP(NANOS) in r1, timestamp[us]/NTZ in r2), so the contract
-    is: whatever the footer says, `ts` comes out as a UTC TIMESTAMP.
+    is: whatever the footers say, `ts` comes out as a UTC TIMESTAMP.
+    ALL footers present at definition time must agree on the ts
+    encoding — a mixed-encoding directory (nanos file + us/NTZ file)
+    would otherwise be read with one file's schema, silently corrupting
+    the other files' timestamps; that's a data bug worth failing loudly
+    on. Files arriving later are the stream's normal growth and are
+    assumed to follow the directory's encoding (enforced where the
+    source dir is built).
     Returns (schema, nanos_as_long): nanos files must be read as raw
     longs (vectorized reader rejects NANOS) and converted."""
     import glob
@@ -43,7 +50,15 @@ def _events_file_schema(source_dir: str) -> tuple[T.StructType, bool]:
     if files:
         import pyarrow as pa
 
-        arrow_ts = pq.read_schema(files[0]).field("ts").type
+        ts_types = {f: pq.read_schema(f).field("ts").type for f in files}
+        distinct = set(map(str, ts_types.values()))
+        if len(distinct) > 1:
+            raise ValueError(
+                f"mixed ts encodings in stream source dir {source_dir!r}: "
+                f"{sorted(distinct)} — all files must share one encoding "
+                f"(per-file: { {f.rsplit('/', 1)[-1]: str(t) for f, t in ts_types.items()} })"
+            )
+        arrow_ts = next(iter(ts_types.values()))
         if getattr(arrow_ts, "unit", None) == "ns" or arrow_ts == pa.int64():
             # TIMESTAMP(NANOS) or raw int64 nanos: read as long, convert.
             nanos = True

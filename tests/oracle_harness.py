@@ -24,15 +24,18 @@ def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
 
 
 def _canon(df: pd.DataFrame) -> pd.DataFrame:
+    # Deliberately NO list->tuple rescue here: the driver's
+    # canonicalizer does a raw pandas sort_values over all columns and
+    # throws `unhashable type: 'list'` on any array/map-typed output
+    # column (r3 driver failure on map_functions). Keeping the local
+    # harness exactly as strict makes that failure class impossible to
+    # ship — queries must export scalars (array_join / to_json /
+    # element_at), never raw arrays.
     df = df[sorted(df.columns)].copy()
     for c in df.columns:
         s = df[c]
         if pd.api.types.is_datetime64_any_dtype(s):
             df[c] = s.astype("datetime64[us]").astype("int64")
-        elif s.dtype == object:
-            df[c] = s.map(
-                lambda v: tuple(v) if isinstance(v, (list, np.ndarray)) else v
-            )
     if len(df):
         df = df.sort_values(by=list(df.columns), kind="mergesort").reset_index(drop=True)
     return df

@@ -371,3 +371,22 @@ def test_log_rotation_daily(tmp_path):
     files = sorted(os.listdir(d))
     assert files == [f"cuttlefish-{y.isoformat()}.log", "cuttlefish.log"]
     assert (tmp_path / "logs" / "cuttlefish.log").read_text() == "WROTE: b (2)\n"
+
+
+def test_run_pipeline_missing_chapters_raises(spark, tmp_path):
+    """A misconfigured run must fail loudly, not silently replay the
+    built-in fixture chapters (reference: an unreadable chapters table
+    aborts the run). The fixture fallback needs the explicit flag."""
+    import pytest as _pytest
+
+    from cuttlefish_spark.run import run_pipeline
+
+    config = {
+        "chapter-json-file": str(tmp_path / "nope.json"),
+        "json-out-path": str(tmp_path / "out"),
+        "logfile-path": str(tmp_path / "logs"),
+    }
+    with _pytest.raises(FileNotFoundError, match="chapter-json-file"):
+        run_pipeline(spark, config=config)
+    audit = run_pipeline(spark, config=config, allow_fixture_chapters=True)
+    assert audit.count() > 0

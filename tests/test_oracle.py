@@ -31,6 +31,29 @@ def test_rows_only_runs(spark, sf_dir, name):
     assert df.count() >= 0
 
 
+@pytest.mark.parametrize("name", ORACLE_NAMES)
+def test_scalar_export_schema(spark, sf_dir, name):
+    """Class-killing pin for the r3 map_functions driver failure: the
+    driver canonicalizes results with a raw pandas sort_values, which
+    throws `unhashable type: 'list'` on any array/map-typed column (and
+    binary is untrustworthy across engines). Every oracle-checked query
+    must therefore export only scalar top-level columns — arrays cross
+    the boundary via array_join/to_json/element_at. Schema-only check:
+    no job runs."""
+    from pyspark.sql.types import ArrayType, BinaryType, MapType
+
+    df = SPECS[name].fn(spark, sf_dir)
+    bad = [
+        f.name
+        for f in df.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType, BinaryType))
+    ]
+    assert not bad, (
+        f"{name} exports non-scalar top-level columns {bad}; the driver "
+        "canonicalizer will crash on them — scalarize the export"
+    )
+
+
 def test_entry_smoke(spark):
     import __spark_entry__ as e
 

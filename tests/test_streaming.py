@@ -210,3 +210,32 @@ def test_running_totals_stream_matches_batch(spark, sf_dir, stream_dir):
     )
     assert (got["n_events"] == want["n_events"]).all()
     assert (got["total_value"] - want["total_value"]).abs().max() < 1e-6
+
+
+def test_mixed_ts_encoding_source_dir_rejected(spark, tmp_path):
+    """A stream source dir whose files disagree on the ts encoding
+    (nanos vs us — the round-to-round testdata drift) must be rejected
+    at stream definition, not read with one file's schema and silently
+    corrupt the others' timestamps."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import pytest as _pytest
+
+    from cuttlefish_spark.streaming.pipeline import _events_file_schema
+
+    d = tmp_path / "mixed"
+    d.mkdir()
+    base = {
+        "event_id": [1], "user_id": [2], "event_type": ["click"],
+        "value": [1.0], "props": ["{}"],
+    }
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([1_700_000_000_000_000], pa.timestamp("us"))}),
+        str(d / "a.parquet"),
+    )
+    pq.write_table(
+        pa.table({**base, "ts": pa.array([1_700_000_000_000_000_000], pa.timestamp("ns"))}),
+        str(d / "b.parquet"),
+    )
+    with _pytest.raises(ValueError, match="mixed ts encodings"):
+        _events_file_schema(str(d))
