@@ -25,16 +25,18 @@ from cuttlefish_spark.registry import query
 
 
 @contextmanager
-def _stream_partitions(spark: SparkSession, n: int = 8):
+def _stream_partitions(spark: SparkSession, n: int = 4):
     """Bound shuffle partitions for an ephemeral stateful stream.
 
     Every shuffle partition of a stateful operator owns a state store
     whose open/commit cost is paid per micro-batch regardless of data
     volume — measured 9.5s -> 2.6s on the interval join by going
-    32 -> 4 partitions for the same 371-row result. Stateful streams
-    therefore size partitions by STATE VOLUME, not CPU (the opposite
-    of the batch `spread()` rule); production picks the count once at
-    stream birth since it is frozen into the checkpoint."""
+    32 -> 4 partitions for the same 371-row result, and the warm
+    three-query trio drops 8 -> 4 partitions from ~9s to ~6.4s at
+    sf0.1 (n=2 saves only ~0.6s more). Stateful streams therefore
+    size partitions by STATE VOLUME, not CPU (the opposite of the
+    batch `spread()` rule); production picks the count once at stream
+    birth since it is frozen into the checkpoint."""
     old = spark.conf.get("spark.sql.shuffle.partitions")
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
     try:
