@@ -91,9 +91,12 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFrame:
     """Materialize the memory-sink table so the temp source dir can be
-    removed and sink tables don't accumulate across repeated calls."""
+    removed and sink tables don't accumulate across repeated calls.
+    Arrow both ways (toPandas / createDataFrame-from-pandas with the
+    sink's schema) — row-at-a-time collect()+Row conversion costs
+    seconds at 100k rows (streaming_dedup at sf0.1)."""
     out = spark.table(name)
-    result = spark.createDataFrame(out.collect(), out.schema)
+    result = spark.createDataFrame(out.toPandas(), out.schema)
     spark.catalog.dropTempView(name)
     shutil.rmtree(src_dir, ignore_errors=True)
     return result
@@ -149,6 +152,102 @@ def streaming_sessionize(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         run_available_now(session_stream(read_events_stream(spark, d)), name)
     return _drain_memory_sink(spark, name, d)
+
+
+@query(
+    "streaming_dedup",
+    layer="C",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    """,
+)
+def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact deduplication run BY THE STREAMING ENGINE: the
+    source dir holds the events file TWICE (2N input rows), and the
+    drained output must hash-match the plain N-row events table — every
+    event_id exactly once, duplicates dropped by the state store.
+
+    This is the Spark-NATIVE dedup path (`dropDuplicates` on a
+    streaming frame — JVM state store keyed by event_id, no Python in
+    the loop), the front door a training-data pipeline puts before
+    every sink; the custom applyInPandasWithState variant
+    (streaming/pipeline.dedup_stream, first-seen-wins with per-key
+    state) covers the same contract in tests/test_streaming.py. At
+    scale: one shuffle on event_id, state is one empty value per key;
+    production bounds the store with dropDuplicatesWithinWatermark.
+    Memory-sink caveats as streaming_tumbling_hourly."""
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-001.parquet"))
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        deduped = (
+            read_events_stream(spark, d)
+            .select("event_id", "ts", "user_id", "event_type", "value")
+            .withWatermark("ts", "2 hours")
+            .dropDuplicates(["event_id"])
+        )
+        run_available_now(deduped, name, mode="append")
+    return _drain_memory_sink(spark, name, d)
+
+
+@query(
+    "streaming_running_totals",
+    layer="C",
+    oracle="""
+    SELECT user_id,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+                AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def streaming_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user lifetime totals maintained by the CUSTOM STATEFUL
+    operator (streaming/pipeline.running_totals_stream:
+    applyInPandasWithState, update mode, EventTimeTimeout TTL) and
+    hash-checked against the batch GROUP BY — the driver-verified proof
+    that the Arrow-batched Python state path computes exactly what the
+    batch engine does.
+
+    Floating-point discipline: `value` is scaled to integer micros
+    BEFORE the stream (round(value*1e6) — exact in float64 up to 2^53),
+    so the per-key Python accumulation is exact integer arithmetic and
+    the final /1e6 is the same IEEE op DuckDB performs; without this
+    the pandas pairwise sum vs DuckDB sequential sum could differ in
+    the last ulp and break the hash. Update-mode emits one cumulative
+    row per (user, micro-batch); the drain keeps each user's last
+    (= max, totals are monotone) row, which on closed input is the
+    lifetime aggregate. Memory-sink caveats as
+    streaming_tumbling_hourly."""
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+        running_totals_stream,
+    )
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
+    name = f"stream_rt_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        micros = read_events_stream(spark, d).withColumn(
+            "value", F.round(F.col("value") * 1_000_000)
+        )
+        run_available_now(running_totals_stream(micros), name, mode="update")
+    out = _drain_memory_sink(spark, name, d)
+    return out.groupBy("user_id").agg(
+        F.max("n_events").alias("n_events"),
+        (F.max("total_value") / 1_000_000.0).alias("total_value"),
+    )
 
 
 @query(
