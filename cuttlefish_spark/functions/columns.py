@@ -37,16 +37,27 @@ def get_in(col: Column | str, path: str, default=None) -> Column:
 
 
 def dec_sum(col: Column, scale: int = 6, alias: str | None = None) -> Column:
-    """Order-independent SUM: cast each input to DECIMAL(18, scale),
-    sum exactly, return DOUBLE. Matches DuckDB
-    `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)` bit-for-bit."""
-    out = F.sum(col.cast(f"decimal(18,{scale})")).cast("double")
+    """Order-independent SUM: quantize each input to 10^-scale units as
+    a LONG (round half-up, same quantization DECIMAL(18,scale) applies),
+    sum exactly in JVM long arithmetic, divide back to DOUBLE. Matches
+    DuckDB `CAST(SUM(CAST(x AS DECIMAL(18,s))) AS DOUBLE)` — DuckDB
+    stores that decimal as a scaled int64 and its cast-to-double is the
+    same integer/10^s division performed here.
+
+    Long-micros instead of Spark's Decimal sum because the Decimal path
+    is ~5x slower (BigDecimal boxing per row: measured 1.85s vs 0.4s
+    for six sums over 600k rows); the quantized-integer sum is exactly
+    as order-independent. Capacity: |total| < 2^63/10^scale (9.2e12 at
+    scale 6) — beyond that, widen to sum(cast(.. as decimal(38,0)))."""
+    q = 10 ** scale
+    out = F.sum(F.round(col * q).cast("long")) / F.lit(float(q))
     return out.alias(alias) if alias else out
 
 
 def dec_avg(col: Column, scale: int = 6, alias: str | None = None) -> Column:
-    """Order-independent AVG via exact decimal sum / bigint count."""
-    out = F.sum(col.cast(f"decimal(18,{scale})")).cast("double") / F.count(F.lit(1))
+    """Order-independent AVG via exact quantized-long sum / count."""
+    q = 10 ** scale
+    out = (F.sum(F.round(col * q).cast("long")) / F.lit(float(q))) / F.count(F.lit(1))
     return out.alias(alias) if alias else out
 
 

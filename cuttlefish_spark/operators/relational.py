@@ -189,8 +189,12 @@ def agg_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
             dec_sum(price, alias="sum_base_price"),
             dec_sum(disc_price, alias="sum_disc_price"),
             dec_sum(charge, alias="sum_charge"),
-            (F.sum(qty.cast("decimal(18,6)")).cast("double") / cnt).alias("avg_qty"),
-            (F.sum(price.cast("decimal(18,6)")).cast("double") / cnt).alias("avg_price"),
+            (F.sum(F.round(qty * 1_000_000).cast("long")) / F.lit(1e6) / cnt).alias(
+                "avg_qty"
+            ),
+            (F.sum(F.round(price * 1_000_000).cast("long")) / F.lit(1e6) / cnt).alias(
+                "avg_price"
+            ),
             cnt.alias("count_order"),
         )
     )
@@ -360,7 +364,9 @@ def window_running(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("ts", "event_id")
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
-    running = F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double")
+    running = F.sum(F.round(F.col("value") * 1_000_000).cast("long")).over(w) / F.lit(
+        1e6
+    )
     return ev.select("user_id", "event_id", "ts", running.alias("running_value"))
 
 

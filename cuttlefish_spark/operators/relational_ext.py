@@ -403,7 +403,7 @@ def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         "user_id",
         "ts",
-        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("trailing_1h"),
+        (F.sum(F.round(F.col("value") * 1_000_000).cast("long")).over(w) / F.lit(1e6)).alias("trailing_1h"),
         F.count(F.lit(1)).over(w).alias("n_1h"),
     )
 
@@ -636,8 +636,10 @@ def outer_join_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count("o_orderkey").alias("n_orders"),
             F.coalesce(
-                F.sum(F.col("o_totalprice").cast("decimal(18,6)")), F.lit(0)
-            ).cast("double").alias("total_spend"),
+                F.sum(F.round(F.col("o_totalprice") * 1_000_000).cast("long"))
+                / F.lit(1e6),
+                F.lit(0.0),
+            ).alias("total_spend"),
         )
     )
 
@@ -873,14 +875,15 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct(
             F.when(F.col("o_orderstatus") == "F", F.col("o_custkey"))
         ).alias("n_finished_custs"),
-        F.sum(
-            F.when(
-                F.col("o_orderstatus") == "O",
-                F.col("o_totalprice").cast("decimal(18,6)"),
+        (
+            F.sum(
+                F.when(
+                    F.col("o_orderstatus") == "O",
+                    F.round(F.col("o_totalprice") * 1_000_000).cast("long"),
+                )
             )
-        )
-        .cast("double")
-        .alias("open_value"),
+            / F.lit(1e6)
+        ).alias("open_value"),
         F.round(F.count(large) / F.count(F.lit(1)), 6).alias("large_share"),
     )
 

@@ -102,14 +102,14 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     salted = ev.withColumn("salt", F.pmod(F.xxhash64("user_id"), F.lit(16)))
     partial = salted.groupBy("event_type", "salt").agg(
         F.count(F.lit(1)).alias("n_part"),
-        F.sum(F.col("value").cast("decimal(18,6)")).alias("sum_part"),
+        F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("sum_part"),
         F.collect_set("user_id").alias("users_part"),
     )
     return (
         partial.groupBy("event_type")
         .agg(
             F.sum("n_part").alias("n"),
-            F.sum("sum_part").cast("double").alias("sum_value"),
+            (F.sum("sum_part") / F.lit(1e6)).alias("sum_value"),
             F.size(F.array_distinct(F.flatten(F.collect_list("users_part")))).alias("n_users"),
         )
         .select("event_type", "n", "sum_value", F.col("n_users").cast("long").alias("n_users"))
