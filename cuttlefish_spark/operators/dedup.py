@@ -663,3 +663,194 @@ def editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(1.0 - F.col("edit_dist") / F.col("max_len"), 6).alias("similarity"),
         )
     )
+
+
+_LINE_CHUNK = 10
+_LINE_MIN_OCC = 3
+_TOK_SQL = (
+    r"CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[] "
+    r"ELSE regexp_split_to_array(trim(lower(text)), '\s+') END"
+)
+
+
+@query(
+    "line_dedup",
+    layer="C",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, {_TOK_SQL} AS w FROM documents
+    ),
+    idx AS (
+        SELECT doc_id, w,
+               unnest(CASE WHEN len(w) = 0 THEN []::BIGINT[]
+                      ELSE generate_series(
+                          0, CAST(ceil(len(w) / {_LINE_CHUNK}.0) AS BIGINT) - 1)
+                      END) AS i
+        FROM t
+    ),
+    c AS (
+        SELECT doc_id, i AS chunk_pos,
+               array_to_string(
+                   w[i * {_LINE_CHUNK} + 1 : i * {_LINE_CHUNK} + {_LINE_CHUNK}],
+                   ' ') AS chunk
+        FROM idx
+    ),
+    h AS (
+        SELECT doc_id, chunk_pos, chunk,
+               CAST('0x' || substr(md5(chunk), 1, 15) AS BIGINT) AS ch
+        FROM c
+    ),
+    o AS (SELECT ch, count(*) AS n_occ FROM h GROUP BY ch),
+    k AS (SELECT h.* FROM h JOIN o USING (ch) WHERE o.n_occ < {_LINE_MIN_OCC}),
+    agg AS (
+        SELECT doc_id, count(*) AS n_kept,
+               md5(string_agg(chunk, ' ' ORDER BY chunk_pos)) AS clean_hash
+        FROM k GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           CAST(ceil(len(t.w) / {_LINE_CHUNK}.0) AS BIGINT) AS n_chunks,
+           COALESCE(agg.n_kept, 0) AS n_kept,
+           COALESCE(agg.clean_hash, md5('')) AS clean_hash
+    FROM t LEFT JOIN agg USING (doc_id)
+    """,
+)
+def line_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4-style corpus-level line deduplication: drop every text
+    segment whose EXACT content occurs >= {_LINE_MIN_OCC} times across
+    the whole corpus (boilerplate, navigation chrome, license headers),
+    then reassemble each document from its surviving segments in
+    order. This is the classic web-corpus cleaning pass (C4's
+    "three-sentence" rule, ccnet's hashed-line dedup) that exact
+    whole-doc dedup cannot express. The synthetic corpus has no
+    newlines, so a "line" here is a fixed {_LINE_CHUNK}-token window —
+    the segmentation is one substitutable expression.
+
+    Scale shape: segments are counted and joined BY 60-BIT HASH
+    (functions.hash60), so the global occurrence shuffle carries
+    (long, count) pairs, never segment text; the only frame holding
+    text is the narrow pre-shuffle segment table, re-joined on the
+    long key. Reassembly sorts WITHIN each doc (sort_array over
+    (pos, chunk) structs — no global or per-partition ordered window),
+    and the output rides as md5(clean_text), one scalar per doc. Two
+    keyed shuffles (occurrence count, per-doc regroup) + one
+    broadcast-or-shuffled hash join — uniform keys throughout; a hash
+    collision (p ~ 1e-7 per million distinct segments) would merge two
+    segments' counts identically in both engines.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    n_chunks = F.ceil(F.size(w) / F.lit(float(_LINE_CHUNK))).cast("long")
+    chunked = d.select(
+        "doc_id",
+        n_chunks.alias("n_chunks"),
+        F.when(F.size(w) == 0, F.array().cast("array<string>"))
+        .otherwise(
+            F.transform(
+                F.sequence(
+                    F.lit(0),
+                    F.floor((F.size(w) - 1) / F.lit(_LINE_CHUNK)).cast("int"),
+                ),
+                lambda i: F.array_join(
+                    F.slice(w, i * _LINE_CHUNK + 1, _LINE_CHUNK), " "
+                ),
+            )
+        )
+        .alias("chunks"),
+    )
+    seg = chunked.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_pos", "chunk")
+    ).withColumn("ch", hash60(F.col("chunk")))
+    occ = seg.groupBy("ch").agg(F.count(F.lit(1)).alias("n_occ"))
+    kept = seg.join(occ, "ch").filter(F.col("n_occ") < _LINE_MIN_OCC)
+    agg = kept.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_kept"),
+        F.md5(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("chunk_pos", "chunk"))),
+                    lambda s: s["chunk"],
+                ),
+                " ",
+            )
+        ).alias("clean_hash"),
+    )
+    return (
+        chunked.select("doc_id", "n_chunks")
+        .join(agg, "doc_id", "left")
+        .select(
+            "doc_id",
+            "n_chunks",
+            F.coalesce("n_kept", F.lit(0)).alias("n_kept"),
+            F.coalesce("clean_hash", F.md5(F.lit(""))).alias("clean_hash"),
+        )
+    )
+
+
+@query(
+    "leakage_safe_split",
+    layer="C",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               list_sort(list_filter(
+                   list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+                   x -> len(x) > 0)) AS sw
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id,
+               CASE WHEN len(sw) = 0 THEN doc_id
+                    ELSE min(doc_id) OVER (PARTITION BY md5(array_to_string(sw, ' ')))
+               END AS rep_id
+        FROM t
+    )
+    SELECT doc_id, rep_id,
+           CASE WHEN h < 80 THEN 'train'
+                WHEN h < 90 THEN 'validation'
+                ELSE 'test' END AS split
+    FROM (SELECT doc_id, rep_id,
+                 CAST('0x' || substr(md5(CAST(rep_id AS VARCHAR)), 1, 15)
+                      AS BIGINT) % 100 AS h
+          FROM r)
+    """,
+)
+def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Train/validation/test split with duplicate-leakage control: all
+    docs sharing an IDENTICAL token set follow one representative
+    (min doc_id of the set group) through the hash split, so a
+    duplicated document can never land in train AND test — the
+    benchmark-inflation leak dataset_split's independent per-doc hash
+    cannot prevent. This is the split discipline every LLM data
+    pipeline needs between dedup and sharding (the cluster-level
+    generalization — split by near-dup cluster — swaps rep_id for
+    dedup_clusters' cluster_id, same plan from there on).
+
+    Plan: one narrow pass computes each doc's set key (md5 of its
+    sorted distinct tokens), one window over that high-cardinality key
+    assigns reps (uniform keyed shuffle — identical shape to the
+    exact-dup collapse inside dedup_clusters), and the split is the
+    portable hash60(rep_id) % 100 of dataset_split, so assignment is
+    reproducible across engines and re-ingests. Blank docs keep
+    themselves as rep (empty set is not evidence of duplication).
+    """
+    from pyspark.sql import Window
+
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    sw = F.array_sort(F.array_distinct(tokens(F.col("text"))))
+    keyed = d.select(
+        "doc_id",
+        F.md5(F.array_join(sw, " ")).alias("set_key"),
+        (F.size(sw) == 0).alias("blank"),
+    )
+    rep = keyed.select(
+        "doc_id",
+        F.when(F.col("blank"), F.col("doc_id"))
+        .otherwise(F.min("doc_id").over(Window.partitionBy("set_key")))
+        .alias("rep_id"),
+    )
+    h = hash60(F.col("rep_id").cast("string")) % 100
+    return rep.select(
+        "doc_id",
+        "rep_id",
+        F.when(h < 80, "train").when(h < 90, "validation").otherwise("test").alias("split"),
+    )
