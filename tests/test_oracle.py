@@ -94,3 +94,71 @@ def test_dedup_clusters_chain_graph(spark, tmp_path):
     assert (out.loc[0:5, "cluster_id"] == 0).all()
     assert out.loc[50, "cluster_id"] == 50
     assert out["is_canonical"].sum() == 2
+
+
+def test_line_dedup_drops_boilerplate_chunks(spark, tmp_path):
+    """A 10-token chunk occurring >= 3 times across the corpus must be
+    dropped from EVERY doc (C4's boilerplate rule); chunks below the
+    threshold survive, and docs reassemble from surviving chunks in
+    order."""
+    import hashlib
+
+    from cuttlefish_spark.registry import load_all
+
+    boiler = " ".join(f"b{i}" for i in range(10))  # shared by docs 0,1,2
+    uniq = {k: " ".join(f"u{k}_{i}" for i in range(10)) for k in range(4)}
+    rows = [
+        (0, boiler + " " + uniq[0], "en", "s", 0),
+        (1, boiler + " " + uniq[1], "en", "s", 0),
+        (2, boiler + " " + uniq[2], "en", "s", 0),
+        (3, uniq[3] + " " + uniq[0], "en", "s", 0),  # uniq[0] now occurs 2x: kept
+    ]
+    sf_dir = str(tmp_path / "linesf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = (
+        load_all()["line_dedup"].fn(spark, sf_dir)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert (out["n_chunks"] == 2).all()
+    # boilerplate chunk (3 occurrences) dropped everywhere; uniq chunks kept
+    assert out.loc[0, "n_kept"] == 1
+    assert out.loc[1, "n_kept"] == 1
+    assert out.loc[2, "n_kept"] == 1
+    assert out.loc[3, "n_kept"] == 2
+    # doc 0 reassembles to exactly its unique chunk; doc 3 keeps order
+    md5 = lambda s: hashlib.md5(s.encode()).hexdigest()
+    assert out.loc[0, "clean_hash"] == md5(uniq[0])
+    assert out.loc[3, "clean_hash"] == md5(uniq[3] + " " + uniq[0])
+
+
+def test_leakage_safe_split_keeps_dup_groups_together(spark, tmp_path):
+    """Docs with identical token sets (any order/multiplicity) must all
+    land in the SAME split; the assignment must equal hash60(rep)%100
+    banding so it is reproducible."""
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        (10, "alpha beta gamma", "en", "s", 0),
+        (11, "gamma beta alpha alpha", "en", "s", 0),  # same set as 10
+        (12, "delta epsilon", "en", "s", 0),
+        (13, "epsilon delta", "en", "s", 0),  # same set as 12
+        (14, "zeta", "en", "s", 0),
+        (15, "   ", "en", "s", 0),  # blank: own rep
+    ]
+    sf_dir = str(tmp_path / "splitsf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = (
+        load_all()["leakage_safe_split"].fn(spark, sf_dir)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert out.loc[10, "rep_id"] == out.loc[11, "rep_id"] == 10
+    assert out.loc[10, "split"] == out.loc[11, "split"]
+    assert out.loc[12, "rep_id"] == out.loc[13, "rep_id"] == 12
+    assert out.loc[12, "split"] == out.loc[13, "split"]
+    assert out.loc[15, "rep_id"] == 15
