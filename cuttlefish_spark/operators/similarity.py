@@ -675,3 +675,96 @@ def negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("neg_label") == F.col("anchor_label")).alias("is_hard"),
         )
     )
+
+
+@query(
+    "embedding_quantize",
+    layer="C",
+    oracle="""
+    WITH e AS (
+        SELECT unnest(generate_series(1, len(embedding))) AS dim,
+               embedding AS emb
+        FROM embeddings
+    ),
+    x AS (SELECT dim, CAST(emb[CAST(dim AS INT)] AS DOUBLE) AS x FROM e),
+    s AS (
+        SELECT dim, min(x) AS dim_min, max(x) AS dim_max,
+               (max(x) - min(x)) / 255.0 AS scale
+        FROM x GROUP BY dim
+    ),
+    q AS (
+        SELECT x.dim,
+               CASE WHEN s.scale = 0 THEN 0.0
+                    ELSE abs(x.x - (s.dim_min
+                         + round((x.x - s.dim_min) / s.scale) * s.scale))
+               END AS err
+        FROM x JOIN s USING (dim)
+    )
+    SELECT s.dim, round(s.dim_min, 6) AS dim_min, round(s.dim_max, 6) AS dim_max,
+           round(s.scale, 9) AS scale,
+           round(SUM(CAST(round(q.err * 1000000000) AS BIGINT))
+                 / 1000000000.0 / COUNT(*), 6) AS mae
+    FROM q JOIN s USING (dim)
+    GROUP BY s.dim, s.dim_min, s.dim_max, s.scale
+    """,
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-dimension int8 scalar quantization of the embedding corpus —
+    the memory-compression pass in front of any large ANN index (4x
+    smaller vectors than float32; IVF/LSH probes then score quantized
+    codes and only re-rank survivors at full precision). Emits each
+    dimension's calibration (min/max/scale over the corpus) and the
+    mean absolute reconstruction error the 256-level grid costs.
+
+    Plan shape: one posexplode pass over the vectors, one bounded
+    aggregation keyed by dimension (64 groups — the shuffle is KBs at
+    any corpus size), a broadcast join of the per-dim calibration back
+    onto the exploded values, and a second bounded aggregation for the
+    error. Float32 inputs are widened to double BEFORE any arithmetic
+    (exact, both engines), the per-element error is deterministic
+    closed-form, and the error SUM rides the quantized-long discipline
+    (round(err*1e9) as LONG — see functions.columns.dec_sum) so the
+    cross-engine hash is order-independent. Constant dimensions
+    (scale = 0) quantize to level 0 with zero error on both sides.
+    """
+    e = load_table(spark, sf_dir, "embeddings")
+    x = e.select(
+        F.posexplode("embedding").alias("pos", "xf")
+    ).select((F.col("pos") + 1).alias("dim"), F.col("xf").cast("double").alias("x"))
+    s = x.groupBy("dim").agg(
+        F.min("x").alias("dim_min"),
+        F.max("x").alias("dim_max"),
+        ((F.max("x") - F.min("x")) / F.lit(255.0)).alias("scale"),
+    )
+    q = x.join(F.broadcast(s), "dim").select(
+        "dim",
+        "dim_min",
+        "dim_max",
+        "scale",
+        F.when(F.col("scale") == 0, F.lit(0.0))
+        .otherwise(
+            F.abs(
+                F.col("x")
+                - (
+                    F.col("dim_min")
+                    + F.round((F.col("x") - F.col("dim_min")) / F.col("scale"))
+                    * F.col("scale")
+                )
+            )
+        )
+        .alias("err"),
+    )
+    return q.groupBy("dim", "dim_min", "dim_max", "scale").agg(
+        F.round(
+            F.sum(F.round(F.col("err") * 1_000_000_000).cast("long"))
+            / F.lit(1e9)
+            / F.count(F.lit(1)),
+            6,
+        ).alias("mae")
+    ).select(
+        "dim",
+        F.round("dim_min", 6).alias("dim_min"),
+        F.round("dim_max", 6).alias("dim_max"),
+        F.round("scale", 9).alias("scale"),
+        "mae",
+    )

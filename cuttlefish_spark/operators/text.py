@@ -1004,3 +1004,76 @@ def token_budget_trim(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("cum_tok") <= TOKEN_BUDGET).select(
         "doc_id", "source", "n_tok", F.col("cum_tok").cast("long").alias("cum_tok")
     )
+
+
+_BPE_TOPK = 50
+
+
+@query(
+    "bpe_pair_counts",
+    layer="C",
+    oracle=rf"""
+    WITH words AS (
+        SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                      END) AS word
+        FROM documents
+    ),
+    pairs AS (
+        SELECT substr(word, CAST(i AS INT), 2) AS pair
+        FROM (SELECT word,
+                     unnest(CASE WHEN length(word) < 2 THEN []::BIGINT[]
+                            ELSE generate_series(1, length(word) - 1)
+                            END) AS i
+              FROM words)
+    ),
+    g AS (SELECT pair, count(*) AS n_occ FROM pairs GROUP BY pair)
+    SELECT pair, n_occ,
+           round(n_occ * 1.0 / (SELECT sum(n_occ) FROM g), 6) AS share
+    FROM g
+    ORDER BY n_occ DESC, pair
+    LIMIT {_BPE_TOPK}
+    """,
+)
+def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Adjacent-symbol pair frequencies over the corpus — the counting
+    primitive at the heart of BPE tokenizer TRAINING (each merge round
+    promotes the most frequent adjacent pair; token_count_bpe applies a
+    trained tokenizer, this builds one). Emitted: the top-{_BPE_TOPK}
+    character bigrams with corpus share, ties broken by pair text.
+
+    Plan: one narrow pass explodes words then their adjacent char
+    bigrams (both generated JVM-side from sequence/substr — no Python),
+    one count aggregation on the bigram key (map-side partials; the key
+    space is bounded by the alphabet squared, so the shuffle is a few
+    KB regardless of corpus size), corpus share via an unordered
+    window-sum over the already-aggregated frame (bounded rows — the
+    same single-partition exemption as dataset_split's share), and the
+    head is TakeOrderedAndProject, never a global sort. At 100 TB this
+    is scan-bound with a constant-size shuffle — the ideal shape. In a
+    full BPE trainer this query IS the inner loop: re-run per merge
+    round on the re-segmented corpus.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    words = d.select(F.explode(tokens(F.col("text"))).alias("word"))
+    pairs = words.select(
+        F.explode(
+            F.when(
+                F.length("word") < 2, F.array().cast("array<string>")
+            ).otherwise(
+                F.expr(
+                    "transform(sequence(1, length(word) - 1),"
+                    " i -> substr(word, i, 2))"
+                )
+            )
+        ).alias("pair")
+    )
+    g = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("n_occ"))
+    share = F.round(
+        F.col("n_occ") / F.sum("n_occ").over(Window.partitionBy()), 6
+    )
+    return (
+        g.select("pair", "n_occ", share.alias("share"))
+        .orderBy(F.desc("n_occ"), "pair")
+        .limit(_BPE_TOPK)
+    )
