@@ -162,3 +162,56 @@ def test_leakage_safe_split_keeps_dup_groups_together(spark, tmp_path):
     assert out.loc[12, "rep_id"] == out.loc[13, "rep_id"] == 12
     assert out.loc[12, "split"] == out.loc[13, "split"]
     assert out.loc[15, "rep_id"] == 15
+
+
+def test_bpe_pair_counts_adjacent_bigrams(spark, tmp_path):
+    """Pair counts must be ADJACENT character bigrams within words
+    (never across the word boundary), with overlapping occurrences all
+    counted — 'aaa' yields 'aa' twice — and single-char words yielding
+    nothing. Ties in n_occ break by pair text ascending."""
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        (0, "aaa ab", "en", "s", 0),   # aa, aa, ab
+        (1, "x AB", "en", "s", 0),     # lowercased: ab ; 'x' contributes none
+        (2, "   ", "en", "s", 0),      # blank doc: no words
+    ]
+    sf_dir = str(tmp_path / "bpesf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = load_all()["bpe_pair_counts"].fn(spark, sf_dir).toPandas()
+    assert list(out["pair"]) == ["aa", "ab"]
+    assert list(out["n_occ"]) == [2, 2]  # ab from doc 0 + doc 1
+    assert list(out["share"]) == [0.5, 0.5]
+
+
+def test_embedding_quantize_grid_error(spark, tmp_path):
+    """Calibration is per-dimension over the whole corpus; a constant
+    dimension gets scale 0 and exact reconstruction; a two-point
+    dimension quantizes exactly (min and max are both on the grid); an
+    interior value's error is its distance to the nearest of the 256
+    grid levels."""
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        (0, [0.0, 7.5], 0),
+        (1, [255.0, 7.5], 0),
+        (2, [128.0, 7.5], 0),  # dim1 grid step 1.0 -> err |128-128| = 0
+        (3, [0.4, 7.5], 0),    # nearest level 0.0 -> err 0.4
+    ]
+    sf_dir = str(tmp_path / "qsf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(sf_dir + "/embeddings.parquet")
+
+    out = (
+        load_all()["embedding_quantize"].fn(spark, sf_dir)
+        .toPandas().set_index("dim").sort_index()
+    )
+    d1 = out.loc[1]
+    assert d1["dim_min"] == 0.0 and d1["dim_max"] == 255.0 and d1["scale"] == 1.0
+    assert d1["mae"] == round(0.4 / 4, 6)
+    d2 = out.loc[2]
+    assert d2["scale"] == 0.0 and d2["mae"] == 0.0
