@@ -854,3 +854,82 @@ def leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rep_id",
         F.when(h < 80, "train").when(h < 90, "validation").otherwise("test").alias("split"),
     )
+
+
+_PREFIX_TOK = 32
+
+
+@query(
+    "prefix_dedup",
+    layer="C",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS toks
+        FROM documents
+    ),
+    keyed AS (
+        SELECT doc_id,
+               md5(array_to_string(list_slice(toks, 1, {_PREFIX_TOK}), ' '))
+                   AS prefix_hash
+        FROM t WHERE len(toks) > 0
+    ),
+    g AS (
+        SELECT prefix_hash, count(*) AS group_size, min(doc_id) AS rep_id
+        FROM keyed GROUP BY prefix_hash
+    )
+    SELECT k.doc_id, k.prefix_hash, g.group_size, g.rep_id,
+           k.doc_id <> g.rep_id AS is_dup
+    FROM keyed k JOIN g USING (prefix_hash)
+    WHERE g.group_size >= 2
+    """,
+)
+def prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared-prefix duplicate families: documents whose first
+    {_PREFIX_TOK} lowercased tokens are identical — the truncation /
+    pagination / mirror-page duplicate class that EXACT whole-text
+    dedup misses (the tails differ) and MinHash may under-score (a
+    long doc sharing only its head has low global Jaccard). Docs
+    shorter than the prefix key on their full token string, so a short
+    doc only groups with its exact-length twins, never with a longer
+    doc it happens to prefix. Emitted: every member of a family of
+    >= 2 with the family size, representative (min doc_id), and
+    non-representative flag.
+
+    Plan: narrow scan computes the prefix hash per doc (JVM slice +
+    md5, no Python), ONE aggregation on the high-cardinality hash
+    builds family stats, and the members fetch their family row back
+    via an equi-join on the same key — at 100 TB both exchanges hash-
+    partition on prefix_hash (near-unique, skew-free by construction),
+    and AQE broadcast-converts the family side when the dup family
+    table is small. No windows, no quadratic pair emission.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    keyed = (
+        d.select("doc_id", toks.alias("toks"))
+        .filter(F.size("toks") > 0)
+        .select(
+            "doc_id",
+            F.md5(F.concat_ws(" ", F.slice(F.col("toks"), 1, _PREFIX_TOK))).alias(
+                "prefix_hash"
+            ),
+        )
+    )
+    g = keyed.groupBy("prefix_hash").agg(
+        F.count(F.lit(1)).alias("group_size"),
+        F.min("doc_id").alias("rep_id"),
+    )
+    return (
+        keyed.join(g, "prefix_hash")
+        .filter(F.col("group_size") >= 2)
+        .select(
+            "doc_id",
+            "prefix_hash",
+            "group_size",
+            "rep_id",
+            (F.col("doc_id") != F.col("rep_id")).alias("is_dup"),
+        )
+    )

@@ -1077,3 +1077,206 @@ def bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_occ"), "pair")
         .limit(_BPE_TOPK)
     )
+
+
+_CHUNK_W = 64
+_CHUNK_S = 48
+
+
+@query(
+    "doc_chunking",
+    layer="C",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS toks
+        FROM documents
+    ),
+    n AS (
+        SELECT doc_id, toks, len(toks) AS n_tok,
+               CASE WHEN len(toks) = 0 THEN 0
+                    WHEN len(toks) <= {_CHUNK_W} THEN 1
+                    ELSE CAST(ceil((len(toks) - {_CHUNK_W}) / {_CHUNK_S}.0)
+                              AS BIGINT) + 1 END AS n_chunks
+        FROM t
+    )
+    SELECT doc_id,
+           k AS chunk_id,
+           k * {_CHUNK_S} AS chunk_start,
+           CAST(len(list_slice(toks, k * {_CHUNK_S} + 1,
+                               k * {_CHUNK_S} + {_CHUNK_W})) AS BIGINT)
+               AS n_chunk_tok,
+           md5(array_to_string(list_slice(toks, k * {_CHUNK_S} + 1,
+                                          k * {_CHUNK_S} + {_CHUNK_W}), ' '))
+               AS chunk_hash
+    FROM (SELECT doc_id, toks,
+                 unnest(generate_series(0, n_chunks - 1)) AS k
+          FROM n)
+    """,
+)
+def doc_chunking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding-window document chunking — the context-window splitter
+    in front of tokenize-and-pack: each doc becomes overlapping
+    {_CHUNK_W}-token chunks on a {_CHUNK_S}-token stride (16-token
+    overlap carries context across boundaries), the final chunk
+    covers the tail, and a doc at or under one window stays whole.
+    Emitted per chunk: ordinal, token offset, length, content hash
+    (the downstream join key for chunk-level dedup/retrieval).
+
+    Plan: narrow per-row map (tokenize, chunk-count closed form),
+    explode over sequence(0, n_chunks-1), slice + hash per chunk — all
+    JVM built-ins, ZERO shuffles at any scale; output size is input
+    tokens x ~1.33 (the overlap factor), the expected expansion.
+    Blank docs emit no chunks (sequence over an empty range).
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    n_tok = F.size(toks)
+    n_chunks = (
+        F.when(n_tok == 0, F.lit(0))
+        .when(n_tok <= _CHUNK_W, F.lit(1))
+        .otherwise(F.ceil((n_tok - F.lit(_CHUNK_W)) / F.lit(float(_CHUNK_S))) + 1)
+        .cast("long")
+    )
+    # NB: Spark sequence(0, -1) counts DOWN (step defaults to sign of
+    # stop-start), so n_chunks == 0 must short-circuit to an empty
+    # array rather than reach sequence() at all.
+    chunk_ids = F.when(n_chunks == 0, F.array().cast("array<long>")).otherwise(
+        F.sequence(F.lit(0).cast("long"), n_chunks - 1)
+    )
+    chunks = d.select(
+        "doc_id",
+        toks.alias("toks"),
+        F.explode(chunk_ids).alias("chunk_id"),
+    )
+    piece = F.slice(F.col("toks"), F.col("chunk_id") * _CHUNK_S + 1, _CHUNK_W)
+    return chunks.select(
+        "doc_id",
+        "chunk_id",
+        (F.col("chunk_id") * _CHUNK_S).alias("chunk_start"),
+        F.size(piece).cast("long").alias("n_chunk_tok"),
+        F.md5(F.concat_ws(" ", piece)).alias("chunk_hash"),
+    )
+
+
+_FUNNEL_MIN_TOK = 5
+_FUNNEL_MAX_CHARS = 5000
+_FUNNEL_MIN_DISTINCT = 0.3
+_FUNNEL_MAX_CPT = 20.0
+
+
+@query(
+    "quality_filter_funnel",
+    layer="C",
+    oracle=rf"""
+    WITH f AS (
+        SELECT length(trim(text)) > 0 AS g1,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(text), '\s+')) END AS n_tok,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(list_distinct(
+                        regexp_split_to_array(trim(lower(text)), '\s+'))) END
+                   AS n_distinct,
+               length(text) AS n_chars_calc,
+               length(trim(text)) AS n_trim_chars
+        FROM documents
+    ),
+    g AS (
+        SELECT g1,
+               g1 AND n_tok >= {_FUNNEL_MIN_TOK} AS g2,
+               g1 AND n_tok >= {_FUNNEL_MIN_TOK}
+                  AND n_chars_calc <= {_FUNNEL_MAX_CHARS} AS g3,
+               g1 AND n_tok >= {_FUNNEL_MIN_TOK}
+                  AND n_chars_calc <= {_FUNNEL_MAX_CHARS}
+                  AND n_distinct * 1.0 >= {_FUNNEL_MIN_DISTINCT} * n_tok AS g4,
+               g1 AND n_tok >= {_FUNNEL_MIN_TOK}
+                  AND n_chars_calc <= {_FUNNEL_MAX_CHARS}
+                  AND n_distinct * 1.0 >= {_FUNNEL_MIN_DISTINCT} * n_tok
+                  AND n_trim_chars * 1.0 <= {_FUNNEL_MAX_CPT} * n_tok AS g5
+        FROM f
+    ),
+    a AS (
+        SELECT count(*) AS s0,
+               CAST(sum(CASE WHEN g1 THEN 1 ELSE 0 END) AS BIGINT) AS s1,
+               CAST(sum(CASE WHEN g2 THEN 1 ELSE 0 END) AS BIGINT) AS s2,
+               CAST(sum(CASE WHEN g3 THEN 1 ELSE 0 END) AS BIGINT) AS s3,
+               CAST(sum(CASE WHEN g4 THEN 1 ELSE 0 END) AS BIGINT) AS s4,
+               CAST(sum(CASE WHEN g5 THEN 1 ELSE 0 END) AS BIGINT) AS s5
+        FROM g
+    )
+    SELECT gate_id, gate, n_in, n_in - n_out AS n_fail, n_out,
+           CASE WHEN n_in = 0 THEN NULL
+                ELSE round(n_out * 1.0 / n_in, 6) END AS pct_kept
+    FROM (
+        SELECT 1 AS gate_id, 'non_blank' AS gate, s0 AS n_in, s1 AS n_out FROM a
+        UNION ALL SELECT 2, 'min_tokens', s1, s2 FROM a
+        UNION ALL SELECT 3, 'max_chars', s2, s3 FROM a
+        UNION ALL SELECT 4, 'distinct_ratio', s3, s4 FROM a
+        UNION ALL SELECT 5, 'chars_per_token', s4, s5 FROM a
+    )
+    """,
+)
+def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Quality-gate attrition funnel — the acceptance report every
+    corpus-cleaning run publishes: documents flow through five ordered
+    gates (non-blank, >= {_FUNNEL_MIN_TOK} tokens, <=
+    {_FUNNEL_MAX_CHARS} chars, distinct-token ratio >=
+    {_FUNNEL_MIN_DISTINCT} (repetition cap), chars-per-token <=
+    {_FUNNEL_MAX_CPT} (gibberish cap)); each gate row reports how many
+    docs reached it, failed it, survived it, and the kept fraction.
+
+    Plan: one narrow scan computes all five per-doc survival flags
+    (each gate ANDs onto the previous — ordered-funnel semantics),
+    ONE map-side-combined aggregation reduces them to six counters,
+    and stack() unpivots the single counter row into the five-row
+    report — a 24-byte shuffle at any corpus size. All-gate flag
+    computation is JVM string/array built-ins; counts are exact, and
+    the only float (pct_kept) is a ratio of exact longs rounded to 6,
+    identical in both engines.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    trimmed = F.trim(F.col("text"))
+    blank = F.length(trimmed) == 0
+    n_tok = F.when(blank, F.lit(0)).otherwise(F.size(F.split(trimmed, r"\s+"))).cast("long")
+    n_distinct = (
+        F.when(blank, F.lit(0))
+        .otherwise(F.size(F.array_distinct(F.split(F.lower(trimmed), r"\s+"))))
+        .cast("long")
+    )
+    g1 = ~blank
+    g2 = g1 & (n_tok >= _FUNNEL_MIN_TOK)
+    g3 = g2 & (F.length("text") <= _FUNNEL_MAX_CHARS)
+    g4 = g3 & (n_distinct * 1.0 >= _FUNNEL_MIN_DISTINCT * n_tok)
+    g5 = g4 & (F.length(trimmed) * 1.0 <= _FUNNEL_MAX_CPT * n_tok)
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    a = d.agg(
+        F.count(F.lit(1)).alias("s0"),
+        cnt(g1).alias("s1"),
+        cnt(g2).alias("s2"),
+        cnt(g3).alias("s3"),
+        cnt(g4).alias("s4"),
+        cnt(g5).alias("s5"),
+    )
+    funnel = a.select(
+        F.expr(
+            "stack(5,"
+            " 1L, 'non_blank', s0, s1,"
+            " 2L, 'min_tokens', s1, s2,"
+            " 3L, 'max_chars', s2, s3,"
+            " 4L, 'distinct_ratio', s3, s4,"
+            " 5L, 'chars_per_token', s4, s5)"
+            " AS (gate_id, gate, n_in, n_out)"
+        )
+    )
+    return funnel.select(
+        "gate_id",
+        "gate",
+        "n_in",
+        (F.col("n_in") - F.col("n_out")).alias("n_fail"),
+        "n_out",
+        F.when(F.col("n_in") == 0, F.lit(None).cast("double"))
+        .otherwise(F.round(F.col("n_out") / F.col("n_in"), 6))
+        .alias("pct_kept"),
+    )

@@ -215,3 +215,96 @@ def test_embedding_quantize_grid_error(spark, tmp_path):
     assert d1["mae"] == round(0.4 / 4, 6)
     d2 = out.loc[2]
     assert d2["scale"] == 0.0 and d2["mae"] == 0.0
+
+
+def test_doc_chunking_windows_and_tail(spark, tmp_path):
+    """A 100-token doc on (W=64, S=48) yields exactly two chunks —
+    [0,64) and the tail [48,100) — never a third fully-contained
+    stub; a doc at or under one window stays whole; a blank doc emits
+    nothing."""
+    from cuttlefish_spark.registry import load_all
+
+    long_toks = [f"w{i}" for i in range(100)]
+    rows = [
+        (0, " ".join(long_toks), "en", "s", 0),
+        (1, "a b c", "en", "s", 0),
+        (2, "  ", "en", "s", 0),
+    ]
+    sf_dir = str(tmp_path / "chunksf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = load_all()["doc_chunking"].fn(spark, sf_dir).toPandas()
+    d0 = out[out.doc_id == 0].sort_values("chunk_id")
+    assert list(d0["chunk_id"]) == [0, 1]
+    assert list(d0["chunk_start"]) == [0, 48]
+    assert list(d0["n_chunk_tok"]) == [64, 52]
+    d1 = out[out.doc_id == 1]
+    assert len(d1) == 1 and d1.iloc[0]["n_chunk_tok"] == 3
+    assert (out.doc_id == 2).sum() == 0
+
+
+def test_quality_filter_funnel_ordered_gates(spark, tmp_path):
+    """Gates apply IN ORDER: a doc failing an early gate is not
+    re-counted at later gates; each row's n_in equals the previous
+    row's n_out."""
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        (0, "the quick brown fox jumps", "en", "s", 0),       # passes all
+        (1, " ", "en", "s", 0),                               # fails non_blank
+        (2, "one two", "en", "s", 0),                         # fails min_tokens
+        (3, "a a a a a a a a a a", "en", "s", 0),             # fails distinct_ratio
+        (4, "x" * 6000 + " y z w v", "en", "s", 0),           # fails max_chars
+    ]
+    sf_dir = str(tmp_path / "funnelsf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = (
+        load_all()["quality_filter_funnel"].fn(spark, sf_dir)
+        .toPandas().sort_values("gate_id").reset_index(drop=True)
+    )
+    assert list(out["gate"]) == [
+        "non_blank", "min_tokens", "max_chars", "distinct_ratio", "chars_per_token"
+    ]
+    assert list(out["n_in"]) == [5, 4, 3, 2, 1]
+    assert list(out["n_fail"]) == [1, 1, 1, 1, 0]
+    # chained: every gate's intake is the previous gate's survivors
+    assert list(out["n_in"])[1:] == list(out["n_out"])[:-1]
+
+
+def test_prefix_dedup_short_docs_never_join_longer(spark, tmp_path):
+    """Docs 0/1 share their first 32 tokens (differing tails) and must
+    family together with rep 0; doc 2 is a 10-token doc that IS doc
+    0's prefix but must NOT join the family (short docs key on their
+    full token string); docs 3/4 are identical short docs and form
+    their own family."""
+    from cuttlefish_spark.registry import load_all
+
+    head = " ".join(f"p{i}" for i in range(32))
+    short = " ".join(f"p{i}" for i in range(10))
+    rows = [
+        (0, head + " tail-a tail-b", "en", "s", 0),
+        (1, head + " other ending here", "en", "s", 0),
+        (2, short, "en", "s", 0),
+        (3, "dup dup-two dup-three", "en", "s", 0),
+        (4, "dup dup-two dup-three", "en", "s", 0),
+        (5, "unique words only here", "en", "s", 0),
+    ]
+    sf_dir = str(tmp_path / "prefixsf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = (
+        load_all()["prefix_dedup"].fn(spark, sf_dir)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert sorted(out.index) == [0, 1, 3, 4]
+    assert out.loc[0, "rep_id"] == 0 and out.loc[1, "rep_id"] == 0
+    assert bool(out.loc[1, "is_dup"]) and not bool(out.loc[0, "is_dup"])
+    assert out.loc[3, "rep_id"] == 3 and out.loc[4, "rep_id"] == 3
+    assert (out["group_size"] == 2).all()
