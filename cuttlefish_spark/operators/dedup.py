@@ -933,3 +933,117 @@ def prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("doc_id") != F.col("rep_id")).alias("is_dup"),
         )
     )
+
+
+@query(
+    "minhash_accuracy",
+    layer="C",
+    oracle=f"""
+    WITH sig AS ({_TOKSIG_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (a.band1 = b.band1 OR a.band2 = b.band2)
+    ),
+    pairs AS (
+        SELECT (CASE WHEN substr(sa.band1, 1, 8) = substr(sb.band1, 1, 8)
+                     THEN 1 ELSE 0 END
+              + CASE WHEN substr(sa.band1, 9, 8) = substr(sb.band1, 9, 8)
+                     THEN 1 ELSE 0 END
+              + CASE WHEN substr(sa.band2, 1, 8) = substr(sb.band2, 1, 8)
+                     THEN 1 ELSE 0 END
+              + CASE WHEN substr(sa.band2, 9, 8) = substr(sb.band2, 9, 8)
+                     THEN 1 ELSE 0 END) / 4.0 AS est,
+               CAST(len(list_intersect(sa.hw, sb.hw)) AS DOUBLE)
+                   / (len(sa.hw) + len(sb.hw)
+                      - len(list_intersect(sa.hw, sb.hw))) AS exact
+        FROM cand c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+    )
+    SELECT est,
+           count(*) AS n_pairs,
+           round(SUM(CAST(round(exact * 1000000000) AS BIGINT))
+                 / 1000000000.0 / count(*), 6) AS mean_exact,
+           round(SUM(CAST(round(abs(est - exact) * 1000000000) AS BIGINT))
+                 / 1000000000.0 / count(*), 6) AS mean_abs_err,
+           CAST(SUM(CASE WHEN exact >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_true_07
+    FROM pairs
+    GROUP BY est
+    """,
+)
+def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Accuracy audit OF the MinHash estimator itself — "measure,
+    don't guess" applied to the sketch every near-dup query here
+    trusts: for each band-candidate pair, the 4-hash similarity
+    estimate (fraction of matching MinHash windows; candidates share a
+    band, so est >= 0.5) is compared against the EXACT token-set
+    Jaccard, grouped by estimate level. Per level: pair count, mean
+    true Jaccard, mean absolute estimator error, and how many pairs
+    clear the 0.7 true-similarity bar — the false-positive /
+    calibration table that tells you whether b=2, r=2 banding is
+    sufficient before scaling the dedup to the full corpus.
+
+    Plan shape is ngram_jaccard's: banded equi-join candidates
+    (uniform high-cardinality keys), payload fetched once per
+    candidate, then a 3-group aggregation — the audit costs one extra
+    closed-form column over the existing candidate pipeline. Float
+    discipline: est is an exact k/4 float; the double sums
+    (mean_exact, mean_abs_err) ride the quantized-long path
+    (round(x*1e9) summed as BIGINT) so the hash is order-independent
+    across engines and partition counts.
+    """
+    sig = _token_signatures(spark, sf_dir)
+    a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("band1").alias("k"),
+                    F.col("band2").alias("b2_a"))
+    b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("band1").alias("k"),
+                    F.col("band2").alias("b2_b"))
+    cand1 = (
+        a1.join(b1, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", F.col("k").alias("b1_a"), F.col("k").alias("b1_b"),
+                "b2_a", "b2_b")
+    )
+    a2 = sig.select(F.col("doc_id").alias("doc_a"), F.col("band2").alias("k"),
+                    F.col("band1").alias("b1_a"))
+    b2 = sig.select(F.col("doc_id").alias("doc_b"), F.col("band2").alias("k"),
+                    F.col("band1").alias("b1_b"))
+    cand2 = (
+        a2.join(b2, "k")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("b1_a") != F.col("b1_b")))
+        .select("doc_a", "doc_b", "b1_a", "b1_b", F.col("k").alias("b2_a"),
+                F.col("k").alias("b2_b"))
+    )
+    cand = cand1.unionByName(cand2.select(*cand1.columns))
+    wa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hw").alias("hw_a"))
+    wb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hw").alias("hw_b"))
+    pairs = cand.join(wa, "doc_a").join(wb, "doc_b")
+
+    def m(col: str, start: int) -> F.Column:
+        return F.substring(F.col(col), start, 8)
+
+    matches = sum(
+        F.when(m(f"b{w}_a", s) == m(f"b{w}_b", s), 1).otherwise(0)
+        for w, s in [(1, 1), (1, 9), (2, 1), (2, 9)]
+    )
+    i = F.size(F.array_intersect("hw_a", "hw_b")).cast("double")
+    exact = i / (F.size("hw_a") + F.size("hw_b") - i)
+    scored = pairs.select(
+        (matches / F.lit(4.0)).alias("est"), exact.alias("exact")
+    )
+    qsum = lambda c: F.sum(F.round(c * 1_000_000_000).cast("long"))  # noqa: E731
+    return scored.groupBy("est").agg(
+        F.count(F.lit(1)).alias("n_pairs"),
+        F.round(qsum(F.col("exact")) / F.lit(1e9) / F.count(F.lit(1)), 6).alias(
+            "mean_exact"
+        ),
+        F.round(
+            qsum(F.abs(F.col("est") - F.col("exact"))) / F.lit(1e9) / F.count(F.lit(1)),
+            6,
+        ).alias("mean_abs_err"),
+        F.sum(F.when(F.col("exact") >= 0.7, 1).otherwise(0)).cast("long").alias(
+            "n_true_07"
+        ),
+    )

@@ -131,3 +131,71 @@ def fk_integrity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
     return reduce(lambda a, b: a.unionAll(b), parts)
+
+
+_SKEW_COLS = ["user_id", "event_type"]
+
+
+def _skew_oracle(c: str) -> str:
+    return f"""
+    SELECT '{c}' AS key_col,
+           CAST(SUM(cnt) AS BIGINT) AS n_rows,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           round(SUM(cnt) * 1.0 / COUNT(*), 6) AS mean_per_key,
+           round(quantile_cont(cnt, 0.5), 6) AS p50_per_key,
+           round(quantile_cont(cnt, 0.99), 6) AS p99_per_key,
+           CAST(MAX(cnt) AS BIGINT) AS max_per_key,
+           round(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_share,
+           round(MAX(cnt) * 1.0 * COUNT(*) / SUM(cnt), 6) AS skew_ratio
+    FROM (SELECT {c}, CAST(count(*) AS BIGINT) AS cnt
+          FROM events GROUP BY {c})
+    """
+
+
+@query(
+    "skew_profile",
+    layer="B",
+    oracle=" UNION ALL ".join(_skew_oracle(c) for c in _SKEW_COLS),
+)
+def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Partition-skew diagnostics for prospective shuffle keys — the
+    measurement that decides between a plain hash shuffle, AQE skew
+    handling, and explicit salting (skew_salted_agg/join are the
+    treatments; this is the diagnosis). Per candidate key column of
+    `events`: row/key counts, per-key mean and p50/p99, the hottest
+    key's absolute count and share, and skew_ratio = max/mean — the
+    single number a 1000-executor shuffle lives or dies by (a ratio
+    near 1 means balanced reducers; event_type's ~n_keys-sized ratio
+    means one reducer would own ~1/n_keys of 100 TB).
+
+    Plan per column: one count aggregation on the key (map-side
+    partials make even the skewed key safe — partials shrink each hot
+    key to one row per map task) into a single tiny percentile
+    aggregate; branches union. Cross-engine exactness: counts are
+    longs; mean/share/ratio are single divisions of exact longs
+    rounded to 6; percentiles use the shared continuous-interpolation
+    definition (Spark percentile == DuckDB quantile_cont) over exact
+    long counts, rounded to 6.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    parts = []
+    for c in _SKEW_COLS:
+        cnts = ev.groupBy(c).agg(F.count(F.lit(1)).alias("cnt"))
+        parts.append(
+            cnts.agg(
+                F.lit(c).alias("key_col"),
+                F.sum("cnt").alias("n_rows"),
+                F.count(F.lit(1)).alias("n_keys"),
+                F.round(F.sum("cnt") / F.count(F.lit(1)), 6).alias("mean_per_key"),
+                F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_per_key"),
+                F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_per_key"),
+                F.max("cnt").alias("max_per_key"),
+                F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
+                F.round(
+                    F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt"), 6
+                ).alias("skew_ratio"),
+            )
+        )
+    from functools import reduce as _reduce
+
+    return _reduce(lambda a, b: a.unionAll(b), parts)

@@ -308,3 +308,66 @@ def test_prefix_dedup_short_docs_never_join_longer(spark, tmp_path):
     assert bool(out.loc[1, "is_dup"]) and not bool(out.loc[0, "is_dup"])
     assert out.loc[3, "rep_id"] == 3 and out.loc[4, "rep_id"] == 3
     assert (out["group_size"] == 2).all()
+
+
+def test_skew_profile_counts_and_percentiles(spark, tmp_path):
+    """Per-key stats over a crafted 5-row events table: user 1 owns 4
+    rows and user 2 one row, so p50 interpolates to 2.5, the hot key's
+    share is 0.8, and skew_ratio = max/mean = 1.6."""
+    from datetime import datetime
+
+    from cuttlefish_spark.registry import load_all
+
+    ts = datetime(2024, 1, 1)
+    rows = [
+        (1, ts, 1, "x", 1.0, "{}"),
+        (2, ts, 1, "x", 1.0, "{}"),
+        (3, ts, 1, "x", 1.0, "{}"),
+        (4, ts, 1, "y", 1.0, "{}"),
+        (5, ts, 2, "y", 1.0, "{}"),
+    ]
+    sf_dir = str(tmp_path / "skewsf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(sf_dir + "/events.parquet")
+
+    out = (
+        load_all()["skew_profile"].fn(spark, sf_dir)
+        .toPandas().set_index("key_col")
+    )
+    u = out.loc["user_id"]
+    assert u["n_rows"] == 5 and u["n_keys"] == 2
+    assert u["mean_per_key"] == 2.5 and u["p50_per_key"] == 2.5
+    assert u["max_per_key"] == 4 and u["top_share"] == 0.8
+    assert u["skew_ratio"] == 1.6
+    t = out.loc["event_type"]
+    assert t["max_per_key"] == 3 and t["top_share"] == 0.6 and t["skew_ratio"] == 1.2
+
+
+def test_minhash_accuracy_identical_docs_calibrate_exactly(spark, tmp_path):
+    """Three identical docs form 3 candidate pairs at estimate 1.0
+    with exact Jaccard 1.0 and zero estimator error; unrelated docs
+    with disjoint token sets never become candidates."""
+    from cuttlefish_spark.registry import load_all
+
+    same = "alpha beta gamma delta epsilon"
+    rows = [
+        (0, same, "en", "s", 0),
+        (1, same, "en", "s", 0),
+        (2, same, "en", "s", 0),
+        (3, "zeta eta theta iota kappa", "en", "s", 0),
+        (4, "completely different words here now", "en", "s", 0),
+    ]
+    sf_dir = str(tmp_path / "mhasf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = load_all()["minhash_accuracy"].fn(spark, sf_dir).toPandas()
+    assert len(out) == 1
+    r = out.iloc[0]
+    assert r["est"] == 1.0 and r["n_pairs"] == 3
+    assert r["mean_exact"] == 1.0 and r["mean_abs_err"] == 0.0
+    assert r["n_true_07"] == 3
