@@ -1938,3 +1938,66 @@ def time_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     starts Monday in both)."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_TIME_ROLLUP_SQL)
+
+
+@query(
+    "incremental_rollup",
+    layer="B",
+    oracle="""
+    SELECT CAST(date_trunc('day', ts) AS TIMESTAMP) AS day,
+           event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(round(value * 1000000) AS BIGINT)) / 1000000.0
+                AS DOUBLE) AS total_value,
+           MIN(value) AS min_value,
+           MAX(value) AS max_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental view maintenance for a daily rollup: the HISTORY
+    batch and the DELTA batch are aggregated SEPARATELY into algebraic
+    partials (count, integer-micro sum, min, max) and then MERGED by
+    summing counts/sums and re-min/max-ing — never re-scanning
+    history. The oracle is the full recompute over the whole table:
+    merged-partials == full is the algebraic-aggregate contract that
+    makes 100 TB rollups maintainable (yesterday's partials are a
+    materialized table; each day merges only the new partition in).
+    The batch boundary here is an event_id hash split standing in for
+    the history/today partition cut — merge correctness is boundary-
+    independent, which is exactly the property being demonstrated.
+
+    Exactness across the merge: the value sum is carried through the
+    partials as INTEGER MICROS (round(value*1e6) summed as long), so
+    partial+merge is exact long addition in any order and the final
+    /1e6 matches the oracle's quantized sum bit-for-bit; min/max are
+    idempotent merges. Plan: two pushed-filter scans -> two partial
+    aggregations -> one merge aggregation on the bounded (day, type)
+    key space — the merge shuffle is KBs regardless of corpus size.
+    """
+    ev = load_table(spark, sf_dir, "events")
+    is_hist = F.col("event_id") % 16 < 13
+
+    def partial(df: DataFrame) -> DataFrame:
+        return df.groupBy(
+            F.date_trunc("day", "ts").alias("day"), "event_type"
+        ).agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias("s_micros"),
+            F.min("value").alias("mn"),
+            F.max("value").alias("mx"),
+        )
+
+    merged = (
+        partial(ev.filter(is_hist))
+        .unionByName(partial(ev.filter(~is_hist)))
+        .groupBy("day", "event_type")
+        .agg(
+            F.sum("n").alias("n_events"),
+            (F.sum("s_micros") / F.lit(1e6)).alias("total_value"),
+            F.min("mn").alias("min_value"),
+            F.max("mx").alias("max_value"),
+        )
+    )
+    return merged

@@ -371,3 +371,45 @@ def test_minhash_accuracy_identical_docs_calibrate_exactly(spark, tmp_path):
     assert r["est"] == 1.0 and r["n_pairs"] == 3
     assert r["mean_exact"] == 1.0 and r["mean_abs_err"] == 0.0
     assert r["n_true_07"] == 3
+
+
+def test_incremental_rollup_merge_boundary_independent(spark, tmp_path):
+    """The merged-partials rollup must equal a direct one-shot
+    aggregation regardless of where the history/delta hash boundary
+    falls — including a day whose rows land entirely in one batch."""
+    from datetime import datetime
+
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        # event_id 13 falls in the delta batch (13 % 16 >= 13)
+        (1, datetime(2024, 1, 1, 5), 1, "click", 1.25, "{}"),
+        (13, datetime(2024, 1, 1, 6), 2, "click", 2.50, "{}"),
+        (2, datetime(2024, 1, 2, 7), 1, "view", 0.75, "{}"),
+        (30, datetime(2024, 1, 2, 8), 3, "view", -1.25, "{}"),
+        (3, datetime(2024, 1, 3, 9), 1, "buy", 10.0, "{}"),
+    ]
+    sf_dir = str(tmp_path / "incsf")
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts timestamp, user_id long, event_type string,"
+        " value double, props string",
+    ).write.parquet(sf_dir + "/events.parquet")
+
+    out = load_all()["incremental_rollup"].fn(spark, sf_dir)
+    full = (
+        spark.read.parquet(sf_dir + "/events.parquet")
+        .groupBy(F.date_trunc("day", "ts").alias("day"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 1_000_000).cast("long")) / F.lit(1e6))
+            .alias("total_value"),
+            F.min("value").alias("min_value"),
+            F.max("value").alias("max_value"),
+        )
+    )
+    a = out.toPandas().sort_values(["day", "event_type"]).reset_index(drop=True)
+    b = full.toPandas().sort_values(["day", "event_type"]).reset_index(drop=True)
+    assert a.equals(b[a.columns])

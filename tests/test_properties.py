@@ -82,3 +82,35 @@ def test_token_bucket_enforces_rate(rate, burst, n):
         b.acquire()
     min_elapsed = max(0.0, (n - burst) / rate)
     assert now[0] >= min_elapsed - 1e-6
+
+
+def _chunk_spans(n_tok: int, w: int, s: int) -> list[tuple[int, int]]:
+    """The chunk layout doc_chunking computes: [kS, min(kS+W, n)) for
+    k in 0..n_chunks-1 with the closed-form count."""
+    import math
+
+    if n_tok == 0:
+        return []
+    n_chunks = 1 if n_tok <= w else math.ceil((n_tok - w) / s) + 1
+    return [(k * s, min(k * s + w, n_tok)) for k in range(n_chunks)]
+
+
+@given(n_tok=st.integers(0, 2000))
+@settings(max_examples=300, deadline=None)
+def test_chunk_layout_covers_exactly(n_tok):
+    """Every token is covered, the last chunk reaches the end, no
+    chunk is empty, and no chunk is fully contained in its
+    predecessor (W=64, S=48 — the doc_chunking constants)."""
+    w, s = 64, 48
+    spans = _chunk_spans(n_tok, w, s)
+    if n_tok == 0:
+        assert spans == []
+        return
+    covered = set()
+    for a, b in spans:
+        assert a < b, "empty chunk emitted"
+        covered.update(range(a, b))
+    assert covered == set(range(n_tok))
+    assert spans[-1][1] == n_tok
+    for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
+        assert not (a2 >= a1 and b2 <= b1), "chunk fully contained in predecessor"
