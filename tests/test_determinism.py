@@ -1,0 +1,72 @@
+"""Partition-count invariance: the engine's cross-engine exactness
+story rests on order-independent aggregation (quantized-long sums,
+md5-derived hashes, closed-form assignments). That claim is only real
+if results are bit-identical under DIFFERENT physical parallelism —
+the number of shuffle partitions is the knob a 1000-executor cluster
+turns that local tests otherwise never exercise. These tests run
+representative queries under shuffle.partitions=3 and =24 and demand
+identical canonical hashes: any order-dependent float sum,
+partition-local row numbering, or non-deterministic tie-break shows
+up here as a hash flip.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+import pandas as pd
+import pytest
+
+from cuttlefish_spark.registry import load_all
+
+# One query per exactness mechanism:
+#  - agg_groupby: quantized-long sums (dec_sum) under a keyed shuffle
+#  - incremental_rollup: partial-merge across an arbitrary batch split
+#  - minhash_accuracy: double sums over join-ordered pair streams
+#  - token_budget_trim: two-phase distributed prefix sum + cutoff
+#  - embedding_quantize: explode -> per-dim agg -> broadcast-back join
+#  - dataset_split: deterministic hash assignment
+_QUERIES = [
+    "agg_groupby",
+    "incremental_rollup",
+    "minhash_accuracy",
+    "token_budget_trim",
+    "embedding_quantize",
+    "dataset_split",
+]
+
+
+def _canon_hash(df: pd.DataFrame) -> str:
+    df = df[sorted(df.columns)].copy()
+    for c in df.columns:
+        s = df[c]
+        if pd.api.types.is_datetime64_any_dtype(s):
+            df[c] = s.astype("datetime64[us]").astype("int64")
+        elif pd.api.types.is_float_dtype(s):
+            df[c] = s.astype("float64").round(6)
+        elif s.dtype == object:
+            df[c] = s.map(
+                lambda v: str(tuple(v)) if isinstance(v, (list, np.ndarray)) else str(v)
+            )
+    rows = sorted(df.astype(str).itertuples(index=False, name=None))
+    return hashlib.md5(str(rows).encode()).hexdigest()
+
+
+@pytest.mark.parametrize("name", _QUERIES)
+def test_partition_count_invariance(spark, sf_dir, name):
+    fn = load_all()[name].fn
+    old = spark.conf.get("spark.sql.shuffle.partitions")
+    hashes = {}
+    try:
+        for n in (3, 24):
+            spark.conf.set("spark.sql.shuffle.partitions", str(n))
+            spark.catalog.clearCache()
+            hashes[n] = _canon_hash(fn(spark, sf_dir).toPandas())
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", old)
+        spark.catalog.clearCache()
+    assert hashes[3] == hashes[24], (
+        f"{name} result depends on shuffle partition count — an "
+        "order-dependent aggregation or partition-local numbering leaked"
+    )
