@@ -255,3 +255,102 @@ def skew_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("type_total").alias("type_total"),
         dec_sum(F.col("value"), alias="sum_value"),
     )
+
+
+_Z_BITS = 8
+_Z_BUCKET_SHIFT = 8  # 16-bit z >> 8 = 256 layout buckets
+
+
+def _interleave_expr(qx: str, qy: str, shift_fn) -> str:
+    """Morton interleave of two {_Z_BITS}-bit ints as a pure-arithmetic
+    expression (portable: no engine bit-concat needed): x takes even
+    bit positions, y odd."""
+    terms = []
+    for i in range(_Z_BITS):
+        terms.append(f"({shift_fn(qx, i)} & 1) * {1 << (2 * i)}")
+        terms.append(f"({shift_fn(qy, i)} & 1) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_Z_SPARK = _interleave_expr("qx", "qy", lambda c, i: f"shiftright({c}, {i})")
+_Z_DUCK = _interleave_expr("qx", "qy", lambda c, i: f"({c} >> {i})")
+
+
+@query(
+    "zorder_layout",
+    layer="B",
+    oracle=f"""
+    WITH b AS (
+        SELECT MIN(o_custkey) AS min_ck, MAX(o_custkey) AS max_ck,
+               MIN(date_diff('day', DATE '1970-01-01', o_orderdate)) AS min_dy,
+               MAX(date_diff('day', DATE '1970-01-01', o_orderdate)) AS max_dy
+        FROM orders
+    ),
+    q AS (
+        SELECT o_custkey AS ck,
+               date_diff('day', DATE '1970-01-01', o_orderdate) AS dy,
+               ((o_custkey - b.min_ck) * {(1 << _Z_BITS) - 1})
+                   // (b.max_ck - b.min_ck) AS qx,
+               ((date_diff('day', DATE '1970-01-01', o_orderdate) - b.min_dy)
+                   * {(1 << _Z_BITS) - 1}) // (b.max_dy - b.min_dy) AS qy
+        FROM orders, b
+    ),
+    z AS (SELECT ck, dy, CAST(({_Z_DUCK}) AS BIGINT) AS zval FROM q)
+    SELECT CAST(zval // {1 << _Z_BUCKET_SHIFT} AS BIGINT) AS bucket_id,
+           COUNT(*) AS n_rows,
+           CAST(MIN(ck) AS BIGINT) AS min_ck, CAST(MAX(ck) AS BIGINT) AS max_ck,
+           CAST(MIN(dy) AS BIGINT) AS min_day, CAST(MAX(dy) AS BIGINT) AS max_day
+    FROM z GROUP BY 1
+    """,
+)
+def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Z-order (Morton-curve) layout planning over orders on the
+    (o_custkey, o_orderdate) pair — the multi-dimensional clustering
+    that makes parquet min/max pruning work for EITHER predicate
+    column: each dim is quantized to {_Z_BITS} bits against its global
+    bounds (pure integer arithmetic — exact in both engines), bits are
+    interleaved into a Morton code, and rows bucket by the code's high
+    bits. The emitted table is each layout bucket's bounding box
+    (min/max of BOTH dims) — tight boxes on both axes are the whole
+    point; a single-column sort gives tight custkey boxes but
+    full-range date boxes. The write path this plans for is
+    `repartitionByRange(zval).sortWithinPartitions(zval)` into
+    parquet, where footer min/max indexes then prune 2-D box queries
+    on either column; the reference has no layout control at all (its
+    chunker balances row counts only, chunk-list.rkt:6-18).
+
+    Plan: a 4-value global bounds aggregate broadcast onto the scan
+    (one tiny exchange), the z-code computed as a narrow arithmetic
+    map, and ONE bounded aggregation on the {1 << (16 - _Z_BUCKET_SHIFT)}-key
+    bucket id. All integer ops — no float quantization drift, no
+    Python.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    epoch_day = F.datediff(F.col("o_orderdate"), F.lit("1970-01-01").cast("date"))
+    bounds = o.agg(
+        F.min("o_custkey").alias("min_ck"),
+        F.max("o_custkey").alias("max_ck"),
+        F.min(epoch_day).alias("min_dy"),
+        F.max(epoch_day).alias("max_dy"),
+    )
+    mx = (1 << _Z_BITS) - 1
+    q = (
+        o.select(F.col("o_custkey").alias("ck"), epoch_day.alias("dy"))
+        .crossJoin(F.broadcast(bounds))
+        .select(
+            "ck",
+            "dy",
+            F.expr(f"((ck - min_ck) * {mx}) div (max_ck - min_ck)").alias("qx"),
+            F.expr(f"((dy - min_dy) * {mx}) div (max_dy - min_dy)").alias("qy"),
+        )
+    )
+    z = q.select("ck", "dy", F.expr(f"CAST(({_Z_SPARK}) AS BIGINT)").alias("zval"))
+    return z.groupBy(
+        F.expr(f"zval div {1 << _Z_BUCKET_SHIFT}").cast("long").alias("bucket_id")
+    ).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.min("ck").cast("long").alias("min_ck"),
+        F.max("ck").cast("long").alias("max_ck"),
+        F.min("dy").cast("long").alias("min_day"),
+        F.max("dy").cast("long").alias("max_day"),
+    )

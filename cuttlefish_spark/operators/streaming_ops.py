@@ -291,3 +291,63 @@ def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             interval_join_stream(read_events_stream(spark, d)), name, mode="append"
         )
     return _drain_memory_sink(spark, name, d)
+
+
+@query(
+    "streaming_hopping_halfhour",
+    layer="C",
+    oracle="""
+    SELECT CAST(ws AS TIMESTAMP) AS w_start,
+           CAST(ws + INTERVAL '1 hour' AS TIMESTAMP) AS w_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM (
+        SELECT e.value,
+               time_bucket(INTERVAL '30 minutes', e.ts)
+                   - k.k * INTERVAL '30 minutes' AS ws
+        FROM events e CROSS JOIN (SELECT unnest([0, 1]) AS k) k
+    )
+    GROUP BY ws
+    """,
+)
+def streaming_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (1-hour / 30-minute slide) aggregate computed BY THE
+    STREAMING ENGINE and hash-checked against the SAME explicit
+    two-assignments-per-event SQL the batch hopping_window answers —
+    overlapping-window state is the piece of the streaming agg story
+    tumbling windows don't cover (each event updates TWO state rows;
+    the watermark still closes them in slide-aligned order).
+
+    State is keyed by window start on the 30-minute grid: 2x the
+    tumbling row count, same eviction bound. Memory-sink caveats as
+    streaming_tumbling_hourly."""
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    from cuttlefish_spark.functions import dec_sum
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
+    name = f"stream_hop_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        hopped = (
+            read_events_stream(spark, d)
+            .withWatermark("ts", "2 hours")
+            .groupBy(F.window("ts", "1 hour", "30 minutes").alias("w"))
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                dec_sum(F.col("value"), alias="total_value"),
+            )
+            .select(
+                F.col("w.start").alias("w_start"),
+                F.col("w.end").alias("w_end"),
+                "n_events",
+                "total_value",
+            )
+        )
+        run_available_now(hopped, name)
+    return _drain_memory_sink(spark, name, d)

@@ -114,3 +114,20 @@ def test_chunk_layout_covers_exactly(n_tok):
     assert spans[-1][1] == n_tok
     for (a1, b1), (a2, b2) in zip(spans, spans[1:]):
         assert not (a2 >= a1 and b2 <= b1), "chunk fully contained in predecessor"
+
+
+@given(x=st.integers(0, 255), y=st.integers(0, 255))
+@settings(max_examples=200, deadline=None)
+def test_morton_interleave_expr_matches_reference(x, y):
+    """The generated arithmetic interleave (zorder_layout's _Z_SPARK /
+    _Z_DUCK SQL) must equal the definitional Morton code: x in even
+    bit positions, y in odd."""
+    from cuttlefish_spark.operators.scale import _interleave_expr
+
+    expr = _interleave_expr("qx", "qy", lambda c, i: f"({c} >> {i})")
+    got = eval(expr, {}, {"qx": x, "qy": y})
+    want = 0
+    for i in range(8):
+        want |= ((x >> i) & 1) << (2 * i)
+        want |= ((y >> i) & 1) << (2 * i + 1)
+    assert got == want
