@@ -23,6 +23,13 @@ from pyspark.sql import types as T
 
 from cuttlefish_spark.functions import dec_sum
 
+def _ts_column_index(path: str) -> int:
+    """Index of the `ts` column in a parquet file's physical layout."""
+    import pyarrow.parquet as pq
+
+    return list(pq.read_schema(path).names).index("ts")
+
+
 def _events_file_schema(source_dir: str) -> tuple[T.StructType, bool]:
     """Schema for the events file stream, derived from the parquet
     footers of the input files (driver-side footer reads at
@@ -59,11 +66,24 @@ def _events_file_schema(source_dir: str) -> tuple[T.StructType, bool]:
                 f"(per-file: { {f.rsplit('/', 1)[-1]: str(t) for f, t in ts_types.items()} })"
             )
         arrow_ts = next(iter(ts_types.values()))
-        if getattr(arrow_ts, "unit", None) == "ns" or arrow_ts == pa.int64():
+        # INT96 (legacy Spark/Hive writer) also surfaces as timestamp[ns]
+        # in the arrow schema, but Spark's vectorized reader handles it
+        # natively as TIMESTAMP — only true TIMESTAMP(NANOS)/int64-nanos
+        # need the read-as-long conversion. Physical type disambiguates.
+        first_file = files[0]
+        phys = (
+            pq.ParquetFile(first_file)
+            .metadata.row_group(0)
+            .column(_ts_column_index(first_file))
+            .physical_type
+        )
+        if phys != "INT96" and (
+            getattr(arrow_ts, "unit", None) == "ns" or arrow_ts == pa.int64()
+        ):
             # TIMESTAMP(NANOS) or raw int64 nanos: read as long, convert.
             nanos = True
             ts_field = T.StructField("ts", T.LongType())
-        elif getattr(arrow_ts, "tz", None) is None:
+        elif phys != "INT96" and getattr(arrow_ts, "tz", None) is None:
             ts_field = T.StructField("ts", T.TimestampNTZType())
     schema = T.StructType(
         [

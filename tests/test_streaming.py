@@ -239,3 +239,56 @@ def test_mixed_ts_encoding_source_dir_rejected(spark, tmp_path):
     )
     with _pytest.raises(ValueError, match="mixed ts encodings"):
         _events_file_schema(str(d))
+
+
+def test_multibatch_state_equals_batch(spark, sf_dir, tmp_path):
+    """State must survive ACROSS micro-batches: the events table is
+    split chronologically into four files and drained with
+    maxFilesPerTrigger=1 (four micro-batches), so tumbling windows and
+    sessions that straddle a batch boundary are finished by LATER
+    batches out of the state store. The drained result must equal the
+    single-batch drain bit-for-bit — if state were lost or re-emitted
+    between batches, counts or sums would differ. Chronological splits
+    keep every event ahead of the watermark, so nothing is legitimately
+    droppable."""
+    from cuttlefish_spark.io import load_table
+
+    ev = load_table(spark, sf_dir, "events").orderBy("ts")
+    n = ev.count()
+    pdf = ev.toPandas()
+    d = tmp_path / "chrono"
+    d.mkdir()
+    step = (n + 3) // 4
+    for i in range(4):
+        part = pdf.iloc[i * step : (i + 1) * step]
+        spark.createDataFrame(part, ev.schema).coalesce(1).write.parquet(
+            str(d / f"batch-{i}.parquet")
+        )
+    # one file per source subdir; the reader globs the parent
+    src = tmp_path / "src"
+    src.mkdir()
+    for i in range(4):
+        files = list((d / f"batch-{i}.parquet").glob("part-*.parquet"))
+        assert len(files) == 1
+        shutil.copy(files[0], src / f"part-{i:03d}.parquet")
+
+    def drain(max_files):
+        name = f"mb_{max_files}"
+        stream = tumbling_stream(
+            read_events_stream(spark, str(src), max_files_per_trigger=max_files)
+        )
+        q = run_available_now(stream, name)
+        n_batches = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+        out = (
+            spark.table(name)
+            .toPandas()
+            .sort_values(["hour_start", "event_type"])
+            .reset_index(drop=True)
+        )
+        spark.catalog.dropTempView(name)
+        return out, n_batches
+
+    multi, nb_multi = drain(1)
+    single, _ = drain(100)
+    assert nb_multi >= 4, "expected one micro-batch per file"
+    assert multi.equals(single)
