@@ -1047,3 +1047,139 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_true_07"
         ),
     )
+
+
+_SS_W = 8  # rolling-window width in tokens
+_SS_MIN_OCC = 2  # a window is "duplicated" when it occurs this often corpus-wide
+
+
+@query(
+    "substring_dedup",
+    layer="C",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               CAST('0x' || substr(
+                   md5(array_to_string(w[i : i + {_SS_W} - 1], ' ')),
+                   1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - {_SS_W} + 1)) AS i
+              FROM t WHERE len(w) >= {_SS_W})
+    ),
+    occ AS (SELECT h, count(*) AS n_occ FROM seg GROUP BY h),
+    dup AS (
+        SELECT seg.doc_id, seg.pos,
+               lead(seg.pos) OVER (PARTITION BY seg.doc_id
+                                   ORDER BY seg.pos) AS nxt
+        FROM seg JOIN occ USING (h)
+        WHERE occ.n_occ >= {_SS_MIN_OCC}
+    ),
+    cov AS (
+        SELECT doc_id, count(*) AS dup_windows,
+               CAST(sum(CASE WHEN nxt IS NULL THEN {_SS_W}
+                        ELSE least({_SS_W}, nxt - pos) END) AS BIGINT)
+                   AS dup_tokens
+        FROM dup GROUP BY doc_id
+    )
+    SELECT t.doc_id,
+           len(t.w) AS n_tokens,
+           CAST(greatest(len(t.w) - {_SS_W} + 1, 0) AS BIGINT) AS n_windows,
+           COALESCE(cov.dup_windows, 0) AS dup_windows,
+           COALESCE(cov.dup_tokens, 0) AS dup_tokens,
+           round(COALESCE(cov.dup_tokens, 0) * 1.0
+                 / greatest(len(t.w), 1), 6) AS dup_fraction
+    FROM t LEFT JOIN cov USING (doc_id)
+    """,
+)
+def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Repeated-substring coverage, stride-1 rolling windows: every
+    {_SS_W}-token window of every document is hashed; a window whose
+    exact content occurs >= {_SS_MIN_OCC} times ANYWHERE in the corpus
+    marks its token span as duplicated, and each document reports how
+    many of its token positions fall inside at least one duplicated
+    span. This is the exact-substring-dedup signal (memorized spans
+    shared across documents — the class that whole-doc and chunk-grid
+    dedup both miss, because the repeat can start at any offset).
+    `line_dedup` is the stride-{_SS_W} grid approximation of this;
+    stride-1 here costs W rows per token instead of 1 but catches
+    arbitrarily-aligned repeats.
+
+    Span coverage uses the standard interval-union identity: windows
+    within a doc sorted by start position; each duplicated window
+    contributes min(W, next_dup_start - start) tokens (the last one
+    contributes W) — overlapping spans never double-count.
+
+    Scale shape: the exploded window frame carries (doc_id, pos,
+    60-bit hash) — never window text — so the occurrence count is a
+    (long, count) aggregation with map-side partials and uniform keys,
+    and the dup filter is one hash join back on the same long key
+    (boilerplate-heavy hot hashes are AQE-skew-split; the join output
+    is only the duplicated windows). The interval-union window is
+    partitioned BY doc_id — per-doc state, no global ordering. At
+    100 TB the dominant cost is the W-fold window explosion, which is
+    scan-parallel and shrinks to (8+8+8) bytes per window before the
+    first shuffle.
+    """
+    from pyspark.sql import Window
+
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    base = d.select("doc_id", w.alias("w"), F.size(w).alias("n_tokens"))
+    seg = (
+        base.filter(F.col("n_tokens") >= _SS_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - (_SS_W - 1))
+            ).alias("pos"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            hash60(F.array_join(F.slice(F.col("w"), F.col("pos"), _SS_W), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    occ = seg.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    dup = (
+        seg.join(occ.filter(F.col("n_occ") >= _SS_MIN_OCC), "h")
+        .select("doc_id", "pos", F.lead("pos").over(by_doc).alias("nxt"))
+    )
+    cov = dup.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("dup_windows"),
+        F.sum(
+            F.when(F.col("nxt").isNull(), F.lit(_SS_W)).otherwise(
+                F.least(F.lit(_SS_W), F.col("nxt") - F.col("pos"))
+            )
+        ).alias("dup_tokens"),
+    )
+    return (
+        base.drop("w")
+        .join(cov, "doc_id", "left")
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("long").alias("n_tokens"),
+            F.greatest(F.col("n_tokens") - (_SS_W - 1), F.lit(0))
+            .cast("long")
+            .alias("n_windows"),
+            F.coalesce(F.col("dup_windows"), F.lit(0)).cast("long").alias(
+                "dup_windows"
+            ),
+            F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
+            F.round(
+                F.coalesce(F.col("dup_tokens"), F.lit(0))
+                / F.greatest(F.col("n_tokens"), F.lit(1)),
+                6,
+            ).alias("dup_fraction"),
+        )
+    )

@@ -1280,3 +1280,117 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.round(F.col("n_out") / F.col("n_in"), 6))
         .alias("pct_kept"),
     )
+
+
+@query(
+    "lm_bigram_score",
+    layer="C",
+    oracle=r"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    uni AS (
+        SELECT tok AS w1, count(*) AS u
+        FROM (SELECT unnest(w) AS tok FROM t) GROUP BY tok
+    ),
+    v AS (SELECT count(*) AS v FROM uni),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS pair
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM t WHERE len(w) >= 2)
+    ),
+    big AS (SELECT pair, count(*) AS b FROM bg GROUP BY pair),
+    docbg AS (
+        SELECT doc_id, w1, pair, count(*) AS c FROM bg GROUP BY ALL
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+               CAST(sum(CAST(round(ln((big.b + 1.0) / (uni.u + v.v)) * 1000000)
+                             AS BIGINT) * d.c) AS BIGINT) AS slp
+        FROM docbg d
+        JOIN big USING (pair)
+        JOIN uni ON uni.w1 = d.w1
+        CROSS JOIN v
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           round(slp / 1000000.0 / n_bigrams, 6) AS avg_logprob,
+           round(exp(-round(slp / 1000000.0 / n_bigrams, 6)), 6) AS ppl
+    FROM scored
+    """,
+)
+def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-trained bigram language-model quality score — the
+    CCNet/KenLM-style signal used to rank web documents for LLM
+    training: train add-one-smoothed bigram probabilities on the
+    corpus itself, then score each document by its mean token
+    log-likelihood `avg(ln((B(w1,w2)+1) / (U(w1)+V)))` and report the
+    corresponding perplexity. Documents full of rare/garbled token
+    transitions score low (high ppl) and are the filter-out tail.
+
+    Cross-engine determinism: each bigram's log-prob is quantized to
+    micro-nats as a LONG before the per-doc sum (same mechanism as
+    functions.columns.dec_sum) so the mean never depends on partition
+    summation order; ppl is exp() of the already-rounded mean, so both
+    engines exponentiate the identical double.
+
+    Scale shape: two corpus count aggregations (unigram, bigram) with
+    map-side partials on token keys (Zipf-hot heads are absorbed by
+    the partial agg — the shuffle carries one row per distinct
+    token/pair per partition); the per-doc side pre-aggregates to
+    (doc_id, pair, count) BEFORE joining, so the model join is
+    per-distinct-pair-per-doc, not per-occurrence. V rides as a
+    broadcast one-row cross join. No windows, no Python, no driver
+    collect — at 100 TB this is two scans + three uniform keyed
+    shuffles, and the trained `big`/`uni` frames double as the
+    reusable model tables.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    t = d.select("doc_id", w.alias("w"))
+    toks = t.select(F.explode("w").alias("w1"))
+    uni = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("u"))
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg = (
+        t.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)
+            ).alias("pair"),
+        )
+    )
+    big = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("b"))
+    docbg = bg.groupBy("doc_id", "w1", "pair").agg(F.count(F.lit(1)).alias("c"))
+    lp_micro = F.round(
+        F.log((F.col("b") + F.lit(1.0)) / (F.col("u") + F.col("v"))) * 1_000_000
+    ).cast("long")
+    scored = (
+        docbg.join(big, "pair")
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(lp_micro * F.col("c")).alias("slp"),
+        )
+    )
+    avg_lp = F.round(F.col("slp") / F.lit(1_000_000.0) / F.col("n_bigrams"), 6)
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        avg_lp.alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 6).alias("ppl"),
+    )

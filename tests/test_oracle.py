@@ -413,3 +413,88 @@ def test_incremental_rollup_merge_boundary_independent(spark, tmp_path):
     a = out.toPandas().sort_values(["day", "event_type"]).reset_index(drop=True)
     b = full.toPandas().sort_values(["day", "event_type"]).reset_index(drop=True)
     assert a.equals(b[a.columns])
+
+
+def test_substring_dedup_span_coverage(spark, tmp_path):
+    """Stride-1 repeated-window detection with interval-union token
+    coverage: two docs share a 10-token run at DIFFERENT offsets (the
+    alignment the stride-W chunk grid misses); overlapping duplicated
+    windows must not double-count covered tokens; a doc with no
+    repeated window reports zero; a doc shorter than the window width
+    emits no windows at all."""
+    from cuttlefish_spark.registry import load_all
+
+    run = " ".join(f"r{i}" for i in range(10))  # 10-token shared run
+    pre = " ".join(f"p{i}" for i in range(3))  # doc1-only prefix (offset shift)
+    u0 = " ".join(f"a{i}" for i in range(6))
+    u1 = " ".join(f"b{i}" for i in range(5))
+    rows = [
+        (0, run + " " + u0, "en", "s", 0),  # run at offset 0
+        (1, pre + " " + run + " " + u1, "en", "s", 0),  # run at offset 3
+        (2, " ".join(f"c{i}" for i in range(12)), "en", "s", 0),  # unique
+        (3, "x0 x1 x2", "en", "s", 0),  # shorter than W=8: no windows
+    ]
+    sf_dir = str(tmp_path / "sssf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = (
+        load_all()["substring_dedup"].fn(spark, sf_dir)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # a 10-token run holds 3 duplicated 8-windows (starts 0,1,2 within
+    # the run); interval union = min(8,1)+min(8,1)+8 = 10 tokens
+    assert out.loc[0, "dup_windows"] == 3
+    assert out.loc[0, "dup_tokens"] == 10
+    assert out.loc[1, "dup_windows"] == 3
+    assert out.loc[1, "dup_tokens"] == 10
+    assert out.loc[0, "n_windows"] == 16 - 8 + 1
+    assert out.loc[2, "dup_windows"] == 0 and out.loc[2, "dup_tokens"] == 0
+    assert out.loc[3, "n_windows"] == 0 and out.loc[3, "dup_fraction"] == 0.0
+    assert abs(out.loc[0, "dup_fraction"] - round(10 / 16, 6)) < 1e-9
+
+
+def test_lm_bigram_score_hand_counts(spark, tmp_path):
+    """Add-one-smoothed bigram LM on a corpus small enough to score by
+    hand: P(w2|w1) = (B(w1 w2)+1)/(U(w1)+V), doc score = mean ln P over
+    the doc's bigrams, ppl = exp(-mean). Single-token docs emit no
+    row (no bigrams)."""
+    import math
+
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        (0, "a b a b", "en", "s", 0),
+        (1, "a b c", "en", "s", 0),
+        (2, "z", "en", "s", 0),  # no bigrams -> no output row
+    ]
+    sf_dir = str(tmp_path / "lmsf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = (
+        load_all()["lm_bigram_score"].fn(spark, sf_dir)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    # corpus: U(a)=3 U(b)=3 U(c)=1 U(z)=1, V=4; B("a b")=3 B("b a")=1 B("b c")=1
+    # Emulate the engines' rounding exactly: HALF_UP (Spark round /
+    # DuckDB round are both half-away-from-zero; Python round() is
+    # banker's and differs on exact .5 boundaries).
+    from decimal import ROUND_HALF_UP, Decimal
+
+    half_up = lambda x, nd: float(
+        Decimal(repr(x)).quantize(Decimal(f"1e-{nd}"), rounding=ROUND_HALF_UP)
+    )
+    q = lambda x: half_up(x * 1e6, 0) / 1e6  # micro-nat quantization per bigram
+    lp_ab = q(math.log((3 + 1) / (3 + 4)))
+    lp_ba = q(math.log((1 + 1) / (3 + 4)))
+    lp_bc = q(math.log((1 + 1) / (3 + 4)))
+    assert list(out.index) == [0, 1]
+    assert out.loc[0, "n_bigrams"] == 3 and out.loc[1, "n_bigrams"] == 2
+    exp0 = half_up((2 * lp_ab + lp_ba) / 3, 6)
+    exp1 = half_up((lp_ab + lp_bc) / 2, 6)
+    assert abs(out.loc[0, "avg_logprob"] - exp0) < 1e-9
+    assert abs(out.loc[1, "avg_logprob"] - exp1) < 1e-9
+    assert abs(out.loc[0, "ppl"] - half_up(math.exp(-exp0), 6)) < 1e-9
