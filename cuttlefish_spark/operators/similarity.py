@@ -768,3 +768,108 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 9).alias("scale"),
         "mae",
     )
+
+
+_SEMDEDUP_TAU = 0.25  # keep the drop path exercised at every test SF
+
+
+def _semantic_dedup_oracle() -> str:
+    bits = _bucket_bits_sql()
+    return f"""
+    WITH t AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               concat({bits}) AS bucket
+        FROM t
+    ),
+    drops AS (
+        SELECT a.vec_id, min(b.vec_id) AS dropped_by
+        FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+         AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+             >= {_SEMDEDUP_TAU}
+        GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.bucket,
+           CAST(d.dropped_by AS DOUBLE) AS dropped_by,
+           d.dropped_by IS NULL AS is_kept
+    FROM sig s LEFT JOIN drops d USING (vec_id)
+    """
+
+
+@query("semantic_dedup", layer="C", oracle=_semantic_dedup_oracle())
+def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDedup-style semantic deduplication DECISIONS: every vector is
+    kept or dropped, where a vector is dropped iff some LOWER-id vector
+    in its LSH bucket sits within cosine >= {_SEMDEDUP_TAU} of it (the
+    earliest such neighbor is reported as `dropped_by`). Unlike
+    embedding_near_dup (which emits the candidate PAIRS), this emits
+    the per-item keep/drop verdict a pipeline actually applies before
+    training. The anchor-is-lowest-id rule is order-independent — the
+    kept set is exactly the vectors with no earlier epsilon-neighbor —
+    so both engines derive the identical verdict without iterating a
+    greedy chain.
+
+    Scale shape: identical to embedding_near_dup's — deterministic
+    sign-bit signatures in one Arrow mapInPandas pass, then ONE grouped
+    shuffle on the high-cardinality bucket key; each bucket is scored
+    as a single numpy matmul and emits one row per member (never the
+    pair list), so output is O(n) even where the bucket's pair count is
+    quadratic. At 100 TB, oversized buckets (degenerate embeddings) are
+    the skew risk — AQE splits the shuffle, and the kernel is
+    block-local so a salting refinement (split buckets, then drop-by
+    min-merge) composes without changing the contract."""
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+
+    def _signatures(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes_t = np.array(_plane_weights()).T
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy())
+            bits = np.round(m @ planes_t, 6) >= 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "bucket": [
+                        "".join("1" if b else "0" for b in row) for row in bits
+                    ],
+                    "v": pdf["v"],
+                }
+            )
+
+    sig = t.mapInPandas(
+        _signatures, schema="vec_id bigint, bucket string, v array<double>"
+    )
+
+    def _verdicts(pdf):
+        import numpy as np
+        import pandas as pd
+
+        pdf = pdf.sort_values("vec_id").reset_index(drop=True)
+        n = len(pdf)
+        m = np.stack(pdf["v"].to_numpy())
+        nrm = np.sqrt((m * m).sum(axis=1))
+        cos = np.round((m @ m.T) / np.outer(nrm, nrm), 6)
+        # cand[j, i] == True iff i < j and cos(i, j) >= tau
+        cand = np.tri(n, k=-1, dtype=bool) & (cos >= _SEMDEDUP_TAU)
+        has = cand.any(axis=1)
+        first = cand.argmax(axis=1)
+        ids = pdf["vec_id"].to_numpy()
+        return pd.DataFrame(
+            {
+                "vec_id": ids,
+                "bucket": pdf["bucket"],
+                "dropped_by": np.where(has, ids[first].astype(float), np.nan),
+                "is_kept": ~has,
+            }
+        )
+
+    return sig.groupBy("bucket").applyInPandas(
+        _verdicts,
+        schema="vec_id bigint, bucket string, dropped_by double, is_kept boolean",
+    )

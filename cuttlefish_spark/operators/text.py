@@ -1394,3 +1394,104 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         avg_lp.alias("avg_logprob"),
         F.round(F.exp(-avg_lp), 6).alias("ppl"),
     )
+
+
+_CM_D = 4  # sketch rows (independent hash seeds)
+_CM_W = 1024  # sketch width (buckets per row)
+_CM_TOPK = 20
+
+
+@query(
+    "countmin_heavy_hitters",
+    layer="C",
+    oracle=rf"""
+    WITH toks AS (
+        SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                      END) AS tok
+        FROM documents
+    ),
+    exact AS (SELECT tok, count(*) AS exact_cnt FROM toks GROUP BY tok),
+    top AS (
+        SELECT tok, exact_cnt FROM exact
+        ORDER BY exact_cnt DESC, tok LIMIT {_CM_TOPK}
+    ),
+    cells AS (
+        SELECT s.s AS seed,
+               CAST('0x' || substr(md5('cm' || s.s || ':' || toks.tok), 1, 15)
+                    AS BIGINT) % {_CM_W} AS bucket,
+               count(*) AS cell_cnt
+        FROM toks CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D} - 1)) AS s) s
+        GROUP BY seed, bucket
+    ),
+    probes AS (
+        SELECT top.tok, top.exact_cnt, s.s AS seed,
+               CAST('0x' || substr(md5('cm' || s.s || ':' || top.tok), 1, 15)
+                    AS BIGINT) % {_CM_W} AS bucket
+        FROM top CROSS JOIN (SELECT unnest(generate_series(0, {_CM_D} - 1)) AS s) s
+    )
+    SELECT p.tok AS token, p.exact_cnt,
+           CAST(min(c.cell_cnt) AS BIGINT) AS cm_est,
+           CAST(min(c.cell_cnt) - p.exact_cnt AS BIGINT) AS overcount
+    FROM probes p JOIN cells c ON c.seed = p.seed AND c.bucket = p.bucket
+    GROUP BY p.tok, p.exact_cnt
+    """,
+)
+def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch over corpus token frequencies, validated
+    against exact counts for the top-{_CM_TOPK} heavy hitters: the
+    sketch is {_CM_D} independent md5-salted hash rows x {_CM_W}
+    buckets; a token's estimate is the MIN of its {_CM_D} cells and
+    can only OVERcount (collisions add, never subtract) — the emitted
+    `overcount` column is the per-token witness of that bound.
+
+    Why this matters at 100 TB: exact vocabulary counting shuffles one
+    row per distinct token (billions for web corpora), while the
+    sketch is a FIXED {_CM_D}x{_CM_W} grid of longs regardless of
+    corpus size — map-side partial aggregation collapses every
+    partition's contribution to at most {_CM_D}*{_CM_W} cells before
+    the shuffle, and two corpus shards' sketches merge by cell-wise
+    addition (the same mergeability sketch_union exercises for HLL).
+    The exact side here exists to ORACLE the sketch; a production
+    heavy-hitter pass ships only the grid plus a candidate stream.
+
+    Plan: one token scan feeds both sides; the sketch side explodes
+    each occurrence into {_CM_D} (seed, bucket) cells — 4x the map
+    volume but constant shuffle rows after partials; the probe side is
+    top-{_CM_TOPK} (TakeOrderedAndProject) crossed with {_CM_D} seeds
+    (80 rows) joined back to the tiny grid — AQE broadcasts both."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    toks = d.select(F.explode(tokens(F.col("text"))).alias("tok"))
+    exact = toks.groupBy("tok").agg(F.count(F.lit(1)).alias("exact_cnt"))
+    top = exact.orderBy(F.desc("exact_cnt"), "tok").limit(_CM_TOPK)
+
+    def cm_bucket(tok_col, seed_col):
+        return (
+            hash60(F.concat(F.lit("cm"), seed_col.cast("string"), F.lit(":"), tok_col))
+            % _CM_W
+        )
+
+    seeds = F.explode(F.array(*[F.lit(s) for s in range(_CM_D)])).alias("seed")
+    cells = (
+        toks.select("tok", seeds)
+        .select("seed", cm_bucket(F.col("tok"), F.col("seed")).alias("bucket"))
+        .groupBy("seed", "bucket")
+        .agg(F.count(F.lit(1)).alias("cell_cnt"))
+    )
+    probes = top.select("tok", "exact_cnt", seeds).select(
+        "tok",
+        "exact_cnt",
+        "seed",
+        cm_bucket(F.col("tok"), F.col("seed")).alias("bucket"),
+    )
+    return (
+        probes.join(cells, ["seed", "bucket"])
+        .groupBy("tok", "exact_cnt")
+        .agg(F.min("cell_cnt").alias("cm_est"))
+        .select(
+            F.col("tok").alias("token"),
+            "exact_cnt",
+            "cm_est",
+            (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
+        )
+    )

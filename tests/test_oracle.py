@@ -498,3 +498,68 @@ def test_lm_bigram_score_hand_counts(spark, tmp_path):
     assert abs(out.loc[0, "avg_logprob"] - exp0) < 1e-9
     assert abs(out.loc[1, "avg_logprob"] - exp1) < 1e-9
     assert abs(out.loc[0, "ppl"] - half_up(math.exp(-exp0), 6)) < 1e-9
+
+
+def test_semantic_dedup_earliest_neighbor_rule(spark, tmp_path):
+    """Identical vectors share an LSH bucket; every later copy must be
+    dropped by the EARLIEST copy (min vec_id), not by its nearest
+    predecessor — pinning the order-independent anchor rule. A vector
+    far from the cluster is kept."""
+    from cuttlefish_spark.registry import load_all
+
+    base = [(1.0 if i % 3 == 0 else -1.0) for i in range(64)]
+    other = [(-1.0 if i % 2 == 0 else 1.0) for i in range(64)]
+    rows = [
+        (0, base, 0),
+        (1, base, 0),
+        (2, base, 0),
+        (3, other, 1),
+    ]
+    sf_dir = str(tmp_path / "sdsf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(sf_dir + "/embeddings.parquet")
+
+    out = (
+        load_all()["semantic_dedup"].fn(spark, sf_dir)
+        .toPandas().set_index("vec_id").sort_index()
+    )
+    assert bool(out.loc[0, "is_kept"])
+    assert not bool(out.loc[1, "is_kept"]) and out.loc[1, "dropped_by"] == 0.0
+    assert not bool(out.loc[2, "is_kept"]) and out.loc[2, "dropped_by"] == 0.0
+    import math
+
+    if out.loc[3, "bucket"] != out.loc[0, "bucket"]:
+        assert bool(out.loc[3, "is_kept"])
+    else:  # same bucket is fine only if cosine is below tau
+        dot = sum(a * b for a, b in zip(base, other))
+        cos = dot / (math.sqrt(64) * math.sqrt(64))
+        assert cos < 0.25 and bool(out.loc[3, "is_kept"])
+
+
+def test_countmin_no_collision_equals_exact(spark, tmp_path):
+    """With a 3-token vocabulary and 4x1024 cells there are no bucket
+    collisions, so the count-min estimate must EQUAL the exact count
+    (overcount == 0) — pinning the salted-bucket and min-of-rows
+    plumbing; the estimate can never undercount by construction."""
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        (0, "a a a b", "en", "s", 0),
+        (1, "a a b b c", "en", "s", 0),
+    ]
+    sf_dir = str(tmp_path / "cmsf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = (
+        load_all()["countmin_heavy_hitters"].fn(spark, sf_dir)
+        .toPandas().set_index("token").sort_index()
+    )
+    assert list(out.index) == ["a", "b", "c"]
+    assert out.loc["a", "exact_cnt"] == 5
+    assert out.loc["b", "exact_cnt"] == 3
+    assert out.loc["c", "exact_cnt"] == 1
+    assert (out["overcount"] == 0).all()
+    assert (out["cm_est"] == out["exact_cnt"]).all()
