@@ -1320,8 +1320,8 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY d.doc_id
     )
     SELECT doc_id, n_bigrams,
-           round(slp / 1000000.0 / n_bigrams, 6) AS avg_logprob,
-           round(exp(-round(slp / 1000000.0 / n_bigrams, 6)), 6) AS ppl
+           slp / 1000000.0 / n_bigrams AS avg_logprob,
+           round(exp(-(slp / 1000000.0 / n_bigrams)), 2) AS ppl
     FROM scored
     """,
 )
@@ -1337,8 +1337,16 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     Cross-engine determinism: each bigram's log-prob is quantized to
     micro-nats as a LONG before the per-doc sum (same mechanism as
     functions.columns.dec_sum) so the mean never depends on partition
-    summation order; ppl is exp() of the already-rounded mean, so both
-    engines exponentiate the identical double.
+    summation order, and the mean itself is emitted as the UNROUNDED
+    quotient of those identical integers — two IEEE divisions are
+    bit-identical in both engines, whereas a final round(x, 6) is not:
+    Spark rounds the shortest decimal repr (BigDecimal HALF_UP) while
+    DuckDB rounds the binary product x*1e6, and a mean landing within
+    an ulp of a half boundary (observed: -3.4140894999999998 at sf0.1)
+    flips between them. ppl = exp(-mean) exponentiates the identical
+    double but exp itself may differ in the last ulp across libm
+    implementations, so ppl rounds at 2 decimals (boundary-flip odds
+    ~1e-12 per value vs ~1e-9 at 6 decimals).
 
     Scale shape: two corpus count aggregations (unigram, bigram) with
     map-side partials on token keys (Zipf-hot heads are absorbed by
@@ -1387,12 +1395,12 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(lp_micro * F.col("c")).alias("slp"),
         )
     )
-    avg_lp = F.round(F.col("slp") / F.lit(1_000_000.0) / F.col("n_bigrams"), 6)
+    avg_lp = F.col("slp") / F.lit(1_000_000.0) / F.col("n_bigrams")
     return scored.select(
         "doc_id",
         "n_bigrams",
         avg_lp.alias("avg_logprob"),
-        F.round(F.exp(-avg_lp), 6).alias("ppl"),
+        F.round(F.exp(-avg_lp), 2).alias("ppl"),
     )
 
 

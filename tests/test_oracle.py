@@ -493,11 +493,14 @@ def test_lm_bigram_score_hand_counts(spark, tmp_path):
     lp_bc = q(math.log((1 + 1) / (3 + 4)))
     assert list(out.index) == [0, 1]
     assert out.loc[0, "n_bigrams"] == 3 and out.loc[1, "n_bigrams"] == 2
-    exp0 = half_up((2 * lp_ab + lp_ba) / 3, 6)
-    exp1 = half_up((lp_ab + lp_bc) / 2, 6)
-    assert abs(out.loc[0, "avg_logprob"] - exp0) < 1e-9
-    assert abs(out.loc[1, "avg_logprob"] - exp1) < 1e-9
-    assert abs(out.loc[0, "ppl"] - half_up(math.exp(-exp0), 6)) < 1e-9
+    # the mean is emitted UNROUNDED (quotient of identical integers is
+    # bit-identical cross-engine; a final round(,6) is not — see the
+    # operator docstring); ppl rounds at 2 decimals
+    exp0 = (2 * lp_ab + lp_ba) / 3
+    exp1 = (lp_ab + lp_bc) / 2
+    assert abs(out.loc[0, "avg_logprob"] - exp0) < 1e-12
+    assert abs(out.loc[1, "avg_logprob"] - exp1) < 1e-12
+    assert abs(out.loc[0, "ppl"] - half_up(math.exp(-exp0), 2)) < 1e-9
 
 
 def test_semantic_dedup_earliest_neighbor_rule(spark, tmp_path):
