@@ -964,10 +964,10 @@ def prefix_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT est,
            count(*) AS n_pairs,
-           round(SUM(CAST(round(exact * 1000000000) AS BIGINT))
-                 / 1000000000.0 / count(*), 6) AS mean_exact,
-           round(SUM(CAST(round(abs(est - exact) * 1000000000) AS BIGINT))
-                 / 1000000000.0 / count(*), 6) AS mean_abs_err,
+           SUM(CAST(round(exact * 1000000000) AS BIGINT))
+                 / 1000000000.0 / count(*) AS mean_exact,
+           SUM(CAST(round(abs(est - exact) * 1000000000) AS BIGINT))
+                 / 1000000000.0 / count(*) AS mean_abs_err,
            CAST(SUM(CASE WHEN exact >= 0.7 THEN 1 ELSE 0 END) AS BIGINT)
                AS n_true_07
     FROM pairs
@@ -1034,14 +1034,15 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
         (matches / F.lit(4.0)).alias("est"), exact.alias("exact")
     )
     qsum = lambda c: F.sum(F.round(c * 1_000_000_000).cast("long"))  # noqa: E731
+    # means emitted UNROUNDED: the quantized-long sums are identical
+    # integers in both engines, and IEEE division of identical
+    # integers is bit-identical; a final round(,6) of an integer
+    # quotient lands on a half boundary with ~1/q odds (PLANS Notes)
     return scored.groupBy("est").agg(
         F.count(F.lit(1)).alias("n_pairs"),
-        F.round(qsum(F.col("exact")) / F.lit(1e9) / F.count(F.lit(1)), 6).alias(
-            "mean_exact"
-        ),
-        F.round(
-            qsum(F.abs(F.col("est") - F.col("exact"))) / F.lit(1e9) / F.count(F.lit(1)),
-            6,
+        (qsum(F.col("exact")) / F.lit(1e9) / F.count(F.lit(1))).alias("mean_exact"),
+        (
+            qsum(F.abs(F.col("est") - F.col("exact"))) / F.lit(1e9) / F.count(F.lit(1))
         ).alias("mean_abs_err"),
         F.sum(F.when(F.col("exact") >= 0.7, 1).otherwise(0)).cast("long").alias(
             "n_true_07"

@@ -141,12 +141,12 @@ def _skew_oracle(c: str) -> str:
     SELECT '{c}' AS key_col,
            CAST(SUM(cnt) AS BIGINT) AS n_rows,
            CAST(COUNT(*) AS BIGINT) AS n_keys,
-           round(SUM(cnt) * 1.0 / COUNT(*), 6) AS mean_per_key,
+           SUM(cnt) * 1.0 / COUNT(*) AS mean_per_key,
            round(quantile_cont(cnt, 0.5), 6) AS p50_per_key,
            round(quantile_cont(cnt, 0.99), 6) AS p99_per_key,
            CAST(MAX(cnt) AS BIGINT) AS max_per_key,
-           round(MAX(cnt) * 1.0 / SUM(cnt), 6) AS top_share,
-           round(MAX(cnt) * 1.0 * COUNT(*) / SUM(cnt), 6) AS skew_ratio
+           MAX(cnt) * 1.0 / SUM(cnt) AS top_share,
+           MAX(cnt) * 1.0 * COUNT(*) / SUM(cnt) AS skew_ratio
     FROM (SELECT {c}, CAST(count(*) AS BIGINT) AS cnt
           FROM events GROUP BY {c})
     """
@@ -172,10 +172,13 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     partials make even the skewed key safe — partials shrink each hot
     key to one row per map task) into a single tiny percentile
     aggregate; branches union. Cross-engine exactness: counts are
-    longs; mean/share/ratio are single divisions of exact longs
-    rounded to 6; percentiles use the shared continuous-interpolation
-    definition (Spark percentile == DuckDB quantile_cont) over exact
-    long counts, rounded to 6.
+    longs; mean/share/ratio are divisions of exact longs emitted
+    UNROUNDED (IEEE division of identical integers is bit-identical in
+    both engines, while round(,6) of an integer quotient has a ~1/q
+    chance of landing on a half boundary the engines round differently
+    — PLANS.md Notes); percentiles use the shared continuous-
+    interpolation definition (Spark percentile == DuckDB
+    quantile_cont) over exact long counts, rounded to 6.
     """
     ev = load_table(spark, sf_dir, "events")
     parts = []
@@ -186,14 +189,14 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.lit(c).alias("key_col"),
                 F.sum("cnt").alias("n_rows"),
                 F.count(F.lit(1)).alias("n_keys"),
-                F.round(F.sum("cnt") / F.count(F.lit(1)), 6).alias("mean_per_key"),
+                (F.sum("cnt") / F.count(F.lit(1))).alias("mean_per_key"),
                 F.round(F.expr("percentile(cnt, 0.5)"), 6).alias("p50_per_key"),
                 F.round(F.expr("percentile(cnt, 0.99)"), 6).alias("p99_per_key"),
                 F.max("cnt").alias("max_per_key"),
-                F.round(F.max("cnt") / F.sum("cnt"), 6).alias("top_share"),
-                F.round(
-                    F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt"), 6
-                ).alias("skew_ratio"),
+                (F.max("cnt") / F.sum("cnt")).alias("top_share"),
+                (F.max("cnt") * F.count(F.lit(1)) / F.sum("cnt")).alias(
+                    "skew_ratio"
+                ),
             )
         )
     from functools import reduce as _reduce

@@ -849,8 +849,8 @@ def string_agg_ordered(spark: SparkSession, sf_dir: str) -> DataFrame:
                 AS BIGINT) AS n_finished_custs,
            CAST(SUM(CAST(o_totalprice AS DECIMAL(18,6)))
                     FILTER (WHERE o_orderstatus = 'O') AS DOUBLE) AS open_value,
-           round(COUNT(*) FILTER (WHERE o_totalprice > 200000) * 1.0
-                 / COUNT(*), 6) AS large_share
+           COUNT(*) FILTER (WHERE o_totalprice > 200000) * 1.0
+                 / COUNT(*) AS large_share
     FROM orders GROUP BY o_orderpriority
     """,
 )
@@ -884,7 +884,7 @@ def conditional_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             / F.lit(1e6)
         ).alias("open_value"),
-        F.round(F.count(large) / F.count(F.lit(1)), 6).alias("large_share"),
+        (F.count(large) / F.count(F.lit(1))).alias("large_share"),
     )
 
 

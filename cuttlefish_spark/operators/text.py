@@ -552,7 +552,7 @@ def pii_redact(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM c
     )
     SELECT source, lang, CAST(n AS BIGINT) AS n_docs,
-           round(n * 1.0 / rs, 6) AS share_in_source,
+           n * 1.0 / rs AS share_in_source,
            round(2.0 * n * ln(n * 1.0 * tot / (rs * cs)), 6) AS g_contrib
     FROM w
     """,
@@ -588,7 +588,7 @@ def class_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "lang",
         F.col("n").alias("n_docs"),
-        F.round(F.col("n") / F.col("rs"), 6).alias("share_in_source"),
+        (F.col("n") / F.col("rs")).alias("share_in_source"),
         F.round(
             2.0 * F.col("n") * F.log(F.col("n") * F.col("tot") / (F.col("rs") * F.col("cs"))),
             6,
@@ -1208,7 +1208,7 @@ _FUNNEL_MAX_CPT = 20.0
     )
     SELECT gate_id, gate, n_in, n_in - n_out AS n_fail, n_out,
            CASE WHEN n_in = 0 THEN NULL
-                ELSE round(n_out * 1.0 / n_in, 6) END AS pct_kept
+                ELSE n_out * 1.0 / n_in END AS pct_kept
     FROM (
         SELECT 1 AS gate_id, 'non_blank' AS gate, s0 AS n_in, s1 AS n_out FROM a
         UNION ALL SELECT 2, 'min_tokens', s1, s2 FROM a
@@ -1276,8 +1276,11 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_in",
         (F.col("n_in") - F.col("n_out")).alias("n_fail"),
         "n_out",
+        # unrounded: IEEE division of identical integers is
+        # bit-identical cross-engine; round(,6) of an integer quotient
+        # can land on a half boundary the engines disagree on
         F.when(F.col("n_in") == 0, F.lit(None).cast("double"))
-        .otherwise(F.round(F.col("n_out") / F.col("n_in"), 6))
+        .otherwise(F.col("n_out") / F.col("n_in"))
         .alias("pct_kept"),
     )
 
