@@ -610,7 +610,7 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM documents
     )
     SELECT doc_id_a, doc_id_b, lang, edit_dist,
-           round(1.0 - edit_dist * 1.0 / max_len, 6) AS similarity
+           1.0 - edit_dist * 1.0 / max_len AS similarity
     FROM (
         SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.lang AS lang,
                CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist,
@@ -660,7 +660,7 @@ def editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("edit_dist") <= 0.2 * F.col("max_len"))
         .select(
             "doc_id_a", "doc_id_b", "lang", "edit_dist",
-            F.round(1.0 - F.col("edit_dist") / F.col("max_len"), 6).alias("similarity"),
+            (1.0 - F.col("edit_dist") / F.col("max_len")).alias("similarity"),
         )
     )
 
@@ -1094,8 +1094,8 @@ _SS_MIN_OCC = 2  # a window is "duplicated" when it occurs this often corpus-wid
            CAST(greatest(len(t.w) - {_SS_W} + 1, 0) AS BIGINT) AS n_windows,
            COALESCE(cov.dup_windows, 0) AS dup_windows,
            COALESCE(cov.dup_tokens, 0) AS dup_tokens,
-           round(COALESCE(cov.dup_tokens, 0) * 1.0
-                 / greatest(len(t.w), 1), 6) AS dup_fraction
+           COALESCE(cov.dup_tokens, 0) * 1.0
+                 / greatest(len(t.w), 1) AS dup_fraction
     FROM t LEFT JOIN cov USING (doc_id)
     """,
 )
@@ -1177,10 +1177,9 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "dup_windows"
             ),
             F.coalesce(F.col("dup_tokens"), F.lit(0)).cast("long").alias("dup_tokens"),
-            F.round(
+            (
                 F.coalesce(F.col("dup_tokens"), F.lit(0))
-                / F.greatest(F.col("n_tokens"), F.lit(1)),
-                6,
+                / F.greatest(F.col("n_tokens"), F.lit(1))
             ).alias("dup_fraction"),
         )
     )

@@ -334,7 +334,7 @@ def percentile_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT split, COUNT(*) AS n_docs,
            CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
-           round(COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents), 6) AS share
+           COUNT(*) * 1.0 / (SELECT COUNT(*) FROM documents) AS share
     FROM s GROUP BY split
     """,
 )
@@ -365,8 +365,8 @@ def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         "split",
         "n_docs",
         "sum_chars",
-        F.round(
-            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy()), 6
+        (
+            F.col("n_docs") / F.sum("n_docs").over(Window.partitionBy())
         ).alias("share"),
     )
 
