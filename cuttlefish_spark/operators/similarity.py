@@ -873,3 +873,163 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         _verdicts,
         schema="vec_id bigint, bucket string, dropped_by double, is_kept boolean",
     )
+
+
+_RECALL_PROBES = 10  # probe vectors: vec_id < 10
+_RECALL_K = 10
+
+
+_RECALL_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS c FROM vecs
+        WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS (
+        SELECT vec_id, v, centroid_id FROM (
+            SELECT vecs.vec_id, vecs.v, cents.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY vecs.vec_id
+                       ORDER BY list_dot_product(v, c)
+                                / (sqrt(list_dot_product(v, v))
+                                   * sqrt(list_dot_product(c, c))) DESC,
+                                centroid_id) AS rn
+            FROM vecs CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, centroid_id AS probe_centroid, v AS p
+        FROM assigned WHERE vec_id < {_RECALL_PROBES}
+    ),
+    exact AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT pr.probe_id, vecs.vec_id,
+                   row_number() OVER (
+                       PARTITION BY pr.probe_id
+                       ORDER BY list_dot_product(vecs.v, pr.p)
+                                / (sqrt(list_dot_product(vecs.v, vecs.v))
+                                   * sqrt(list_dot_product(pr.p, pr.p))) DESC,
+                                vecs.vec_id) AS rn
+            FROM vecs CROSS JOIN probes pr
+            WHERE vecs.vec_id <> pr.probe_id
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    ivf AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT pr.probe_id, a.vec_id,
+                   row_number() OVER (
+                       PARTITION BY pr.probe_id
+                       ORDER BY list_dot_product(a.v, pr.p)
+                                / (sqrt(list_dot_product(a.v, a.v))
+                                   * sqrt(list_dot_product(pr.p, pr.p))) DESC,
+                                a.vec_id) AS rn
+            FROM assigned a JOIN probes pr
+              ON a.centroid_id = pr.probe_centroid
+            WHERE a.vec_id <> pr.probe_id
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    cell AS (
+        SELECT pr.probe_id, CAST(count(*) AS BIGINT) AS cell_size
+        FROM assigned a JOIN probes pr
+          ON a.centroid_id = pr.probe_centroid
+        WHERE a.vec_id <> pr.probe_id
+        GROUP BY pr.probe_id
+    ),
+    hits AS (
+        SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hits
+        FROM exact e JOIN ivf i
+          ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
+        GROUP BY e.probe_id
+    )
+    SELECT c.probe_id, c.cell_size,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) * 1.0 / {_RECALL_K} AS recall_at_{_RECALL_K}
+    FROM cell c LEFT JOIN hits h USING (probe_id)
+"""
+
+
+@query("ivf_recall_audit", layer="C", oracle=_RECALL_ORACLE)
+def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_RECALL_K} audit OF the IVF ANN path — "measure, don't
+    guess" applied to approximate search exactly as minhash_accuracy
+    applies it to the MinHash estimator: for {_RECALL_PROBES} probe
+    vectors, compare the nprobe=1 IVF candidate top-{_RECALL_K}
+    (ann_ivf_topk's cell-pruned search) against the brute-force exact
+    top-{_RECALL_K}, and report per-probe cell size, hit count, and
+    recall. This is the table that decides nprobe/K before trusting
+    the 1/{N_CENTROIDS} scan saving at 100 TB — a recall cliff here
+    means more probes or more centroids, measured instead of assumed.
+
+    Both arms are deterministic and stated identically in the oracle:
+    ranking uses RAW sequential-fold cosines (bit-identical to
+    DuckDB's list_dot_product chain — no rounding needed) with vec_id
+    tie-break, and recall is an integer quotient emitted via division
+    only. Scale shape: ground truth is brute force over PROBES x N
+    (P is small and fixed — the audit samples, it never all-pairs),
+    IVF arm reads one cell per probe, centroids/probes ride as
+    broadcasts, and the hit count is an equi-join on (probe, vec)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    cents = F.broadcast(
+        vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+        )
+    )
+    w_assign = Window.partitionBy("vec_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        vecs.crossJoin(cents)
+        .select(
+            "vec_id",
+            "v",
+            "centroid_id",
+            cosine_sim(F.col("v"), F.col("c")).alias("centroid_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w_assign))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "centroid_sim")
+    )
+    probes = F.broadcast(
+        assigned.filter(F.col("vec_id") < _RECALL_PROBES).select(
+            F.col("vec_id").alias("probe_id"),
+            F.col("centroid_id").alias("probe_centroid"),
+            F.col("v").alias("p"),
+        )
+    )
+    cos = cosine_sim(F.col("v"), F.col("p")).alias("cos")
+    w_rank = Window.partitionBy("probe_id").orderBy(F.col("cos").desc(), "vec_id")
+
+    exact = (
+        vecs.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+    cell_members = assigned.join(
+        probes, assigned.centroid_id == probes.probe_centroid
+    ).filter(F.col("vec_id") != F.col("probe_id"))
+    ivf = (
+        cell_members.select("probe_id", "vec_id", cos)
+        .withColumn("rn", F.row_number().over(w_rank))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+    cell = cell_members.groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("cell_size")
+    )
+    hits = exact.join(ivf, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
+        F.count(F.lit(1)).alias("n_hits")
+    )
+    return cell.join(hits, "probe_id", "left").select(
+        "probe_id",
+        "cell_size",
+        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_RECALL_K))).alias(
+            f"recall_at_{_RECALL_K}"
+        ),
+    )

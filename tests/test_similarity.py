@@ -45,3 +45,40 @@ def test_pair_emitters_nonzero(spark, sf_dir):
     clusters = SPECS["dedup_clusters"].fn(spark, sf_dir)
     multi = clusters.groupBy("cluster_id").count().filter(F.col("count") > 1)
     assert multi.limit(1).count() > 0, "dedup_clusters produced only singletons"
+
+
+def test_ivf_recall_audit_misses_cross_cell_neighbor(spark, tmp_path):
+    """Probe 0's exact top-10 contains a vector that IVF's nprobe=1
+    search cannot see (it sits in a different cell), so recall@10 must
+    be exactly cell_hits/10 — pinning that the audit actually measures
+    the cell-pruning loss, not just the cell contents."""
+    from cuttlefish_spark.registry import load_all
+
+    def vec(**kv):
+        v = [0.0] * 64
+        for d, x in kv.items():
+            v[int(d[1:])] = x
+        return v
+
+    rows = []
+    for i in range(8):  # centroids: orthogonal axes
+        rows.append((i, vec(**{f"d{i}": 8.0}), 0))
+    for j, i in enumerate(range(8, 14)):  # six cell-0 members near v0
+        rows.append((i, vec(d0=8.0, d8=0.1 + 0.01 * j), 0))
+    # near v0 but leaning to axis 1 -> assigned to cell 1, invisible
+    # to an nprobe=1 search from probe 0
+    rows.append((14, vec(d0=7.0, d1=7.1), 0))
+    sf_dir = str(tmp_path / "ivfsf")
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(sf_dir + "/embeddings.parquet")
+
+    out = (
+        load_all()["ivf_recall_audit"].fn(spark, sf_dir)
+        .toPandas().set_index("probe_id").sort_index()
+    )
+    # cell 0 holds exactly the six near members (probe itself excluded)
+    assert out.loc[0, "cell_size"] == 6
+    # exact top-10 = {8..13, 14, 1, 2, 3}; IVF sees only {8..13}
+    assert out.loc[0, "n_hits"] == 6
+    assert out.loc[0, "recall_at_10"] == 0.6
