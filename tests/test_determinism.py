@@ -70,3 +70,36 @@ def test_partition_count_invariance(spark, sf_dir, name):
         f"{name} result depends on shuffle partition count — an "
         "order-dependent aggregation or partition-local numbering leaked"
     )
+
+
+def test_round6_tie_boundary_diverges_across_engines(spark):
+    """Regression pin for the r4 lm_bigram_score finding: round(x, 6)
+    is NOT cross-engine deterministic on a bit-identical double. The
+    exact integers from the wild (slp=-327752592 micro-nats over 96
+    bigrams, sf0.1 doc 1705) produce the mean -3.4140894999999998,
+    which Spark rounds DOWN (shortest-decimal-repr HALF_UP) and DuckDB
+    rounds AWAY (binary product -3.41408949...e6 lands exactly on
+    -3414089.5). The engines MUST therefore disagree on the rounded
+    value — if this assertion ever fails, the engines changed rounding
+    semantics and the unrounded-quotient policy should be revisited —
+    while the UNROUNDED quotient itself is bit-identical, which is the
+    contract every integer-quotient mean in the tree relies on
+    (PLANS.md Notes)."""
+    import duckdb
+
+    slp, n = -327752592, 96
+    # CAST to DOUBLE explicitly: a bare 1000000.0 literal is DECIMAL in
+    # Spark SQL, while the operators divide via F.lit(1e6) doubles
+    expr = f"CAST({slp} AS DOUBLE) / CAST(1000000 AS DOUBLE) / CAST({n} AS DOUBLE)"
+    spark_row = spark.sql(
+        f"SELECT {expr} AS mean, round({expr}, 6) AS rounded"
+    ).collect()[0]
+    duck_row = duckdb.sql(
+        f"SELECT {expr} AS mean, round({expr}, 6) AS rounded"
+    ).fetchone()
+    # the raw IEEE quotient is bit-identical
+    assert spark_row["mean"] == duck_row[0]
+    assert spark_row["mean"].hex() == duck_row[0].hex()
+    # ...but round(,6) of that identical double disagrees
+    assert spark_row["rounded"] == -3.414089
+    assert duck_row[1] == -3.41409
