@@ -31,20 +31,34 @@ def entry(spark: SparkSession) -> DataFrame:
 
 # The verification driver checks a bounded prefix of queries() (the
 # first ~50 names in dict order, per round). Order the dict so coverage
-# accrues across rounds: queries whose LATEST committed driver verdict
-# is a failure come first (prove the fix), then queries with no driver
-# row in any committed CORRECTNESS_r*.json (close the coverage gap),
-# then the already-green remainder. Derived from the committed files at
-# import time so the ordering can never go stale between rounds.
+# accrues across rounds AND green verdicts rotate by staleness:
+#   1. queries whose LATEST committed driver verdict is a failure
+#      (prove the fix first) — err == "no_oracle" is NOT a failure, it
+#      is the driver's marker for a rows-only query with no SQL oracle;
+#   2. queries with no driver row in any committed CORRECTNESS_r*.json
+#      (close the coverage gap);
+#   3. the green remainder, OLDEST verdict round first, so every green
+#      row is eventually re-confirmed against later cross-cutting
+#      rewrites instead of coasting on an r1/r2-era verdict.
+# Derived from the committed files at import time so the ordering can
+# never go stale between rounds.
 
 
-def _driver_verdicts() -> dict[str, bool]:
-    """name -> latest driver pass/fail across committed CORRECTNESS files."""
+def _driver_verdicts() -> dict[str, tuple[bool, int]]:
+    """name -> (latest driver pass/fail, round of that verdict).
+
+    err == "no_oracle" counts as a pass at its declared verification
+    level (rows-only by design), so it rotates with the greens rather
+    than permanently pinning a failure slot.
+    """
     import glob
     import json
+    import re
 
-    verdicts: dict[str, bool] = {}
+    verdicts: dict[str, tuple[bool, int]] = {}
     for path in sorted(glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json"))):
+        m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
+        rnd = int(m.group(1)) if m else 0
         try:
             with open(path) as f:
                 rows = json.load(f)
@@ -54,21 +68,26 @@ def _driver_verdicts() -> dict[str, bool]:
             if not isinstance(row, dict):
                 continue
             ok = (
-                row.get("err") is None
+                (row.get("err") is None or row.get("err") == "no_oracle")
                 and row.get("rows_match") is not False
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
             )
-            verdicts[name] = ok  # later rounds override earlier ones
+            verdicts[name] = (ok, rnd)  # later rounds override earlier ones
     return verdicts
 
 
 def _ordered_specs():
     specs = load_all()
     verdicts = _driver_verdicts()
-    failed = [n for n in specs if verdicts.get(n) is False]
-    never_checked = [n for n in specs if n not in verdicts]
-    green = [n for n in specs if verdicts.get(n) is True]
+    names = list(specs)
+    failed = [n for n in names if n in verdicts and not verdicts[n][0]]
+    never_checked = [n for n in names if n not in verdicts]
+    # Stalest green first; ties broken by registry order for stability.
+    green = sorted(
+        (n for n in names if n in verdicts and verdicts[n][0]),
+        key=lambda n: (verdicts[n][1], names.index(n)),
+    )
     order = failed + never_checked + green
     return {name: specs[name] for name in order}
 

@@ -176,16 +176,25 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     state) covers the same contract in tests/test_streaming.py. At
     scale: one shuffle on event_id, state is one empty value per key;
     production bounds the store with dropDuplicatesWithinWatermark.
-    Memory-sink caveats as streaming_tumbling_hourly."""
+
+    Drain: PARQUET FILE SINK (run_available_now_to_parquet), not the
+    memory sink the bounded aggregate streams use — this stream's
+    output is the whole deduped corpus, O(input), and a memory sink +
+    toPandas round-trip is a driver OOM at 100 TB. Executors write the
+    parquet, the read-back is a distributed scan, and the harness
+    materializes it executor-side (localCheckpoint) only so the temp
+    dirs can be reclaimed; production just keeps the sink directory."""
     from cuttlefish_spark.streaming.pipeline import (
         read_events_stream,
-        run_available_now,
+        run_available_now_to_parquet,
     )
 
     d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    sink = tempfile.mkdtemp(prefix="cuttlefish_stream_sink_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-001.parquet"))
-    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    out_dir = os.path.join(sink, "out")
+    ckpt_dir = os.path.join(sink, "ckpt")
     with _stream_partitions(spark):
         deduped = (
             read_events_stream(spark, d)
@@ -193,8 +202,11 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark("ts", "2 hours")
             .dropDuplicates(["event_id"])
         )
-        run_available_now(deduped, name, mode="append")
-    return _drain_memory_sink(spark, name, d)
+        run_available_now_to_parquet(deduped, out_dir, ckpt_dir)
+    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return result
 
 
 @query(

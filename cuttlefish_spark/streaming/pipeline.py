@@ -246,11 +246,42 @@ def interval_join_stream(events: DataFrame, watermark: str = "2 hours",
 
 def run_available_now(stream_df: DataFrame, query_name: str, mode: str = "complete"):
     """Drain all available input through the streaming plan into an
-    in-memory sink and block until done (test/CI harness)."""
+    in-memory sink and block until done.
+
+    TEST-ONLY for bounded outputs: a memory sink is driver-resident by
+    definition, so this is the right harness for AGGREGATE streams
+    (hours x event types, per-user totals — bounded rows) and wrong for
+    O(corpus) outputs like the dedup stream. Production — and the
+    dedup query — uses run_available_now_to_parquet below."""
     q = (
         stream_df.writeStream.format("memory")
         .queryName(query_name)
         .outputMode(mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return q
+
+
+def run_available_now_to_parquet(stream_df: DataFrame, out_dir: str,
+                                 checkpoint_dir: str):
+    """Drain all available input through the streaming plan into a
+    PARQUET FILE SINK (append mode — the only mode file sinks support)
+    and block until done.
+
+    This is the production drain: output lands as distributed parquet
+    written by the executors, the checkpoint dir carries the file-sink
+    manifest + state, and nothing round-trips the driver — exactly what
+    an O(corpus) stream (e.g. streaming dedup in front of a training
+    corpus sink) needs at 100 TB where a memory sink + toPandas is a
+    guaranteed driver OOM. Read the result back with
+    spark.read.parquet(out_dir)."""
+    q = (
+        stream_df.writeStream.format("parquet")
+        .option("path", out_dir)
+        .option("checkpointLocation", checkpoint_dir)
+        .outputMode("append")
         .trigger(availableNow=True)
         .start()
     )
