@@ -606,17 +606,28 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     WITH n AS (
         SELECT doc_id, lang, {_NORM_SQL} AS norm,
-               substr({_NORM_SQL}, 1, 32) AS blk
+               substr({_NORM_SQL}, 1, 32) AS blk_p,
+               right({_NORM_SQL}, 32) AS blk_s
         FROM documents
+    ),
+    cand AS (
+        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b
+        FROM n a JOIN n b
+          ON a.lang = b.lang AND a.blk_p = b.blk_p AND a.doc_id < b.doc_id
+        UNION
+        SELECT a.doc_id, b.doc_id
+        FROM n a JOIN n b
+          ON a.lang = b.lang AND a.blk_s = b.blk_s AND a.doc_id < b.doc_id
     )
     SELECT doc_id_a, doc_id_b, lang, edit_dist,
            1.0 - edit_dist * 1.0 / max_len AS similarity
     FROM (
-        SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b, a.lang AS lang,
+        SELECT c.doc_id_a, c.doc_id_b, a.lang AS lang,
                CAST(levenshtein(a.norm, b.norm) AS BIGINT) AS edit_dist,
                greatest(length(a.norm), length(b.norm)) AS max_len
-        FROM n a JOIN n b
-          ON a.lang = b.lang AND a.blk = b.blk AND a.doc_id < b.doc_id
+        FROM cand c
+        JOIN n a ON c.doc_id_a = a.doc_id
+        JOIN n b ON c.doc_id_b = b.doc_id
     )
     WHERE edit_dist <= 0.2 * max_len
     """,
@@ -627,32 +638,48 @@ def editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     (typo fixes, date bumps, template fills) which token-set Jaccard
     and MinHash can miss or over-match.
 
-    Levenshtein is O(len^2) per pair, so the join MUST be blocked: the
-    block key here is (lang, first-32-chars of the whitespace-
-    normalized text) — near-identical docs share their prefix; docs
-    that differ early are not in-place edits. Only same-block pairs
-    (hundreds, not n^2/2) pay the DP cost. At 100 TB the block key is
-    a standard equi-join shuffle key and hot blocks (boilerplate
-    prefixes) split under AQE; production would widen recall by adding
-    a second pass blocked on a suffix or content-hash band, same plan
-    shape. Pairs keep if edit_dist <= 20% of the longer string.
-    Both engines run the identical unit-cost Levenshtein DP, so the
-    integer distances agree exactly.
+    Levenshtein is O(len^2) per pair, so the join MUST be blocked.
+    TWO blocking passes, unioned: (lang, first-32-chars) catches docs
+    whose edit lies past the prefix, and (lang, last-32-chars) catches
+    edits INSIDE the first 32 chars (a date bump in a title line) that
+    pass 1 is structurally blind to — a single in-place edit leaves at
+    least one of the two anchors intact unless it straddles both ends.
+    Candidates from both passes are union-deduped on the pair key
+    BEFORE the DP, so each pair pays Levenshtein exactly once; ids are
+    rejoined to the norms by doc_id (plain equi-shuffles). At 100 TB
+    both block keys are standard shuffle keys, hot blocks (boilerplate
+    prefixes/suffixes) split under AQE, and the candidate union grows
+    additively, not multiplicatively. Pairs keep if edit_dist <= 20%
+    of the longer string. Both engines run the identical unit-cost
+    Levenshtein DP, so the integer distances agree exactly.
     """
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    n = d.select(
-        "doc_id", "lang", norm.alias("norm"), F.substring(norm, 1, 32).alias("blk")
+    n = d.select("doc_id", "lang", norm.alias("norm")).select(
+        "doc_id", "lang", "norm",
+        F.substring("norm", 1, 32).alias("blk_p"),
+        F.expr("right(norm, 32)").alias("blk_s"),
     )
-    a = n.select("lang", "blk", F.col("doc_id").alias("doc_id_a"),
-                 F.col("norm").alias("norm_a"))
-    b = n.select("lang", "blk", F.col("doc_id").alias("doc_id_b"),
-                 F.col("norm").alias("norm_b"))
+
+    def pass_pairs(blk: str) -> DataFrame:
+        a = n.select("lang", blk, F.col("doc_id").alias("doc_id_a"))
+        b = n.select("lang", blk, F.col("doc_id").alias("doc_id_b"))
+        return (
+            a.join(b, ["lang", blk])
+            .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+            .select("doc_id_a", "doc_id_b")
+        )
+
+    cand = pass_pairs("blk_p").union(pass_pairs("blk_s")).distinct()
+    na = n.select(F.col("doc_id").alias("doc_id_a"), "lang",
+                  F.col("norm").alias("norm_a"))
+    nb = n.select(F.col("doc_id").alias("doc_id_b"),
+                  F.col("norm").alias("norm_b"))
     dist = F.levenshtein("norm_a", "norm_b").cast("long")
     max_len = F.greatest(F.length("norm_a"), F.length("norm_b"))
     return (
-        a.join(b, ["lang", "blk"])
-        .filter(F.col("doc_id_a") < F.col("doc_id_b"))
+        cand.join(na, "doc_id_a")
+        .join(nb, "doc_id_b")
         .select(
             "doc_id_a", "doc_id_b", "lang",
             dist.alias("edit_dist"), max_len.alias("max_len"),

@@ -820,7 +820,19 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     quadratic. At 100 TB, oversized buckets (degenerate embeddings) are
     the skew risk — AQE splits the shuffle, and the kernel is
     block-local so a salting refinement (split buckets, then drop-by
-    min-merge) composes without changing the contract."""
+    min-merge) composes without changing the contract.
+
+    Tier-3 residual (shared with embedding_near_dup, but SHARPER here):
+    the kernel rounds cosines with np.round (half-to-even) while the
+    oracle uses DuckDB round (half-away-from-zero); a cosine landing on
+    an exact 1e-6 half boundary rounds differently across engines. In
+    embedding_near_dup that residual only perturbs an EMITTED score —
+    here the rounded value is compared against tau, so a boundary hit
+    at exactly tau flips a keep/drop VERDICT (row-level divergence, not
+    value-level). Accepted because the unrounded alternative trades it
+    for a different flip (BLAS vs sequential-fold low-bit disagreement
+    within ~1e-12 of tau) rather than eliminating it; no boundary hit
+    has been observed at any tested sf."""
     e = load_table(spark, sf_dir, "embeddings")
     t = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
@@ -943,10 +955,13 @@ _RECALL_ORACLE = f"""
           ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
         GROUP BY e.probe_id
     )
-    SELECT c.probe_id, c.cell_size,
+    SELECT pr.probe_id,
+           COALESCE(c.cell_size, 0) AS cell_size,
            COALESCE(h.n_hits, 0) AS n_hits,
            COALESCE(h.n_hits, 0) * 1.0 / {_RECALL_K} AS recall_at_{_RECALL_K}
-    FROM cell c LEFT JOIN hits h USING (probe_id)
+    FROM probes pr
+    LEFT JOIN cell c USING (probe_id)
+    LEFT JOIN hits h USING (probe_id)
 """
 
 
@@ -969,7 +984,11 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     only. Scale shape: ground truth is brute force over PROBES x N
     (P is small and fixed — the audit samples, it never all-pairs),
     IVF arm reads one cell per probe, centroids/probes ride as
-    broadcasts, and the hit count is an equi-join on (probe, vec)."""
+    broadcasts, and the hit count is an equi-join on (probe, vec).
+    The report is LEFT-JOINED FROM THE PROBE LIST: a probe whose cell
+    holds no other vectors still gets a row (cell_size=0, recall=0) —
+    deriving rows from the cell-members aggregate would silently drop
+    exactly the recall-0 worst cases the audit exists to surface."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = F.broadcast(
@@ -1025,11 +1044,16 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     hits = exact.join(ivf, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
         F.count(F.lit(1)).alias("n_hits")
     )
-    return cell.join(hits, "probe_id", "left").select(
-        "probe_id",
-        "cell_size",
-        F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
-        (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_RECALL_K))).alias(
-            f"recall_at_{_RECALL_K}"
-        ),
+    return (
+        probes.select("probe_id")
+        .join(cell, "probe_id", "left")
+        .join(hits, "probe_id", "left")
+        .select(
+            "probe_id",
+            F.coalesce(F.col("cell_size"), F.lit(0)).alias("cell_size"),
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_RECALL_K))).alias(
+                f"recall_at_{_RECALL_K}"
+            ),
+        )
     )

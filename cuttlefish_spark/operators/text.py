@@ -1349,7 +1349,15 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     flips between them. ppl = exp(-mean) exponentiates the identical
     double but exp itself may differ in the last ulp across libm
     implementations, so ppl rounds at 2 decimals (boundary-flip odds
-    ~1e-12 per value vs ~1e-9 at 6 decimals).
+    ~1e-12 per value vs ~1e-9 at 6 decimals). The same libm caveat
+    applies, attenuated, to the ln INSIDE the quantization: Spark's
+    java.lang.Math.log and DuckDB's libm log are each correctly-
+    rounded-ish but not guaranteed bit-identical, so a log-prob whose
+    *1e6 product lands within that 1-ulp disagreement of a rounding
+    boundary can quantize to adjacent longs (~1e-9/value odds) — a
+    tier-2 residual accepted here because coarser quantization would
+    cost real resolution in the per-doc mean, and no flip has been
+    observed at any tested sf.
 
     Scale shape: two corpus count aggregations (unigram, bigram) with
     map-side partials on token keys (Zipf-hot heads are absorbed by

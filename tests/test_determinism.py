@@ -103,3 +103,38 @@ def test_round6_tie_boundary_diverges_across_engines(spark):
     # ...but round(,6) of that identical double disagrees
     assert spark_row["rounded"] == -3.414089
     assert duck_row[1] == -3.41409
+
+
+def test_markdown_html_golden_hash(spark, tmp_path):
+    """markdown_html is the one query with no DuckDB oracle (rows-only
+    at the driver), so pin its FULL query output — Spark plan,
+    Arrow-batched pandas_udf and all — to a golden hash over a
+    committed fixture. Any renderer drift (heading/bold/em/link/
+    paragraph handling, NULL or empty-doc behavior, wrapper div)
+    flips the hash and fails here instead of shipping silently.
+    The pin covers the minimal built-in renderer; if the optional
+    `markdown` package appears in the container the output legitimately
+    differs, so the test skips (render_markdown prefers the lib)."""
+    import pytest as _pytest
+
+    from cuttlefish_spark.functions import markdown as md
+
+    if md._markdown_lib is not None:
+        _pytest.skip("markdown lib present: minimal-renderer pin not applicable")
+
+    docs = [
+        (1, "# Release Notes\n\nVersion **2.0** is *out*.", "en", "fix", 0),
+        (2, "Plain paragraph with [a link](https://example.com/x?a=1&b=2).",
+         "en", "fix", 0),
+        (3, "## Sub *head*\n\nFirst para.\n\nSecond **para** here.", "en", "fix", 0),
+        (4, "", "en", "fix", 0),
+        (5, None, "en", "fix", 0),
+        (6, "###### deep heading\n\n*em* **strong** ***both*** *a*b* edge",
+         "en", "fix", 0),
+    ]
+    sf_dir = str(tmp_path / "mdsf")
+    spark.createDataFrame(
+        docs, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+    out = load_all()["markdown_html"].fn(spark, sf_dir).toPandas()
+    assert _canon_hash(out) == "528af2a88bfddf4d8ac09af6d5e5fa1e"

@@ -82,3 +82,48 @@ def test_ivf_recall_audit_misses_cross_cell_neighbor(spark, tmp_path):
     # exact top-10 = {8..13, 14, 1, 2, 3}; IVF sees only {8..13}
     assert out.loc[0, "n_hits"] == 6
     assert out.loc[0, "recall_at_10"] == 0.6
+    # every probe reports a row, even those alone in their cell:
+    # probes 2..7 are centroids whose cells hold nothing else, the
+    # recall-0 worst case the audit must surface, not drop
+    assert len(out) == 10
+    assert out.loc[2, "cell_size"] == 0
+    assert out.loc[2, "n_hits"] == 0
+    assert out.loc[2, "recall_at_10"] == 0.0
+
+
+def test_editdist_second_pass_catches_early_edit(spark, tmp_path):
+    """An in-place edit INSIDE the first 32 chars changes the prefix
+    block, so pass 1 (lang, prefix32) cannot pair the docs; the pair
+    must arrive via pass 2's (lang, suffix32) band. A control pair with
+    a late edit (shared prefix, divergent suffix) checks pass 1 still
+    works, and an unrelated doc must pair with neither."""
+    from cuttlefish_spark.registry import load_all
+
+    tail = " ".join(f"w{i:03d}" for i in range(40))  # 240 chars, shared
+    head = "the quick brown fox jumps over"  # 30 chars, inside prefix32
+    rows = [
+        (1, f"{head} {tail}", "en", "fix", 0),
+        # edit at char 4 ("quick" -> "quack"): prefix32 differs,
+        # suffix32 identical -> only the suffix band pairs (1,2)
+        (2, f"{head.replace('quick', 'quack')} {tail}", "en", "fix", 0),
+        # edit near the end: prefix32 identical, suffix32 differs
+        (3, f"{head} {tail.replace('w038', 'x038')}", "en", "fix", 0),
+        # unrelated: neither band, and edit distance would fail anyway
+        (4, "completely different document about other things entirely "
+            + " ".join(f"z{i:03d}" for i in range(40)), "en", "fix", 0),
+    ]
+    sf_dir = str(tmp_path / "edsf")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    out = load_all()["editdist_near_dup"].fn(spark, sf_dir).toPandas()
+    pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    assert (1, 2) in pairs, "early edit missed: suffix band (pass 2) not working"
+    assert (1, 3) in pairs, "late edit missed: prefix band (pass 1) not working"
+    # 2 vs 3 differ in BOTH head and tail -> share neither band; a
+    # single-anchor blocker correctly never pays their DP cost
+    assert (2, 3) not in pairs
+    assert not any(4 in p for p in pairs)
+    # union-dedup: each pair exactly once even if both bands emit it
+    assert len(pairs) == len(out)
