@@ -1210,3 +1210,70 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@query(
+    "incremental_dedup",
+    layer="C",
+    oracle=f"""
+    WITH n AS (
+        SELECT doc_id, source, md5({_NORM_SQL}) AS h,
+               CAST(substr(source, 4) AS INTEGER) AS src_num
+        FROM documents
+    ),
+    corpus AS (SELECT DISTINCT h FROM n WHERE src_num < 10),
+    batch AS (SELECT doc_id, source, h FROM n WHERE src_num >= 10),
+    first_in_batch AS (
+        SELECT h, min(doc_id) AS first_id FROM batch GROUP BY h
+    )
+    SELECT b.doc_id, b.source,
+           CASE WHEN c.h IS NOT NULL THEN 'dup_of_corpus'
+                WHEN b.doc_id <> f.first_id THEN 'dup_in_batch'
+                ELSE 'kept' END AS verdict
+    FROM batch b
+    LEFT JOIN corpus c USING (h)
+    JOIN first_in_batch f USING (h)
+    """,
+)
+def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) exact dedup: the daily-crawl shape —
+    a NEW batch (sources src10..src19) deduped against the EXISTING
+    corpus (src0..src9) and within itself, emitting one verdict per
+    new doc: `dup_of_corpus` (normalized text already ingested),
+    `dup_in_batch` (an earlier new doc has it; min-doc_id wins — the
+    same order-independent anchor rule as exact_dedup_docs), or
+    `kept`. This is the operator the within-corpus dedups
+    (exact_dedup_docs & co.) don't cover: production never re-dedups
+    100 TB from scratch, it folds each increment in.
+
+    Scale shape: corpus side reduces to DISTINCT content hashes (one
+    narrow column — at 100 TB this is the persisted dedup index, not a
+    re-scan), batch side is one hash pass; verdicts come from a left
+    join against the corpus index and a min-per-hash aggregate within
+    the batch — two equi-shuffles on a uniform md5 key, no windows,
+    payload text never travels. The md5 content hash is the portable
+    scheme every engine reproduces (same as exact_dedup_docs)."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    n = d.select(
+        "doc_id",
+        "source",
+        F.md5(norm).alias("h"),
+        F.substring("source", 4, 10).cast("int").alias("src_num"),
+    )
+    corpus = n.filter(F.col("src_num") < 10).select("h").distinct()
+    batch = n.filter(F.col("src_num") >= 10).select("doc_id", "source", "h")
+    first = batch.groupBy("h").agg(F.min("doc_id").alias("first_id"))
+    in_corpus = corpus.withColumn("in_corpus", F.lit(True))
+    return (
+        batch.join(in_corpus, "h", "left")
+        .join(first, "h")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("in_corpus"), F.lit("dup_of_corpus"))
+            .when(F.col("doc_id") != F.col("first_id"), F.lit("dup_in_batch"))
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )

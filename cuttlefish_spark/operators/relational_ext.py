@@ -1274,6 +1274,112 @@ def sql_frontend_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q10_SQL)
 
 
+_Q1_SQL = """
+    SELECT l_returnflag, l_linestatus,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               AS sum_base_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
+               AS DOUBLE) AS sum_disc_price,
+           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_qty,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_price,
+           CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
+               / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+"""
+
+
+@query("sql_frontend_q1", layer="B", oracle=_Q1_SQL)
+def sql_frontend_q1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 (pricing summary): the canonical scan-heavy aggregate —
+    one fact-table pass, eight aggregates over two low-cardinality
+    group keys. The plan every columnar engine is measured by: filter
+    pushed to the parquet scan, partial aggregation map-side (the
+    shuffle carries ~4 groups x partials, not 60k rows), whole-stage
+    codegen over the arithmetic. Cross-engine exactness via the
+    DECIMAL(18,6) quantization discipline; the avg_* columns are
+    emitted as the UNROUNDED quotient of the identical decimal sum and
+    count (IEEE division is bit-identical — no round() boundary
+    exists). At 100 TB this is the pure scan-throughput benchmark:
+    no join, no skew, partition pruning on l_shipdate if the table is
+    date-partitioned."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_Q1_SQL)
+
+
+_Q6_SQL = """
+    SELECT CAST(SUM(CAST(l_extendedprice * l_discount AS DECIMAL(18,6)))
+               AS DOUBLE) AS revenue
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+      AND l_shipdate <  TIMESTAMP '1997-01-01'
+      AND l_discount BETWEEN 0.05 AND 0.07
+      AND l_quantity < 24
+"""
+
+
+@query("sql_frontend_q6", layer="B", oracle=_Q6_SQL)
+def sql_frontend_q6(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q6 (forecast revenue): the selective-scan benchmark — a
+    conjunctive range filter (date year + discount band + quantity
+    cap) reducing the fact table to ~2% before a single global sum.
+    All three predicates push to the parquet scan (min/max row-group
+    skipping does the heavy lifting on a sorted/z-ordered layout, cf.
+    zorder_layout); the aggregate is one partial per partition + a
+    1-row final — network traffic is O(partitions). The BETWEEN on a
+    double column is exact here because the synthetic discounts are
+    the two-decimal grid points themselves, compared identically by
+    both engines."""
+    register_views(spark, sf_dir, ["lineitem"])
+    return spark.sql(_Q6_SQL)
+
+
+_Q18_SQL = """
+    SELECT c.c_name, c.c_custkey, o.o_orderkey,
+           CAST(o.o_orderdate AS TIMESTAMP) AS o_orderdate,
+           o.o_totalprice,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS total_qty
+    FROM customer c
+    JOIN orders o   ON c.c_custkey = o.o_custkey
+    JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE o.o_orderkey IN (
+        SELECT l_orderkey FROM lineitem
+        GROUP BY l_orderkey
+        HAVING SUM(CAST(l_quantity AS DECIMAL(18,6))) > 150
+    )
+    GROUP BY c.c_name, c.c_custkey, o.o_orderkey, o.o_orderdate, o.o_totalprice
+    ORDER BY o.o_totalprice DESC, o.o_orderdate, o.o_orderkey
+    LIMIT 100
+"""
+
+
+@query("sql_frontend_q18", layer="B", oracle=_Q18_SQL)
+def sql_frontend_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q18 (large-volume customers): the IN-subquery /
+    semi-join-against-an-aggregate pattern Q3/Q5/Q10 don't cover — the
+    inner aggregate finds heavy orders, the outer three-way join
+    regroups their line items per customer. Catalyst rewrites the IN
+    as a left-semi join whose build side is the HAVING-filtered
+    aggregate (small — ~5% of orders), so the fact table is cut
+    before the customer join; top-100 compiles to
+    TakeOrderedAndProject with the o_orderkey tiebreak keeping both
+    engines' cut identical. The quantity sums ride the DECIMAL(18,6)
+    discipline on BOTH sides (HAVING threshold and output), so the
+    heavy-order set itself is cross-engine exact. At 100 TB the inner
+    aggregate is the skew risk (one shuffle on l_orderkey — uniform,
+    high-cardinality) and the semi-join broadcasts its filtered build
+    side."""
+    register_views(spark, sf_dir, ["customer", "orders", "lineitem"])
+    return spark.sql(_Q18_SQL)
+
+
 _TRY_MIXED = (
     "CASE WHEN l_linenumber % 3 = 0 THEN 'x' || CAST(l_orderkey AS VARCHAR) "
     "ELSE CAST(l_orderkey AS VARCHAR) END"

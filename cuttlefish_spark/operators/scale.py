@@ -354,3 +354,58 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("dy").cast("long").alias("min_day"),
         F.max("dy").cast("long").alias("max_day"),
     )
+
+
+_SHUFFLE_SHARDS = 8
+
+
+@query(
+    "training_shuffle",
+    layer="C",
+    oracle=f"""
+    WITH h AS (
+        SELECT doc_id,
+               CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
+                   AS BIGINT) AS hv
+        FROM documents
+    )
+    SELECT doc_id,
+           hv % {_SHUFFLE_SHARDS} AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY hv % {_SHUFFLE_SHARDS}
+               ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM h
+    """,
+)
+def training_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global training-order shuffle WITHOUT a global
+    sort: every doc gets a portable 60-bit hash, shard = hash % S, and
+    position-within-shard = rank by (hash, doc_id) inside the shard.
+    Reading shards round-robin replays one fixed pseudo-random
+    permutation of the corpus — the reproducible epoch-order a
+    training pipeline needs (same order on every engine/run/cluster,
+    unlike df.orderBy(rand())), and adding documents perturbs only
+    their own hash positions.
+
+    Scale shape: ONE shuffle on the shard key, then a per-shard ordered
+    window — no empty-partition-spec global window anywhere (the
+    test_no_global_ordered_windows pin applies). S is 8 here so the
+    oracle is readable; production sets S ~ 10x executor count (each
+    shard = one output file, each window sorts corpus/S rows), which
+    keeps the per-task sort in memory at any corpus size. The md5-hash
+    order is uniform, so shards are balanced within sqrt-noise."""
+    from pyspark.sql import Window
+
+    from cuttlefish_spark.functions import hash60
+    from cuttlefish_spark.io import spread
+
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    h = d.select(
+        "doc_id", hash60(F.col("doc_id").cast("string")).alias("hv")
+    ).withColumn("shard", F.col("hv") % _SHUFFLE_SHARDS)
+    w = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    return h.select(
+        "doc_id",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )

@@ -1514,3 +1514,68 @@ def countmin_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cm_est") - F.col("exact_cnt")).alias("overcount"),
         )
     )
+
+
+_MIX_WEIGHTS = [("en", 40), ("zh", 25), ("es", 15), ("fr", 10), ("de", 10)]
+
+
+@query(
+    "mixture_plan",
+    layer="C",
+    oracle=f"""
+    WITH counts AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY lang
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) // 2 AS budget FROM counts
+    ),
+    w AS (
+        SELECT * FROM (VALUES {", ".join(f"('{lang}', {pct})" for lang, pct in _MIX_WEIGHTS)})
+            AS t(lang, w_pct)
+    )
+    SELECT c.lang, c.n_docs, CAST(w.w_pct AS BIGINT) AS w_pct,
+           t.budget * w.w_pct // 100 AS target_docs,
+           least(t.budget * w.w_pct // 100, c.n_docs) AS planned_docs,
+           least(t.budget * w.w_pct // 100, c.n_docs) * 1.0 / c.n_docs
+               AS sample_rate
+    FROM counts c JOIN w USING (lang) CROSS JOIN tot t
+    """,
+)
+def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-mixture sampling plan: given target language weights (the
+    mixture a training run wants) and the corpus's actual per-language
+    counts, compute each language's target document count within a
+    token/doc budget (half the corpus here), the achievable planned
+    count (capped at availability), and the per-language sampling rate
+    to apply downstream (hash_sample composes: rate -> hash60 % 10^k
+    threshold). This is the planning half of data mixing — the op that
+    decides WHAT to sample before any sampler runs; upsampling-aware
+    variants change only the `least` cap.
+
+    Exactness: targets are INTEGER arithmetic end-to-end (budget and
+    weights as integers, floor division) — no float rounding boundary
+    exists; the only doubles are final IEEE quotients of identical
+    integers. Scale shape: one count aggregate (5 groups), weights and
+    the 1-row budget ride as broadcasts — output is O(languages), cost
+    is one scan."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
+    budget = counts.agg(
+        (F.sum("n_docs").cast("long") / F.lit(2)).cast("long").alias("budget")
+    )
+    weights = spark.createDataFrame(_MIX_WEIGHTS, "lang string, w_pct long")
+    target = F.expr("budget * w_pct div 100")
+    planned = F.least(target, F.col("n_docs"))
+    return (
+        counts.join(F.broadcast(weights), "lang")
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "lang",
+            "n_docs",
+            "w_pct",
+            target.alias("target_docs"),
+            planned.alias("planned_docs"),
+            (planned * F.lit(1.0) / F.col("n_docs")).alias("sample_rate"),
+        )
+    )
