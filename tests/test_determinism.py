@@ -34,6 +34,11 @@ _QUERIES = [
     "token_budget_trim",
     "embedding_quantize",
     "dataset_split",
+    #  - training_shuffle: per-shard ordered windows (rank by portable
+    #    hash) must be partitioning-blind
+    #  - incremental_dedup: min-doc_id anchor + hash-index join
+    "training_shuffle",
+    "incremental_dedup",
 ]
 
 
