@@ -92,9 +92,12 @@ def streaming_tumbling_hourly(spark: SparkSession, sf_dir: str) -> DataFrame:
 def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFrame:
     """Materialize the memory-sink table so the temp source dir can be
     removed and sink tables don't accumulate across repeated calls.
-    Arrow both ways (toPandas / createDataFrame-from-pandas with the
-    sink's schema) — row-at-a-time collect()+Row conversion costs
-    seconds at 100k rows (streaming_dedup at sf0.1)."""
+    BOUNDED-OUTPUT streams only (aggregates: hours x types, per-user
+    totals); the O(corpus) dedup stream drains through the parquet
+    file sink instead (see streaming_dedup). Arrow both ways
+    (toPandas / createDataFrame-from-pandas with the sink's schema) —
+    row-at-a-time collect()+Row conversion costs seconds at 100k
+    rows."""
     out = spark.table(name)
     result = spark.createDataFrame(out.toPandas(), out.schema)
     spark.catalog.dropTempView(name)

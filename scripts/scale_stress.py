@@ -46,6 +46,12 @@ QUERIES = [
     "editdist_near_dup",
     "semantic_dedup",
     "decontaminate",
+    # second wave (r5): the remaining pair/candidate producers
+    "minhash_shingles",
+    "simhash_dedup",
+    "line_dedup",
+    "embedding_near_dup",
+    "embedding_lsh_bucket",
 ]
 
 DOCS_N = 50_000
@@ -129,9 +135,10 @@ def main() -> int:
     ):
         generate(spark)
 
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
     specs = load_all()
     results = {}
-    for name in QUERIES:
+    for name in only or QUERIES:
         fn = specs[name].fn
         row = {}
         for label, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:

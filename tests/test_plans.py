@@ -277,3 +277,46 @@ def test_weighted_sampling_builds_without_driver_jobs(spark, sf_dir):
     # anything else (the old plan's d.count()) is a real driver action.
     real = [n for n in stage_names if not n.startswith("parquet at")]
     assert real == [], f"building weighted_sampling ran driver actions: {real}"
+
+
+def test_q1_single_exchange_pushed_scan(spark, sf_dir):
+    """TPC-H Q1 must stay the canonical scan-agg: filter pushed to the
+    parquet scan, partial+final aggregation around exactly one
+    exchange, whole-stage codegen over the arithmetic."""
+    df = SPECS["sql_frontend_q1"].fn(spark, sf_dir)
+    assert checks.count_exchanges(df) == 1
+    assert checks.has_pushed_filter(df, "l_shipdate")
+    assert checks.has_whole_stage_codegen(df)
+
+
+def test_q6_all_predicates_pushed(spark, sf_dir):
+    df = SPECS["sql_frontend_q6"].fn(spark, sf_dir)
+    for col in ("l_shipdate", "l_discount", "l_quantity"):
+        assert checks.has_pushed_filter(df, col), f"{col} not pushed"
+    assert checks.count_exchanges(df) == 1
+
+
+def test_q18_semi_join_no_nested_loop(spark, sf_dir):
+    """The IN-subquery must compile to a (semi) hash join against the
+    HAVING-filtered aggregate — never a nested loop — and top-100 must
+    be TakeOrderedAndProject, not a global sort."""
+    plan = checks.formatted_plan(SPECS["sql_frontend_q18"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_training_shuffle_one_shuffle_no_global_window(spark, sf_dir):
+    """One exchange on the shard key; the rank window is per-shard
+    (non-empty partition spec) so no single-task global sort exists."""
+    plan = checks.formatted_plan(SPECS["training_shuffle"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_incremental_dedup_no_text_travel(spark, sf_dir):
+    """Verdicts ride content hashes: the document text column must be
+    projected away before any join (only md5(norm) travels)."""
+    df = SPECS["incremental_dedup"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    import re
+    joins = [ln for ln in plan.splitlines() if "Join" in ln]
+    assert joins and not any(re.search(r"\btext\b", ln) for ln in joins)
