@@ -1380,6 +1380,60 @@ def sql_frontend_q18(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q18_SQL)
 
 
+_Q14_SQL = """
+    SELECT 100.0 * CAST(SUM(CASE WHEN p.p_type = 'PROMO'
+                   THEN CAST(l.l_extendedprice * (1 - l.l_discount)
+                             AS DECIMAL(18,6)) ELSE 0 END) AS DOUBLE)
+           / CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                           AS DECIMAL(18,6))) AS DOUBLE) AS promo_revenue_pct
+    FROM lineitem l JOIN part p ON l.l_partkey = p.p_partkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1997-04-01'
+"""
+
+
+@query("sql_frontend_q14", layer="B", oracle=_Q14_SQL)
+def sql_frontend_q14(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q14 (promotion effect): fact-dim join feeding a
+    CONDITIONAL aggregate ratio — the one-number KPI shape (share of
+    revenue from a category). The date window pushes to the lineitem
+    scan, part broadcasts, and both sums ride one partial-aggregated
+    exchange; the percentage is an unrounded quotient of two
+    decimal-quantized sums scaled by an exact constant, so no
+    rounding boundary exists cross-engine. At 100 TB: one pruned fact
+    scan + broadcast join, network = O(partitions)."""
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q14_SQL)
+
+
+_Q19_SQL = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice * (1 - l.l_discount)
+                         AS DECIMAL(18,6))) AS DOUBLE) AS revenue
+    FROM lineitem l JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE (p.p_brand = 'Brand#12' AND p.p_size BETWEEN 1 AND 15
+           AND l.l_quantity >= 1 AND l.l_quantity <= 21)
+       OR (p.p_brand = 'Brand#23' AND p.p_size BETWEEN 1 AND 20
+           AND l.l_quantity >= 10 AND l.l_quantity <= 30)
+       OR (p.p_brand = 'Brand#4' AND p.p_size BETWEEN 1 AND 25
+           AND l.l_quantity >= 20 AND l.l_quantity <= 40)
+"""
+
+
+@query("sql_frontend_q19", layer="B", oracle=_Q19_SQL)
+def sql_frontend_q19(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q19 (discounted revenue): the DISJUNCTIVE-predicate join —
+    an OR of three brand/size/quantity conjunction bands sharing one
+    equi-key. The optimizer pattern this pins: Catalyst must extract
+    the common p_partkey = l_partkey as the hash-join key (the OR
+    becomes a post-join filter, with the per-side residuals — brand
+    IN-list, size/quantity hulls — inferred and pushed to the scans),
+    NEVER a BroadcastNestedLoopJoin over the raw OR. The plan test
+    asserts exactly that. At 100 TB the inferred single-side filters
+    are what keep the fact scan selective despite the disjunction."""
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q19_SQL)
+
+
 _TRY_MIXED = (
     "CASE WHEN l_linenumber % 3 = 0 THEN 'x' || CAST(l_orderkey AS VARCHAR) "
     "ELSE CAST(l_orderkey AS VARCHAR) END"

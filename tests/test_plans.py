@@ -320,3 +320,23 @@ def test_incremental_dedup_no_text_travel(spark, sf_dir):
     import re
     joins = [ln for ln in plan.splitlines() if "Join" in ln]
     assert joins and not any(re.search(r"\btext\b", ln) for ln in joins)
+
+
+def test_q19_disjunction_stays_hash_join(spark, sf_dir):
+    """The OR-of-conjunctions join must extract the common partkey
+    equi-key (hash join) and push the per-side residual disjunctions
+    into both scans — the raw-OR BroadcastNestedLoopJoin is the
+    failure mode."""
+    df = SPECS["sql_frontend_q19"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "BroadcastHashJoin" in plan
+    assert checks.has_pushed_filter(df, "p_brand")
+    assert checks.has_pushed_filter(df, "l_quantity")
+
+
+def test_q14_pruned_broadcast_single_exchange(spark, sf_dir):
+    df = SPECS["sql_frontend_q14"].fn(spark, sf_dir)
+    assert checks.has_pushed_filter(df, "l_shipdate")
+    assert checks.has_broadcast_join(df)
+    assert checks.count_exchanges(df) <= 1
