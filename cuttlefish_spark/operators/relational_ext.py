@@ -2161,3 +2161,339 @@ def incremental_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return merged
+
+
+# --- TPC-H back-nine: the remaining spec queries the test schema supports ---
+# The testdata schema (TESTDATA.md) omits partsupp, l_shipmode,
+# l_commitdate/l_receiptdate, c_phone and p_container, so q2/q11/q16/q20
+# cannot run as-spec and q4/q9/q12/q17/q22 carry documented adaptations
+# that preserve the query's OPERATOR shape (the thing this engine is
+# graded on), substituting available columns for missing ones.
+
+_Q4_SQL = """
+    SELECT o.o_orderpriority, COUNT(*) AS order_count
+    FROM orders o
+    WHERE o.o_orderdate >= TIMESTAMP '1996-07-01'
+      AND o.o_orderdate <  TIMESTAMP '1996-10-01'
+      AND EXISTS (SELECT 1 FROM lineitem l
+                  WHERE l.l_orderkey = o.o_orderkey
+                    AND l.l_shipdate > o.o_orderdate + INTERVAL 30 DAY)
+    GROUP BY o.o_orderpriority
+    ORDER BY o.o_orderpriority
+"""
+
+
+@query("sql_frontend_q4", layer="B", oracle=_Q4_SQL)
+def sql_frontend_q4(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q4 (order-priority checking), adapted: the spec's
+    l_commitdate < l_receiptdate late-delivery test becomes
+    l_shipdate > o_orderdate + 30 days (the schema carries neither
+    commit nor receipt dates) — a CORRELATED EXISTS whose inner
+    predicate references the outer row's non-key column, the shape
+    q18's uncorrelated IN doesn't cover. Catalyst decorrelates it
+    into a left-semi hash join on l_orderkey with the +30-day
+    comparison as the join residual; the quarter window prunes the
+    orders scan first. At 100 TB: one semi-join shuffle on a uniform
+    high-cardinality key, no nested loop (plan-pinned)."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q4_SQL)
+
+
+_Q7_SQL = """
+    SELECT supp_nation, cust_nation, l_year,
+           CAST(SUM(volume) AS DOUBLE) AS revenue
+    FROM (
+        SELECT n1.n_name AS supp_nation,
+               n2.n_name AS cust_nation,
+               CAST(EXTRACT(YEAR FROM l.l_shipdate) AS INTEGER) AS l_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume
+        FROM supplier s
+        JOIN lineitem l ON s.s_suppkey  = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN customer c ON c.c_custkey  = o.o_custkey
+        JOIN nation n1  ON s.s_nationkey = n1.n_nationkey
+        JOIN nation n2  ON c.c_nationkey = n2.n_nationkey
+        WHERE ((n1.n_name = 'NATION_3' AND n2.n_name = 'NATION_9')
+            OR (n1.n_name = 'NATION_9' AND n2.n_name = 'NATION_3'))
+          AND l.l_shipdate BETWEEN TIMESTAMP '1996-01-01'
+                               AND TIMESTAMP '1997-12-31'
+    ) shipping
+    GROUP BY supp_nation, cust_nation, l_year
+    ORDER BY supp_nation, cust_nation, l_year
+"""
+
+
+@query("sql_frontend_q7", layer="B", oracle=_Q7_SQL)
+def sql_frontend_q7(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q7 (volume shipping), faithful: bilateral trade between
+    two nations by year. The join-graph stress Q5 doesn't have: the
+    SAME dimension table (nation) joins TWICE under different aliases
+    with a cross-alias disjunction that can only be evaluated after
+    both joins. Catalyst broadcasts both nation sides and the
+    supplier/customer dims, leaving lineitem-orders as the sole
+    shuffle pair; the nation disjunction cannot push below either
+    single join but its per-alias IN('NATION_3','NATION_9') hulls ARE
+    inferred onto each nation scan. Volume rides the DECIMAL(18,6)
+    discipline; l_year is INTEGER-cast in the shared text so both
+    engines agree on the type. At 100 TB the shipdate window is the
+    partition-pruning predicate."""
+    register_views(
+        spark, sf_dir, ["supplier", "lineitem", "orders", "customer", "nation"]
+    )
+    return spark.sql(_Q7_SQL)
+
+
+_Q8_SQL = """
+    SELECT o_year,
+           CAST(SUM(CASE WHEN nation = 'NATION_3' THEN volume
+                         ELSE CAST(0 AS DECIMAL(18,6)) END) AS DOUBLE)
+           / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+    FROM (
+        SELECT CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS volume,
+               n2.n_name AS nation
+        FROM part p
+        JOIN lineitem l ON p.p_partkey  = l.l_partkey
+        JOIN orders o   ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON o.o_custkey  = c.c_custkey
+        JOIN nation n1  ON c.c_nationkey = n1.n_nationkey
+        JOIN region r   ON n1.n_regionkey = r.r_regionkey
+        JOIN supplier s ON l.l_suppkey  = s.s_suppkey
+        JOIN nation n2  ON s.s_nationkey = n2.n_nationkey
+        WHERE r.r_name = 'ASIA'
+          AND o.o_orderdate BETWEEN TIMESTAMP '1996-01-01'
+                                AND TIMESTAMP '1997-12-31'
+          AND p.p_type = 'ECONOMY'
+    ) all_nations
+    GROUP BY o_year
+    ORDER BY o_year
+"""
+
+
+@query("sql_frontend_q8", layer="B", oracle=_Q8_SQL)
+def sql_frontend_q8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q8 (national market share), faithful: the deepest join in
+    the suite — an 8-table chain (fact + 7 dims, nation twice) feeding
+    a conditional-share aggregate. Every dim broadcasts after its
+    filter (region=ASIA cuts nation n1 to 1/5th before the customer
+    join; p_type cuts part to 1/6th); the share is an unrounded
+    quotient of two decimal-quantized sums over the SAME rows, so
+    numerator and denominator are bit-identical cross-engine and the
+    division is deterministic. At 100 TB this is the query where join
+    ORDER matters most — Catalyst's size-based reordering plus AQE
+    keeps the fact table from being joined against an unfiltered
+    dim."""
+    register_views(
+        spark, sf_dir,
+        ["part", "lineitem", "orders", "customer", "nation", "region", "supplier"],
+    )
+    return spark.sql(_Q8_SQL)
+
+
+_Q9_SQL = """
+    SELECT nation, o_year, CAST(SUM(amount) AS DOUBLE) AS sum_revenue
+    FROM (
+        SELECT n.n_name AS nation,
+               CAST(EXTRACT(YEAR FROM o.o_orderdate) AS INTEGER) AS o_year,
+               CAST(l.l_extendedprice * (1 - l.l_discount) AS DECIMAL(18,6)) AS amount
+        FROM part p
+        JOIN lineitem l ON p.p_partkey  = l.l_partkey
+        JOIN supplier s ON s.s_suppkey  = l.l_suppkey
+        JOIN orders o   ON o.o_orderkey = l.l_orderkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        WHERE p.p_name LIKE '%bolt%'
+    ) profit
+    GROUP BY nation, o_year
+    ORDER BY nation, o_year DESC
+"""
+
+
+@query("sql_frontend_q9", layer="B", oracle=_Q9_SQL)
+def sql_frontend_q9(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q9 (product-type profit), adapted: profit =
+    l_extendedprice*(1-l_discount) without the ps_supplycost*l_quantity
+    subtrahend (no partsupp table in the schema). What survives is the
+    operator shape: a CONTAINS-pattern dim filter (p_name LIKE
+    '%bolt%' — not prefix, so it can't become a range scan and must
+    evaluate per-row INSIDE the parquet reader's row-group filter),
+    a 5-table join, and a (nation, year) rollup reading EVERY year of
+    the fact table — the no-date-pruning worst case. At 100 TB this
+    is deliberately the full-scan member of the suite: the plan's
+    merit is the 1/6th part-side cut broadcast into the fact scan via
+    DPP/runtime filters, not partition pruning."""
+    register_views(
+        spark, sf_dir, ["part", "lineitem", "supplier", "orders", "nation"]
+    )
+    return spark.sql(_Q9_SQL)
+
+
+_Q12_SQL = """
+    SELECT l.l_returnflag AS ship_class,
+           COUNT(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS high_line_count,
+           COUNT(CASE WHEN o.o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                      THEN 1 END) AS low_line_count
+    FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+    WHERE l.l_shipdate >= TIMESTAMP '1997-01-01'
+      AND l.l_shipdate <  TIMESTAMP '1998-01-01'
+    GROUP BY l.l_returnflag
+    ORDER BY l.l_returnflag
+"""
+
+
+@query("sql_frontend_q12", layer="B", oracle=_Q12_SQL)
+def sql_frontend_q12(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q12 (shipping modes / order priority), adapted: the
+    grouping column is l_returnflag standing in for the absent
+    l_shipmode, and the year window rides l_shipdate for the absent
+    l_receiptdate — the conditional-count pivot over a fact-fact join
+    is unchanged. COUNT(CASE WHEN..THEN 1 END) instead of SUM keeps
+    the output BIGINT on BOTH engines (DuckDB's SUM(INTEGER) widens
+    to HUGEINT, which would flip the schema hash). Plan: pruned
+    lineitem scan, one shuffle join on o_orderkey (both sides large),
+    one aggregation exchange on the 3-value flag — the flag's low
+    cardinality is safe BECAUSE partial aggregation collapses each
+    task to ≤3 rows before the exchange."""
+    register_views(spark, sf_dir, ["orders", "lineitem"])
+    return spark.sql(_Q12_SQL)
+
+
+_Q13_SQL = """
+    SELECT c_count, COUNT(*) AS custdist
+    FROM (
+        SELECT c.c_custkey AS c_custkey, COUNT(o.o_orderkey) AS c_count
+        FROM customer c
+        LEFT JOIN orders o ON c.c_custkey = o.o_custkey
+                           AND o.o_orderpriority <> '5-LOW'
+        GROUP BY c.c_custkey
+    ) c_orders
+    GROUP BY c_count
+    ORDER BY custdist DESC, c_count DESC
+"""
+
+
+@query("sql_frontend_q13", layer="B", oracle=_Q13_SQL)
+def sql_frontend_q13(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q13 (customer distribution), faithful modulo the filter
+    column (o_orderpriority <> '5-LOW' for the absent o_comment NOT
+    LIKE): the double-aggregation histogram — outer-join a fact to
+    its dimension WITH a non-join predicate inside the ON clause
+    (pre-join filter on the preserved side's partner, NOT a WHERE —
+    moving it to WHERE would turn the left join inner and drop
+    zero-order customers, the rows q13 exists to count). First agg
+    shuffles on c_custkey (high cardinality, safe), second on the
+    tiny c_count domain (safe after partial agg). COUNT keeps both
+    engines in BIGINT."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_Q13_SQL)
+
+
+_Q15_SQL = """
+    WITH revenue AS (
+        SELECT l_suppkey AS supplier_no,
+               CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                             AS DECIMAL(18,6))) AS DOUBLE) AS total_revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+          AND l_shipdate <  TIMESTAMP '1997-04-01'
+        GROUP BY l_suppkey
+    )
+    SELECT s.s_suppkey, s.s_name, r.total_revenue
+    FROM supplier s JOIN revenue r ON s.s_suppkey = r.supplier_no
+    WHERE r.total_revenue = (SELECT MAX(total_revenue) FROM revenue)
+    ORDER BY s.s_suppkey
+"""
+
+
+@query("sql_frontend_q15", layer="B", oracle=_Q15_SQL)
+def sql_frontend_q15(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q15 (top supplier), faithful (CTE in place of the spec's
+    CREATE VIEW): a derived aggregate consumed TWICE — once as the
+    join input, once reduced to a scalar MAX — selecting the argmax
+    row(s). The double-as-equality is safe here because total_revenue
+    on both engines is the same decimal-exact sum cast once to
+    double: bit-identical operands, bit-identical comparison. Spark
+    inlines the CTE into both consumers (two pruned scans of the
+    quarter window) and broadcasts the scalar; at 100 TB one would
+    materialize the revenue CTE (cache/checkpoint) to scan once —
+    both plans keep the argmax a broadcast filter, never a sort of
+    suppliers."""
+    register_views(spark, sf_dir, ["supplier", "lineitem"])
+    return spark.sql(_Q15_SQL)
+
+
+_Q17_SQL = """
+    SELECT CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           / 7.0 AS avg_yearly
+    FROM lineitem l
+    JOIN part p ON p.p_partkey = l.l_partkey
+    WHERE p.p_brand = 'Brand#3'
+      AND p.p_size < 25
+      AND l.l_quantity < (
+          SELECT CAST(SUM(CAST(l2.l_quantity AS DECIMAL(18,6))) AS DOUBLE)
+                 / (2.0 * COUNT(*))
+          FROM lineitem l2
+          WHERE l2.l_partkey = p.p_partkey
+      )
+"""
+
+
+@query("sql_frontend_q17", layer="B", oracle=_Q17_SQL)
+def sql_frontend_q17(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q17 (small-quantity-order revenue), adapted: brand+size
+    band replaces the absent p_container, and the correlated
+    threshold is half the per-part mean quantity (the spec's 0.2
+    factor trips the decimal discipline: 0.2*avg is an inexact
+    binary multiply, sum/(2.0*count) is a single division of a
+    decimal-exact sum by an exact small-int product — deterministic
+    cross-engine). The shape under test: a correlated scalar
+    aggregate subquery over the FACT table itself. Catalyst
+    decorrelates it to a per-partkey aggregate joined back to the
+    filtered fact — two scans of lineitem, one shuffle each, no
+    per-row re-execution; the plan pin asserts no nested loop
+    survives. At 100 TB the rewrite is the difference between 2
+    passes and |parts| passes."""
+    register_views(spark, sf_dir, ["lineitem", "part"])
+    return spark.sql(_Q17_SQL)
+
+
+_Q22_SQL = """
+    SELECT cntrycode,
+           COUNT(*) AS numcust,
+           CAST(SUM(CAST(c_acctbal AS DECIMAL(18,6))) AS DOUBLE) AS totacctbal
+    FROM (
+        SELECT CAST(c.c_nationkey % 5 AS INTEGER) AS cntrycode, c.c_acctbal
+        FROM customer c
+        WHERE c.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          AND c.c_acctbal > (
+              SELECT CAST(SUM(CAST(c2.c_acctbal AS DECIMAL(18,6))) AS DOUBLE)
+                     / COUNT(*)
+              FROM customer c2
+              WHERE c2.c_acctbal > 0.0
+                AND c2.c_nationkey IN (1, 3, 5, 7, 9, 11, 13)
+          )
+          AND NOT EXISTS (SELECT 1 FROM orders o
+                          WHERE o.o_custkey = c.c_custkey
+                            AND o.o_orderdate >= TIMESTAMP '2000-01-01')
+    ) custsale
+    GROUP BY cntrycode
+    ORDER BY cntrycode
+"""
+
+
+@query("sql_frontend_q22", layer="B", oracle=_Q22_SQL)
+def sql_frontend_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q22 (global sales opportunity), adapted: country code =
+    c_nationkey % 5 (no c_phone to substring) and the dormancy test
+    is "no order since 2000" (every customer has SOME order in this
+    data, so the spec's strict NOT EXISTS selects nothing). Three
+    subquery flavors in one query — an uncorrelated scalar threshold
+    (above-average balance, computed as sum/count of identical
+    decimal-exact operands so the double threshold is bit-identical
+    cross-engine), a correlated NOT EXISTS (anti-join), and the
+    outer aggregate. Catalyst broadcasts the scalar, plans the NOT
+    EXISTS as a left-anti hash join on o_custkey with the date cut
+    pushed into the orders scan. At 100 TB the anti-join build side
+    is the date-pruned orders slice, not the full history."""
+    register_views(spark, sf_dir, ["customer", "orders"])
+    return spark.sql(_Q22_SQL)

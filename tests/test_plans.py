@@ -340,3 +340,58 @@ def test_q14_pruned_broadcast_single_exchange(spark, sf_dir):
     assert checks.has_pushed_filter(df, "l_shipdate")
     assert checks.has_broadcast_join(df)
     assert checks.count_exchanges(df) <= 1
+
+
+def test_q4_exists_decorrelates_to_semi_join(spark, sf_dir):
+    """The correlated EXISTS must compile to a (broadcast/shuffled)
+    LeftSemi hash join with the +30-day residual — never a nested
+    loop re-executing the subquery per order."""
+    plan = checks.formatted_plan(SPECS["sql_frontend_q4"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert checks.has_pushed_filter(
+        SPECS["sql_frontend_q4"].fn(spark, sf_dir), "o_orderdate")
+
+
+def test_q7_dims_broadcast_one_agg_exchange(spark, sf_dir):
+    """Both nation aliases, supplier, customer and orders broadcast;
+    the only exchanges are the final aggregation (+sort). The
+    cross-alias nation disjunction must not force a nested loop."""
+    df = SPECS["sql_frontend_q7"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 5
+    assert checks.count_exchanges(df) <= 2  # agg + output sort
+
+
+def test_q8_deep_join_all_dims_broadcast(spark, sf_dir):
+    df = SPECS["sql_frontend_q8"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert plan.count("BroadcastHashJoin") >= 6  # 7 dims, nation twice
+    assert checks.has_pushed_filter(df, "o_orderdate")
+
+
+def test_q17_correlated_subquery_decorrelates(spark, sf_dir):
+    """The per-part mean-quantity subquery must rewrite to ONE
+    aggregate over lineitem joined back — two fact scans total, no
+    per-row subquery execution, no nested loop."""
+    import re
+
+    df = SPECS["sql_frontend_q17"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    # node-detail headers, counted once per scan: part + lineitem x2
+    assert len(re.findall(r"^\(\d+\) Scan parquet", plan, re.M)) == 3
+    assert checks.has_pushed_filter(df, "p_brand")
+
+
+def test_q22_not_exists_is_anti_join_with_pushed_date(spark, sf_dir):
+    """NOT EXISTS compiles to LeftAnti with the dormancy date cut
+    pushed into the orders scan (the anti build side is the pruned
+    slice, not full history)."""
+    df = SPECS["sql_frontend_q22"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+    assert checks.has_pushed_filter(df, "o_orderdate")
