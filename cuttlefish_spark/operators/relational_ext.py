@@ -2497,3 +2497,191 @@ def sql_frontend_q22(spark: SparkSession, sf_dir: str) -> DataFrame:
     is the date-pruned orders slice, not the full history."""
     register_views(spark, sf_dir, ["customer", "orders"])
     return spark.sql(_Q22_SQL)
+
+
+# --- partsupp-surrogate TPC-H shapes (q2, q11, q16, q20) ---
+# The schema has no partsupp table; these four rebuild its role from
+# lineitem (the observed supplier-part relation: who actually supplied
+# which part, at what unit price, in what volume). The OPERATOR shapes
+# under test — q2's correlated min-over-a-join, q11's HAVING-vs-global
+# scalar, q16's count-distinct + NOT IN, q20's doubly-nested IN with a
+# correlated threshold — are the spec's; the surrogate only changes
+# the column provenance.
+
+_Q2_SQL = """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               MIN(l_extendedprice / l_quantity) AS ps_supplycost
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_acctbal, s.s_name, n.n_name, p.p_partkey, p.p_brand,
+           s.s_suppkey
+    FROM part p
+    JOIN ps         ON p.p_partkey = ps.ps_partkey
+    JOIN supplier s ON s.s_suppkey = ps.ps_suppkey
+    JOIN nation n   ON s.s_nationkey = n.n_nationkey
+    JOIN region r   ON n.n_regionkey = r.r_regionkey
+    WHERE p.p_size <= 10 AND p.p_type = 'LARGE' AND r.r_name = 'EUROPE'
+      AND ps.ps_supplycost = (
+          SELECT MIN(ps2.ps_supplycost)
+          FROM ps ps2
+          JOIN supplier s2 ON s2.s_suppkey = ps2.ps_suppkey
+          JOIN nation n2   ON s2.s_nationkey = n2.n_nationkey
+          JOIN region r2   ON n2.n_regionkey = r2.r_regionkey
+          WHERE ps2.ps_partkey = p.p_partkey AND r2.r_name = 'EUROPE'
+      )
+    ORDER BY s.s_acctbal DESC, n.n_name, s.s_name, p.p_partkey, s.s_suppkey
+    LIMIT 100
+"""
+
+
+@query("sql_frontend_q2", layer="B", oracle=_Q2_SQL)
+def sql_frontend_q2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q2 (minimum-cost supplier), partsupp-surrogate: unit cost
+    = MIN(l_extendedprice/l_quantity) per observed supplier-part pair.
+    The shape: a correlated scalar MIN whose subquery carries its OWN
+    three-dimension join stack, evaluated per outer part. Catalyst
+    decorrelates to one region-filtered min-cost-per-part aggregate
+    joined back on (partkey, cost) — the surrogate CTE is built once
+    per consumer, each a single lineitem shuffle. The double equality
+    is safe: both engines derive cost from identical IEEE divisions
+    and MIN picks an element, not a sum. LIMIT rides a total ORDER BY
+    (acctbal DESC then four key tiebreaks) so the cut is
+    deterministic. At 100 TB the win is the same as q15: the argmax
+    is a broadcast semi-filter, never a global sort of suppliers."""
+    register_views(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
+    )
+    return spark.sql(_Q2_SQL)
+
+
+_Q11_SQL = """
+    WITH natps AS (
+        SELECT l.l_partkey AS ps_partkey,
+               CAST(l.l_extendedprice AS DECIMAL(18,6)) AS val
+        FROM lineitem l
+        JOIN supplier s ON s.s_suppkey = l.l_suppkey
+        JOIN nation n   ON s.s_nationkey = n.n_nationkey
+        JOIN region r   ON n.n_regionkey = r.r_regionkey
+        WHERE r.r_name = 'EUROPE'
+    )
+    SELECT ps_partkey, CAST(SUM(val) AS DOUBLE) AS part_value
+    FROM natps
+    GROUP BY ps_partkey
+    HAVING CAST(SUM(val) AS DOUBLE) > (
+        SELECT 1.2 * CAST(SUM(val) AS DOUBLE) / COUNT(DISTINCT ps_partkey)
+        FROM natps
+    )
+    ORDER BY part_value DESC, ps_partkey
+"""
+
+
+@query("sql_frontend_q11", layer="B", oracle=_Q11_SQL)
+def sql_frontend_q11(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q11 (important stock), partsupp-surrogate: part value =
+    total traded l_extendedprice through EUROPE suppliers (the spec's
+    supplycost*availqty product would need a double->decimal cast
+    whose half-boundary rounding differs between engines; a
+    decimal-exact SUM has no such boundary). The shape: a grouped
+    aggregate filtered against a SCALAR AGGREGATE OF THE SAME
+    RELATION — the threshold subquery re-reads natps, and the spec's
+    fixed fraction is replaced by 1.2x the mean part value so the
+    predicate is scale-free (a fixed fraction empties at larger SF as
+    part count grows). Both HAVING operands derive from decimal-exact
+    sums and exact counts, so the cut is deterministic cross-engine.
+    Catalyst broadcasts the scalar; two shuffles total (group-by +
+    the subquery's global agg). At 100 TB one would materialize natps
+    once; the plan's merit is the threshold never becoming a join."""
+    register_views(spark, sf_dir, ["lineitem", "supplier", "nation", "region"])
+    return spark.sql(_Q11_SQL)
+
+
+_Q16_SQL = """
+    WITH ps AS (
+        SELECT DISTINCT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey
+        FROM lineitem
+    )
+    SELECT p.p_brand, p.p_type, p.p_size,
+           COUNT(DISTINCT ps.ps_suppkey) AS supplier_cnt
+    FROM ps
+    JOIN part p ON p.p_partkey = ps.ps_partkey
+    WHERE p.p_brand <> 'Brand#5'
+      AND p.p_size IN (1, 4, 9, 14, 23, 36, 45, 49)
+      AND ps.ps_suppkey NOT IN (
+          SELECT s_suppkey FROM supplier WHERE s_acctbal < 0
+      )
+    GROUP BY p.p_brand, p.p_type, p.p_size
+    ORDER BY supplier_cnt DESC, p.p_brand, p.p_type, p.p_size
+"""
+
+
+@query("sql_frontend_q16", layer="B", oracle=_Q16_SQL)
+def sql_frontend_q16(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q16 (parts/supplier relationship), partsupp-surrogate
+    (DISTINCT supplier-part pairs from lineitem; negative account
+    balance stands in for the absent complaint-comment filter). The
+    shape: COUNT(DISTINCT) over a NOT-IN-filtered join — NOT IN is
+    the null-AWARE anti-join (one NULL in the subquery would void
+    every row, so Catalyst must plan NullAwareAntiJoin/broadcast
+    rather than a plain LeftAnti; s_suppkey is non-null here but the
+    OPERATOR must handle it). Distinct-count shuffles twice (expand on
+    (group, suppkey), then regroup) — the standard two-exchange plan,
+    skew-safe because brand/type/size groups are bounded. At 100 TB
+    the DISTINCT pair derivation is the expensive half: one
+    deduplicating shuffle of the (partkey, suppkey) projection,
+    columns pruned at the scan."""
+    register_views(spark, sf_dir, ["lineitem", "part", "supplier"])
+    return spark.sql(_Q16_SQL)
+
+
+_Q20_SQL = """
+    WITH ps AS (
+        SELECT l_partkey AS ps_partkey, l_suppkey AS ps_suppkey,
+               SUM(l_quantity) AS ps_availqty
+        FROM lineitem
+        GROUP BY l_partkey, l_suppkey
+    )
+    SELECT s.s_name, n.n_name
+    FROM supplier s
+    JOIN nation n ON s.s_nationkey = n.n_nationkey
+    JOIN region r ON n.n_regionkey = r.r_regionkey
+    WHERE r.r_name = 'EUROPE'
+      AND s.s_suppkey IN (
+          SELECT ps.ps_suppkey
+          FROM ps
+          WHERE ps.ps_partkey IN (
+              SELECT p_partkey FROM part WHERE p_name LIKE 'red%'
+          )
+          AND ps.ps_availqty > (
+              SELECT SUM(l.l_quantity) * 2.0
+              FROM lineitem l
+              WHERE l.l_partkey = ps.ps_partkey
+                AND l.l_suppkey = ps.ps_suppkey
+                AND l.l_shipdate >= TIMESTAMP '1996-01-01'
+                AND l.l_shipdate <  TIMESTAMP '1997-01-01'
+          )
+      )
+    ORDER BY s.s_name
+"""
+
+
+@query("sql_frontend_q20", layer="B", oracle=_Q20_SQL)
+def sql_frontend_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q20 (potential part promotion), partsupp-surrogate:
+    availqty = all-time shipped quantity; a supplier qualifies when
+    1996 shipments of a 'red%' part were under half their all-time
+    volume. The deepest subquery nesting in the suite: IN( ps WHERE
+    partkey IN(prefix-filtered part) AND availqty > correlated scalar
+    over lineitem ) — three levels, the inner one correlated on TWO
+    columns. Catalyst decorrelates inside-out: the scalar becomes a
+    date-pruned (partkey, suppkey) aggregate left-joined to ps, the
+    part IN a broadcast semi-join (prefix LIKE stays a pushable
+    range-ish filter), the outer IN a semi-join to suppliers. All
+    quantity comparisons are exact: quantities are integral doubles,
+    so sums and the *2.0 are exact integers on both engines — no
+    boundary residual. No nested loop survives (plan-pinned)."""
+    register_views(
+        spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
+    )
+    return spark.sql(_Q20_SQL)

@@ -395,3 +395,29 @@ def test_q22_not_exists_is_anti_join_with_pushed_date(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftAnti" in plan
     assert checks.has_pushed_filter(df, "o_orderdate")
+
+
+def test_q2_correlated_min_no_nested_loop(spark, sf_dir):
+    """The correlated min-cost subquery must decorrelate to an
+    aggregate joined back on (partkey, cost) — SMJ/BHJ only, and the
+    LIMIT must ride TakeOrderedAndProject."""
+    plan = checks.formatted_plan(SPECS["sql_frontend_q2"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q16_not_in_is_anti_join(spark, sf_dir):
+    plan = checks.formatted_plan(SPECS["sql_frontend_q16"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftAnti" in plan
+
+
+def test_q20_nested_ins_all_hash_joins(spark, sf_dir):
+    """Three nesting levels (semi-in-semi with a two-column correlated
+    scalar) must all land as hash joins with the date cut pushed into
+    the inner lineitem scan."""
+    df = SPECS["sql_frontend_q20"].fn(spark, sf_dir)
+    plan = checks.formatted_plan(df)
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert checks.has_pushed_filter(df, "l_shipdate")
