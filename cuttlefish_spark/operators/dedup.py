@@ -1277,3 +1277,102 @@ def incremental_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("verdict"),
         )
     )
+
+
+SRC_OVERLAP_CAP = 10
+
+_SRC_OVERLAP_SQL = rf"""
+    WITH ss AS (
+        SELECT DISTINCT source, s FROM (
+            SELECT source, unnest(list_distinct(list_transform(
+                range(1, greatest(len(w) - 3, 1)),
+                i -> array_to_string(w[i:i+4], '_')))) AS s
+            FROM (SELECT source,
+                         regexp_split_to_array(trim(lower(text)), '\s+') AS w
+                  FROM documents))
+    ),
+    rare AS (
+        SELECT s FROM (SELECT s, COUNT(*) AS c FROM ss GROUP BY s)
+        WHERE c <= {SRC_OVERLAP_CAP}
+    ),
+    rs AS (SELECT ss.source, ss.s FROM ss JOIN rare USING (s)),
+    sz AS (SELECT source, COUNT(*) AS n FROM rs GROUP BY source),
+    ov AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               COUNT(*) AS n_shared
+        FROM rs a JOIN rs b ON a.s = b.s AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT ov.source_a, ov.source_b, ov.n_shared,
+           CAST(ov.n_shared AS DOUBLE) / (za.n + zb.n - ov.n_shared)
+               AS jaccard
+    FROM ov
+    JOIN sz za ON za.source = ov.source_a
+    JOIN sz zb ON zb.source = ov.source_b
+    ORDER BY source_a, source_b
+"""
+
+
+@query("source_overlap_matrix", layer="C", oracle=_SRC_OVERLAP_SQL)
+def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-source contamination matrix: for every pair of document
+    sources, how many RARE 5-gram shingles they share and the Jaccard
+    of their rare-shingle sets — the corpus-curation view of
+    decontaminate (which audits doc-to-doc; this audits the source
+    mixture itself, the table you read before deciding which crawls
+    double-count each other).
+
+    Scale shape: the pairwise comparison is NOT all-pairs over
+    sources — it is an inverted-index self-join on shingle, and the
+    DF cap (shingles in <= {SRC_OVERLAP_CAP} sources) bounds the
+    fan-out of every join key at C({SRC_OVERLAP_CAP},2) pairs, the
+    same boilerplate-kill that protects decontaminate. First a
+    distinct (source, shingle) projection (one shuffle — dedups the
+    per-doc explosion inside each source), then the capped self-join,
+    then a (source_a, source_b) aggregate whose key space is at most
+    sources^2 but in practice the sparse overlap pairs. Source-set
+    sizes broadcast back onto the result (|sources| rows). Jaccard is
+    an unrounded quotient of identical BIGINTs — deterministic
+    cross-engine. At 100 TB sources number in the thousands, shingles
+    in the trillions: every stage is a keyed shuffle on
+    high-cardinality keys; nothing driver-side."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    sh = F.array_distinct(word_shingles(tokens(F.col("text")), k=5))
+    ss = (
+        d.select("source", F.explode(sh).alias("s"))
+        .distinct()
+    )
+    rare = (
+        ss.groupBy("s")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= SRC_OVERLAP_CAP)
+        .select("s")
+    )
+    rs = ss.join(rare, "s").persist()
+    sz = rs.groupBy("source").agg(F.count(F.lit(1)).alias("n"))
+    a, b = rs.alias("a"), rs.alias("b")
+    ov = (
+        a.join(
+            b,
+            (F.col("a.s") == F.col("b.s"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"),
+            F.col("b.source").alias("source_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n").alias("na"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n").alias("nb"))
+    return (
+        ov.join(F.broadcast(za), "source_a")
+        .join(F.broadcast(zb), "source_b")
+        .select(
+            "source_a", "source_b", "n_shared",
+            (
+                F.col("n_shared").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_shared"))
+            ).alias("jaccard"),
+        )
+    )

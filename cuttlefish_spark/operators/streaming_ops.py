@@ -99,7 +99,42 @@ def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFram
     row-at-a-time collect()+Row conversion costs seconds at 100k
     rows."""
     out = spark.table(name)
-    result = spark.createDataFrame(out.toPandas(), out.schema)
+    pdf = out.toPandas()
+    # Nullable integer columns (the outer join's click columns) come
+    # back from pandas NaN-padded as float64/objects, and the
+    # non-Arrow createDataFrame path — what a vanilla driver session
+    # uses — re-coerces even an object column of ints+None back to
+    # floats, which LongType then rejects. Hand the rows over as
+    # plain tuples with exact Python types instead; outputs here are
+    # bounded (aggregates / per-purchase pairs), so the row pass is
+    # driver-cheap.
+    from pyspark.sql import types as T
+
+    int_idx = {
+        i
+        for i, f in enumerate(out.schema.fields)
+        if isinstance(f.dataType, (T.LongType, T.IntegerType))
+    }
+    ts_idx = {
+        i
+        for i, f in enumerate(out.schema.fields)
+        if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
+    }
+
+    def _one(i, v):
+        if v is None or (i in (int_idx | ts_idx) and v != v):
+            return None
+        if i in int_idx:
+            return int(v)  # exact-type check: np/float -> int
+        if i in ts_idx:
+            return v.to_pydatetime()  # exact-type check: pd.Timestamp -> datetime
+        return v
+
+    def _clean(row):
+        return tuple(_one(i, v) for i, v in enumerate(row))
+
+    data = [_clean(r) for r in pdf.itertuples(index=False, name=None)]
+    result = spark.createDataFrame(data, out.schema)
     spark.catalog.dropTempView(name)
     shutil.rmtree(src_dir, ignore_errors=True)
     return result
@@ -365,4 +400,87 @@ def streaming_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         run_available_now(hopped, name)
+    return _drain_memory_sink(spark, name, d)
+
+
+@query(
+    "streaming_left_interval_join",
+    layer="C",
+    oracle="""
+    SELECT p.user_id AS p_user,
+           p.event_id AS purchase_id,
+           CAST(p.ts AS TIMESTAMP) AS purchase_ts,
+           p.value AS purchase_value,
+           c.event_id AS click_id,
+           CAST(c.ts AS TIMESTAMP) AS click_ts
+    FROM (SELECT * FROM events
+          WHERE event_type = 'purchase'
+            AND ts <= (SELECT least(
+                           MAX(CASE WHEN event_type = 'click' THEN ts END),
+                           MAX(CASE WHEN event_type = 'purchase' THEN ts END))
+                       FROM events) - INTERVAL 4 HOUR) p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id
+     AND c.ts <= p.ts
+     AND c.ts >= p.ts - INTERVAL 60 MINUTE
+    """,
+)
+def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join run BY THE STREAMING
+    ENGINE and hash-checked against the batch left join: purchases
+    with no preceding-hour click from the same user come out with
+    NULL click columns — rows produced by state EVICTION (the
+    watermark proving no future click can match), the output path the
+    inner streaming_interval_join never takes and the one that makes
+    outer stream-stream joins the hardest correctness case in the
+    micro-batch model.
+
+    The left side is cut off at least(max click ts, max purchase ts)
+    - 4h: the GLOBAL watermark is the MIN of the two sides' watermarks
+    (each its max observed event time - 2h), and in this data clicks
+    stop hours before purchases — a cutoff keyed to the global max(ts)
+    measurably stranded the newest unmatched purchases in state.
+    Purchases newer than the final watermark are legitimately still in
+    state at shutdown (resumable via checkpoint, not lost); the cutoff
+    keeps the CLOSED-input result provably equal to the batch join,
+    and the oracle applies the identical least-of-maxima cutoff via
+    scalar subquery on the same data. Memory-sink
+    caveats as streaming_tumbling_hourly (output is purchase-bounded,
+    not corpus-bounded)."""
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.streaming.pipeline import (
+        interval_left_join_stream,
+        read_events_stream,
+        run_available_now,
+    )
+
+    # The provable-emission bound keys off the MIN of the two sides'
+    # max event times: the global watermark is min(click_wm,
+    # purchase_wm), and in this data clicks stop hours before
+    # purchases do — a cutoff from the GLOBAL max(ts) left the newest
+    # unmatched purchases above the click-side watermark, stranded in
+    # state at shutdown (observed before this fix).
+    ev = load_table(spark, sf_dir, "events")
+    cutoff = (
+        ev.agg(
+            (
+                F.least(
+                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                )
+                - F.expr("INTERVAL 4 HOURS")
+            ).alias("c")
+        ).collect()[0]["c"]
+    )
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
+    name = f"stream_loj_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_available_now(
+            interval_left_join_stream(read_events_stream(spark, d), cutoff),
+            name,
+            mode="append",
+        )
     return _drain_memory_sink(spark, name, d)

@@ -341,3 +341,63 @@ def running_totals_stream(events: DataFrame, watermark: str = "2 hours",
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+def interval_left_join_stream(events: DataFrame, cutoff_ts,
+                              watermark: str = "2 hours",
+                              horizon_minutes: int = 60) -> DataFrame:
+    """LEFT-OUTER stream-stream interval join: every purchase paired
+    with the same user's preceding-hour clicks, and purchases with NO
+    such click emitted with null click columns — the state-EVICTION
+    output path the inner join never exercises (an unmatched left row
+    is emitted only when the right-side watermark proves no future
+    click can match, i.e. on eviction, not on arrival).
+
+    `cutoff_ts` bounds the left side away from the stream's tail: an
+    availableNow drain terminates with final watermark max(ts) -
+    watermark_delay, so unmatched purchases NEWER than that are still
+    in state at shutdown and correctly unreported (they might yet
+    match in a resumed run — that is checkpoint semantics, not data
+    loss). Callers pick cutoff <= max(ts) - delay - horizon so every
+    in-scope purchase is provably resolved, making the closed-input
+    result equal to the batch left join under the same cutoff. The
+    no-data final micro-batch (on by default) is what advances the
+    watermark and flushes the last evictions before termination."""
+    clicks = (
+        events.filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("c_user"),
+            F.col("ts").alias("click_ts"),
+            F.col("event_id").alias("click_id"),
+        )
+        .withWatermark("click_ts", watermark)
+    )
+    # The cutoff must be applied AFTER the watermark node: the
+    # purchase-side watermark is computed from rows flowing through
+    # withWatermark, and the global watermark is the MIN across both
+    # inputs — filtering first would cap the purchase watermark at
+    # cutoff - delay and strand the newest in-scope unmatched
+    # purchases in state forever (observed: exactly the tail rows
+    # within delay+horizon of the cutoff went missing).
+    purchases = (
+        events.filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").alias("purchase_ts"),
+            F.col("event_id").alias("purchase_id"),
+            F.col("value").alias("purchase_value"),
+        )
+        .withWatermark("purchase_ts", watermark)
+        .filter(F.col("purchase_ts") <= F.lit(cutoff_ts))
+    )
+    return purchases.join(
+        clicks,
+        (F.col("p_user") == F.col("c_user"))
+        & (F.col("click_ts") <= F.col("purchase_ts"))
+        & (
+            F.col("click_ts")
+            >= F.col("purchase_ts") - F.expr(f"INTERVAL {horizon_minutes} MINUTES")
+        ),
+        "leftOuter",
+    ).select("p_user", "purchase_id", "purchase_ts", "purchase_value",
+             "click_id", "click_ts")
