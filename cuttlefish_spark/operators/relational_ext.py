@@ -2685,3 +2685,47 @@ def sql_frontend_q20(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark, sf_dir, ["lineitem", "part", "supplier", "nation", "region"]
     )
     return spark.sql(_Q20_SQL)
+
+
+_Q21_SQL = """
+    SELECT s.s_name, COUNT(*) AS numwait
+    FROM supplier s
+    JOIN lineitem l1 ON s.s_suppkey = l1.l_suppkey
+    JOIN orders o    ON o.o_orderkey = l1.l_orderkey
+    JOIN nation n    ON s.s_nationkey = n.n_nationkey
+    WHERE o.o_orderstatus = 'F'
+      AND l1.l_shipdate > o.o_orderdate + INTERVAL 60 DAY
+      AND n.n_regionkey = 2
+      AND EXISTS (SELECT 1 FROM lineitem l2
+                  WHERE l2.l_orderkey = l1.l_orderkey
+                    AND l2.l_suppkey <> l1.l_suppkey)
+      AND NOT EXISTS (SELECT 1 FROM lineitem l3
+                      WHERE l3.l_orderkey = l1.l_orderkey
+                        AND l3.l_suppkey <> l1.l_suppkey
+                        AND l3.l_shipdate > o.o_orderdate + INTERVAL 60 DAY)
+    GROUP BY s.s_name
+    ORDER BY numwait DESC, s.s_name
+    LIMIT 100
+"""
+
+
+@query("sql_frontend_q21", layer="B", oracle=_Q21_SQL)
+def sql_frontend_q21(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q21 (suppliers who kept orders waiting), adapted: "late" =
+    shipped more than 60 days after the order date (the schema has no
+    commit/receipt dates), everything else spec-shape — the hardest
+    subquery pattern in the suite: an EXISTS and a NOT EXISTS against
+    the SAME fact table as the outer query, both correlated on the
+    outer row's order key with a <>-inequality on supplier, and the
+    NOT EXISTS additionally referencing a SECOND outer table's column
+    (o.o_orderdate) inside its predicate. The semantics: find the
+    sole-late supplier of multi-supplier finished orders. Catalyst
+    decorrelates both into hash joins on l_orderkey (LeftSemi then
+    LeftAnti, the <> and date terms as join residuals — plan-pinned,
+    no nested loop), so lineitem is scanned three times, each keyed
+    shuffle on the uniform order key; the l1-side filters (status,
+    lateness, nation) cut the probe before either subquery join. At
+    100 TB, q21 is the canonical "three passes over the fact table
+    beat one correlated loop by 10^6" demonstration."""
+    register_views(spark, sf_dir, ["supplier", "lineitem", "orders", "nation"])
+    return spark.sql(_Q21_SQL)

@@ -421,3 +421,13 @@ def test_q20_nested_ins_all_hash_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
     assert checks.has_pushed_filter(df, "l_shipdate")
+
+
+def test_q21_double_correlated_exists_hash_joins(spark, sf_dir):
+    """Both same-table correlated subqueries (EXISTS + NOT EXISTS with
+    a two-outer-table predicate) must decorrelate to LeftSemi/LeftAnti
+    hash joins on l_orderkey — never a nested loop."""
+    plan = checks.formatted_plan(SPECS["sql_frontend_q21"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan

@@ -292,3 +292,55 @@ def test_multibatch_state_equals_batch(spark, sf_dir, tmp_path):
     single, _ = drain(100)
     assert nb_multi >= 4, "expected one micro-batch per file"
     assert multi.equals(single)
+
+
+def test_left_outer_interval_join_emits_null_on_eviction(spark, tmp_path):
+    """Crafted two-user fixture for the outer join's distinctive
+    output: a purchase with NO preceding-hour click must come out with
+    null click columns once the watermark proves no match can arrive —
+    and the matched purchase must come out exactly once, joined."""
+    import datetime as _dt
+
+    from pyspark.sql import Row
+
+    from cuttlefish_spark.streaming.pipeline import interval_left_join_stream
+
+    base = 1_700_000_000_000_000_000  # ns epoch, matches file schema
+    minute = 60 * 1_000_000_000
+    rows = [
+        # user 1: click 30 min before their purchase -> joins.
+        Row(event_id=1, ts=base + 30 * minute, user_id=1,
+            event_type="click", value=1.0, props="{}"),
+        Row(event_id=2, ts=base + 60 * minute, user_id=1,
+            event_type="purchase", value=9.0, props="{}"),
+        # user 2: purchase with no click at all -> null-emitted.
+        Row(event_id=3, ts=base + 60 * minute, user_id=2,
+            event_type="purchase", value=7.0, props="{}"),
+        # watermark pushers on BOTH sides (the global watermark is the
+        # min across inputs), 12h out so the cutoff (min-maxima - 4h)
+        # keeps the two real purchases in scope.
+        Row(event_id=98, ts=base + 720 * minute, user_id=99,
+            event_type="click", value=0.0, props="{}"),
+        Row(event_id=99, ts=base + 720 * minute, user_id=99,
+            event_type="purchase", value=0.0, props="{}"),
+    ]
+    d = tmp_path / "loj_stream"
+    d.mkdir()
+    spark.createDataFrame(
+        rows,
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string",
+    ).repartition(1).write.mode("overwrite").parquet(str(d / "b0.parquet"))
+
+    cutoff = _dt.datetime.fromtimestamp(
+        (base + 480 * minute) / 1_000_000_000, _dt.timezone.utc
+    ).replace(tzinfo=None)
+    stream = interval_left_join_stream(
+        read_events_stream(spark, str(d / "b0.parquet")), cutoff
+    )
+    run_available_now(stream, "loj_mem", mode="append")
+    got = {
+        (r["purchase_id"], r["click_id"])
+        for r in spark.sql("SELECT * FROM loj_mem").collect()
+    }
+    assert got == {(2, 1), (3, None)}
