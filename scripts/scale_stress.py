@@ -17,10 +17,20 @@ by more than the fixed-overhead slack — i.e. runtime grows no faster
 than the work the semantics demand. Driver memory is sampled via
 ru_maxrss before/after to catch any collect()-shaped regression.
 
-Usage: python scripts/scale_stress.py [--skip-gen]
+Usage: python scripts/scale_stress.py [--skip-gen] [--tpch] [names...]
 Writes the corpus under /tmp/cuttlefish_sf1 (regenerated unless
 --skip-gen and the dir exists); prints one JSON line per query and a
 final summary JSON line.
+
+--tpch switches to the relational family: generates the 10x star
+schema (6M lineitem / 1.5M orders / 150k customer / 10k supplier /
+200k part, marginals mirrored from sf0.1 — keys serial, foreign keys
+uniform, dates independent-uniform over the observed 1995..2001 span
+exactly as the driver data has them) and times the complete
+sql_frontend_q1..q22 suite at sf0.1 vs sf1. For scan/join/agg
+queries the comparator is INPUT volume (10x), not output rows: a
+healthy plan lands well under time_exp = 1 because fixed overheads
+amortize; anything at or above ~1 on a 10x input is flagged.
 """
 
 from __future__ import annotations
@@ -123,6 +133,91 @@ def generate(spark) -> None:
     pq.write_table(et, f"{SF1}/embeddings.parquet")
 
 
+TPCH_QUERIES = [f"sql_frontend_q{i}" for i in range(1, 23)]
+
+N_ORD, N_LI, N_CUST, N_SUPP, N_PART = 1_500_000, 6_000_000, 150_000, 10_000, 200_000
+
+
+def generate_tpch() -> None:
+    """10x star schema with sf0.1's marginals (profiled empirically:
+    keys serial from 0, FKs uniform, o_totalprice ~U(1e3, 5e5),
+    extendedprice = quantity * U(900, 2100), discount 0..0.10 in cents,
+    tax 0..0.08, dates independent-uniform 1995-01-01..2001-08-01 —
+    the driver's l_shipdate is NOT correlated with o_orderdate;
+    measured offsets span [-2399, +2496] days)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(SF1, exist_ok=True)
+
+    d0 = np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64)
+    d1 = np.datetime64("2001-08-01").astype("datetime64[us]").astype(np.int64)
+
+    def ts(n):
+        return rng.integers(d0, d1, size=n).astype("datetime64[us]")
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+        "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]),
+    }), f"{SF1}/region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+        "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32)),
+    }), f"{SF1}/nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(N_CUST, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(N_CUST)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, N_CUST).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, N_CUST), 2)),
+        "c_mktsegment": pa.array(rng.choice(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"], N_CUST)),
+    }), f"{SF1}/customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(N_SUPP, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(N_SUPP)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, N_SUPP).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, N_SUPP), 2)),
+    }), f"{SF1}/supplier.parquet")
+    adjs = ["small", "red", "blue", "hot", "old", "new", "big", "dim"]
+    nouns = ["ring", "widget", "bolt", "gear", "gizmo", "cap", "cog", "pin"]
+    names = [f"{a} {n}" for a in adjs for n in nouns]
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(N_PART, dtype=np.int64)),
+        "p_name": pa.array(rng.choice(names, N_PART)),
+        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, N_PART)]),
+        "p_type": pa.array(rng.choice(
+            ["MEDIUM", "STANDARD", "LARGE", "PROMO", "SMALL", "ECONOMY"], N_PART)),
+        "p_size": pa.array(rng.integers(1, 51, N_PART).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 1000, N_PART), 2)),
+    }), f"{SF1}/part.parquet")
+    pq.write_table(pa.table({
+        "o_orderkey": pa.array(np.arange(N_ORD, dtype=np.int64)),
+        "o_custkey": pa.array(rng.integers(0, N_CUST, N_ORD)),
+        "o_orderstatus": pa.array(rng.choice(["P", "O", "F"], N_ORD)),
+        "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, N_ORD), 2)),
+        "o_orderdate": pa.array(ts(N_ORD)),
+        "o_orderpriority": pa.array(rng.choice(
+            ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"], N_ORD)),
+    }), f"{SF1}/orders.parquet")
+    qty = rng.integers(1, 51, N_LI).astype(np.float64)
+    pq.write_table(pa.table({
+        "l_orderkey": pa.array(rng.integers(0, N_ORD, N_LI)),
+        "l_partkey": pa.array(rng.integers(0, N_PART, N_LI)),
+        "l_suppkey": pa.array(rng.integers(0, N_SUPP, N_LI)),
+        "l_linenumber": pa.array(rng.integers(1, 8, N_LI).astype(np.int32)),
+        "l_quantity": pa.array(qty),
+        "l_extendedprice": pa.array(np.round(qty * rng.uniform(900, 2100, N_LI), 2)),
+        "l_discount": pa.array(rng.integers(0, 11, N_LI) / 100.0),
+        "l_tax": pa.array(rng.integers(0, 9, N_LI) / 100.0),
+        "l_returnflag": pa.array(rng.choice(["N", "A", "R"], N_LI)),
+        "l_linestatus": pa.array(rng.choice(["O", "F"], N_LI)),
+        "l_shipdate": pa.array(ts(N_LI)),
+    }), f"{SF1}/lineitem.parquet")
+
+
 def main() -> int:
     from cuttlefish_spark.registry import load_all
     from cuttlefish_spark.session import get_spark
@@ -130,7 +225,13 @@ def main() -> int:
     spark = get_spark(
         "scale-stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", 32)
     )
-    if "--skip-gen" not in sys.argv or not os.path.exists(
+    tpch = "--tpch" in sys.argv
+    if tpch:
+        if "--skip-gen" not in sys.argv or not os.path.exists(
+            f"{SF1}/lineitem.parquet"
+        ):
+            generate_tpch()
+    elif "--skip-gen" not in sys.argv or not os.path.exists(
         f"{SF1}/documents.parquet"
     ):
         generate(spark)
@@ -138,7 +239,7 @@ def main() -> int:
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     specs = load_all()
     results = {}
-    for name in only or QUERIES:
+    for name in only or (TPCH_QUERIES if tpch else QUERIES):
         fn = specs[name].fn
         row = {}
         for label, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
