@@ -298,3 +298,78 @@ def multimodal_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         _features,
         schema="doc_id bigint, chunk bigint, rms double, n_zero_crossings bigint",
     )
+
+
+_RESIZE_STRIDE = 4  # stub "resize": keep every 4th byte (downsample)
+
+_RESIZE_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("orig_bytes", LongType()),
+        StructField("resized_bytes", LongType()),
+        StructField("resized_head", StringType()),
+        StructField("resized_checksum", LongType()),
+    ]
+)
+
+
+def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """STUB resizer: real deployments replace the byte stride with a
+    PIL `thumbnail()` / ffmpeg scale filter. The Spark-side contract
+    is the production shape — payload in, smaller payload's typed
+    summary out, row-local (no shuffle), Arrow-batched."""
+    for pdf in batches:
+        rows: dict[str, list] = {
+            "doc_id": [], "orig_bytes": [], "resized_bytes": [],
+            "resized_head": [], "resized_checksum": [],
+        }
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            small = payload[::_RESIZE_STRIDE]
+            rows["doc_id"].append(doc_id)
+            rows["orig_bytes"].append(len(payload))
+            rows["resized_bytes"].append(len(small))
+            rows["resized_head"].append(small[:4].hex())
+            rows["resized_checksum"].append(sum(small) % 2_147_483_647)
+        yield pd.DataFrame(rows)
+
+
+@query(
+    "multimodal_resize",
+    layer="C",
+    oracle=f"""
+    WITH s AS (
+        SELECT doc_id,
+               octet_length(encode(text)) AS orig_bytes,
+               list_transform(
+                   range(1, octet_length(encode(text)) + 1, {_RESIZE_STRIDE}),
+                   i -> text[i]) AS sampled
+        FROM documents
+    )
+    SELECT doc_id, orig_bytes,
+           CAST(len(sampled) AS BIGINT) AS resized_bytes,
+           lower(hex(encode(array_to_string(sampled[1:4], ''))))
+               AS resized_head,
+           CAST(list_sum(list_transform(sampled, c -> ascii(c)))
+                % 2147483647 AS BIGINT) AS resized_checksum
+    FROM s
+    """,
+)
+def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resize/downsample plumbing over an opaque binary column — the
+    remaining member of the decode / feature-extract / resize /
+    frame-sample quartet: payload in, RESIZED payload summarized out
+    (new size, head bytes, checksum). The stub strides every
+    {_RESIZE_STRIDE}th byte where production calls the image scaler;
+    the oracle replays the identical stride on the same bytes (ASCII
+    corpus, so DuckDB char ops equal Python byte ops — the same
+    equivalence multimodal_decode leans on). Row-local mapInPandas:
+    no shuffle, payloads never leave their partition, output is a
+    fixed typed schema so downstream plans (e.g. filtering oversized
+    media before an expensive decode) stay fully columnar. At 100 TB
+    resize-before-decode is the standard bandwidth saver — this
+    operator is where that filter lives."""
+    d = load_table(spark, sf_dir, "documents")
+    with_payload = d.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+    return with_payload.mapInPandas(_fake_resize, schema=_RESIZE_SCHEMA)

@@ -1579,3 +1579,67 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             (planned * F.lit(1.0) / F.col("n_docs")).alias("sample_rate"),
         )
     )
+
+
+_CUTOFF_Q = 0.25  # drop the shortest quartile per source
+
+_ADAPTIVE_CUTOFF_SQL = f"""
+    WITH ranked AS (
+        SELECT source, doc_id, n_chars,
+               row_number() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rn,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    ),
+    k AS (SELECT *, CAST(ceil({_CUTOFF_Q} * n) AS BIGINT) AS kth FROM ranked)
+    SELECT source,
+           MAX(n) AS n_docs,
+           MAX(CASE WHEN rn = kth THEN n_chars END) AS cutoff_chars,
+           COUNT(CASE WHEN rn >= kth THEN 1 END) AS n_kept,
+           CAST(SUM(CASE WHEN rn >= kth THEN n_chars END) AS BIGINT)
+               AS kept_chars
+    FROM k
+    GROUP BY source
+    ORDER BY source
+"""
+
+
+@query("adaptive_length_cutoff", layer="C", oracle=_ADAPTIVE_CUTOFF_SQL)
+def adaptive_length_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source ADAPTIVE quality cutoff: each source drops its own
+    shortest quartile (threshold = the ceil(0.25*n)-th smallest doc by
+    (n_chars, doc_id)) instead of one corpus-global length floor — the
+    curation pattern that keeps a terse-but-clean source from being
+    annihilated by a threshold tuned on a verbose one.
+
+    Determinism is the design: the threshold is an exact ORDER
+    STATISTIC — an actual data row selected by integer rank over the
+    total order (n_chars, doc_id) — not an interpolated percentile, so
+    there is no float boundary anywhere; every value in the output is
+    a BIGINT both engines compute identically. Plan: ONE shuffle on
+    source feeds the rank window, the running count, and the final
+    per-source aggregate (all three share the partitioning — Catalyst
+    plans a single exchange). At 100 TB a full per-group sort is the
+    cost; the swap-in is the two-phase rank of token_budget_trim
+    (text.py) or an approx-quantile threshold, trading exactness the
+    moment group sizes exceed a task."""
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
+    wc = Window.partitionBy("source")
+    ranked = d.select("source", "doc_id", "n_chars").select(
+        "source", "n_chars",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    ).withColumn("kth", F.ceil(F.lit(_CUTOFF_Q) * F.col("n")).cast("long"))
+    keep = F.col("rn") >= F.col("kth")
+    return (
+        ranked.groupBy("source")
+        .agg(
+            F.max("n").alias("n_docs"),
+            F.max(F.when(F.col("rn") == F.col("kth"), F.col("n_chars"))).alias(
+                "cutoff_chars"
+            ),
+            F.count(F.when(keep, F.lit(1))).alias("n_kept"),
+            F.sum(F.when(keep, F.col("n_chars"))).cast("long").alias("kept_chars"),
+        )
+    )

@@ -431,3 +431,17 @@ def test_q21_double_correlated_exists_hash_joins(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" not in plan
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+
+
+def test_adaptive_cutoff_single_exchange(spark, sf_dir):
+    """Rank window, partition count, and the per-source aggregate all
+    share the source partitioning: exactly one exchange."""
+    assert checks.count_exchanges(
+        SPECS["adaptive_length_cutoff"].fn(spark, sf_dir)) == 1
+
+
+def test_multimodal_resize_shuffle_free(spark, sf_dir):
+    """Row-local payload transform: payloads never leave their
+    partition — zero exchanges."""
+    assert checks.count_exchanges(
+        SPECS["multimodal_resize"].fn(spark, sf_dir)) == 0
