@@ -642,8 +642,12 @@ def editdist_near_dup(spark: SparkSession, sf_dir: str) -> DataFrame:
     TWO blocking passes, unioned: (lang, first-32-chars) catches docs
     whose edit lies past the prefix, and (lang, last-32-chars) catches
     edits INSIDE the first 32 chars (a date bump in a title line) that
-    pass 1 is structurally blind to — a single in-place edit leaves at
-    least one of the two anchors intact unless it straddles both ends.
+    pass 1 is structurally blind to. For docs of 64+ chars the two
+    anchors are disjoint, so a single in-place edit leaves at least
+    one intact; SHORTER docs have overlapping anchors and an edit in
+    the overlap changes both keys — a known recall gap for sub-64-char
+    near-dups (production adds an n-gram or length-bucket band for the
+    short tail; at this corpus' 8+-token documents the tail is thin).
     Candidates from both passes are union-deduped on the pair key
     BEFORE the DP, so each pair pays Levenshtein exactly once; ids are
     rejoined to the norms by doc_id (plain equi-shuffles). At 100 TB

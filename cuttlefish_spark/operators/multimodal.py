@@ -324,12 +324,24 @@ def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
             "resized_head": [], "resized_checksum": [],
         }
         for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-            small = payload[::_RESIZE_STRIDE]
             rows["doc_id"].append(doc_id)
+            if payload is None:
+                # NULL payload -> NULL summary, mirroring the oracle's
+                # NULL propagation through encode/octet_length.
+                rows["orig_bytes"].append(None)
+                rows["resized_bytes"].append(None)
+                rows["resized_head"].append(None)
+                rows["resized_checksum"].append(None)
+                continue
+            small = payload[::_RESIZE_STRIDE]
             rows["orig_bytes"].append(len(payload))
             rows["resized_bytes"].append(len(small))
             rows["resized_head"].append(small[:4].hex())
-            rows["resized_checksum"].append(sum(small) % 2_147_483_647)
+            # Empty payload: DuckDB list_sum([]) is NULL, so the
+            # checksum is None (not 0) to stay hash-identical.
+            rows["resized_checksum"].append(
+                sum(small) % 2_147_483_647 if small else None
+            )
         yield pd.DataFrame(rows)
 
 

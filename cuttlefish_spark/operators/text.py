@@ -1561,9 +1561,11 @@ def mixture_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     is one scan."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     counts = d.groupBy("lang").agg(F.count(F.lit(1)).alias("n_docs"))
-    budget = counts.agg(
-        (F.sum("n_docs").cast("long") / F.lit(2)).cast("long").alias("budget")
-    )
+    # `div`, not `/`: Spark's `/` on longs promotes to DOUBLE, whose
+    # 53-bit mantissa would round corpus counts above 2^53 before the
+    # truncating cast — `div` stays exact integer floor division and
+    # matches the oracle's BIGINT `// 2` at any scale.
+    budget = counts.agg(F.expr("sum(n_docs) div 2").alias("budget"))
     weights = spark.createDataFrame(_MIX_WEIGHTS, "lang string, w_pct long")
     target = F.expr("budget * w_pct div 100")
     planned = F.least(target, F.col("n_docs"))

@@ -238,13 +238,25 @@ def main() -> int:
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     specs = load_all()
+    # Prime the session so the FIRST measured query's RSS delta is not
+    # polluted by one-time py4j/Arrow/driver allocations (ru_maxrss is
+    # a lifetime peak; see the baseline-sampling comment below).
+    spark.range(100_000).toPandas()
     results = {}
     for name in only or (TPCH_QUERIES if tpch else QUERIES):
         fn = specs[name].fn
         row = {}
         for label, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
-            fn(spark, sf_dir).count()  # cold: JIT/codegen/cache warm-up
+            # Peak-RSS baseline must be read BEFORE the warm-up run:
+            # ru_maxrss is a lifetime high-water mark, so sampling it
+            # after an untimed run of the same query would mask any
+            # driver materialization the query performs (the warm-up
+            # would raise the peak first and the timed run could never
+            # exceed it). Delta therefore covers warm-up + timed run —
+            # a collect()-shaped regression shows up doubled, never
+            # hidden.
             rss0 = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            fn(spark, sf_dir).count()  # cold: JIT/codegen/cache warm-up
             t0 = time.monotonic()
             rows = fn(spark, sf_dir).count()
             dt = time.monotonic() - t0
