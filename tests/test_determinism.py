@@ -39,6 +39,14 @@ _QUERIES = [
     #  - incremental_dedup: min-doc_id anchor + hash-index join
     "training_shuffle",
     "incremental_dedup",
+    #  - sql_frontend_q15: argmax via DOUBLE EQUALITY against a scalar
+    #    subquery — both sides must come out bit-identical under any
+    #    partitioning (decimal-exact sums cast once)
+    #  - adaptive_length_cutoff: exact order statistic (rank over a
+    #    total order) as the threshold; rank must not depend on which
+    #    partition sorted the group
+    "sql_frontend_q15",
+    "adaptive_length_cutoff",
 ]
 
 
