@@ -11,6 +11,7 @@ Usage: python scripts/driver_sim.py [sf_dir]
 from __future__ import annotations
 
 import hashlib
+import os
 import sys
 from pathlib import Path
 
@@ -42,8 +43,21 @@ def value_hash(df: pd.DataFrame) -> str:
 
 def main() -> None:
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
-    # Vanilla session — deliberately NOT cuttlefish_spark.session.get_spark
-    spark = SparkSession.builder.master("local[8]").appName("driver-sim").getOrCreate()
+    # Vanilla session — deliberately NOT cuttlefish_spark.session.get_spark.
+    # Semantics configs (ANSI, timezone, Arrow, nanos) stay at Spark
+    # defaults: catching config-dependence bugs is this script's job.
+    # RESOURCE sizing alone is overridable for larger-SF runs: at
+    # sf0.1 the default 1g driver heap on local[8] GC-thrashes in
+    # dedup_clusters' band join (observed: 30+ min of 136% CPU with no
+    # task progress) — memory and core count change no query's answer.
+    master = os.environ.get("SPARK_SIM_MASTER", "local[8]")
+    mem = os.environ.get("SPARK_SIM_DRIVER_MEM", "1g")
+    spark = (
+        SparkSession.builder.master(master)
+        .config("spark.driver.memory", mem)
+        .appName("driver-sim")
+        .getOrCreate()
+    )
     spark.sparkContext.setLogLevel("ERROR")
 
     import __spark_entry__ as e
@@ -57,8 +71,20 @@ def main() -> None:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
 
     qs, oracles = e.queries(), e.oracle_sql()
+    # ORACLE-cost skips for larger-SF runs (never engine skips): e.g.
+    # dedup_clusters' DuckDB recursive-CTE closure is super-quadratic
+    # on the sf0.1 clique graph (~510k symmetric edges) — the Spark
+    # side finishes in ~40 s under a fully vanilla session while the
+    # oracle did not return in 30+ min. Skipped names are reported
+    # loudly; the canonical sf0.01 run never sets this.
+    skip = set(filter(None, os.environ.get("SPARK_SIM_SKIP_ORACLE", "").split(",")))
     ok = bad = rows_only = 0
     for name in sorted(qs):
+        if name in skip:
+            n_rows = qs[name](spark, sf_dir).count()
+            print(f"{name:24s} SKIPPED-ORACLE (engine ran: {n_rows} rows)")
+            rows_only += 1
+            continue
         sdf = qs[name](spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(sdf)} rows")
