@@ -59,3 +59,27 @@ def render_markdown(text: str | None) -> str | None:
 @pandas_udf(StringType())
 def markdown_to_html(texts: pd.Series) -> pd.Series:
     return texts.map(render_markdown)
+
+
+# Committed markdown fixture corpus for the `markdown_html` query — one
+# doc per renderer branch (headings 1/6, bold, em, bold+em interleave,
+# links, multi-paragraph, no-markdown, unicode, unterminated markers,
+# whitespace-only, NULL, heading-not-at-block-start). The query renders
+# these and the oracle pins the committed golden md5 per doc, making the
+# one formerly rows-only query hash-verified end to end (driver VERDICT
+# r5 item 2). Goldens were generated from the verified renderer output
+# and reviewed against the minimal-renderer spec by hand.
+MD_FIXTURE: list[tuple[int, str | None]] = [
+    (1, "# Release Notes\n\nVersion **2.0** is *out* today."),
+    (2, "Plain paragraph with [a link](https://example.com/x?a=1&b=2) inline."),
+    (3, "## Sub *head*\n\nFirst para.\n\nSecond **para** here."),
+    (4, ""),
+    (5, None),
+    (6, "###### deep heading\n\n*em* **strong** ***both*** *a*b* edge"),
+    (7, "No markdown at all, just text."),
+    (8, "### Café résumé — naïve\n\nUnicode **café** body."),
+    (9, "**unterminated bold\n\n*stray star"),
+    (10, "[text](url) at start and [two](u2) links [three](u3)."),
+    (11, "   \n\n   "),
+    (12, "# H1\n## H2\n\nheading only at block start"),
+]

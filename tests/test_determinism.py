@@ -118,14 +118,12 @@ def test_round6_tie_boundary_diverges_across_engines(spark):
     assert duck_row[1] == -3.41409
 
 
-def test_markdown_html_golden_hash(spark, tmp_path):
-    """markdown_html is the one query with no DuckDB oracle (rows-only
-    at the driver), so pin its FULL query output — Spark plan,
-    Arrow-batched pandas_udf and all — to a golden hash over a
-    committed fixture. Any renderer drift (heading/bold/em/link/
-    paragraph handling, NULL or empty-doc behavior, wrapper div)
-    flips the hash and fails here instead of shipping silently.
-    The pin covers the minimal built-in renderer; if the optional
+def test_markdown_html_rendered_text_golden(spark):
+    """The markdown_html query exports md5(html) against its committed
+    golden oracle (see ingest.py); this test pins the RENDERED TEXT
+    itself for a representative slice of MD_FIXTURE, so a golden-hash
+    failure there comes with a readable expected/actual diff here. The
+    pin covers the minimal built-in renderer; if the optional
     `markdown` package appears in the container the output legitimately
     differs, so the test skips (render_markdown prefers the lib)."""
     import pytest as _pytest
@@ -135,19 +133,26 @@ def test_markdown_html_golden_hash(spark, tmp_path):
     if md._markdown_lib is not None:
         _pytest.skip("markdown lib present: minimal-renderer pin not applicable")
 
-    docs = [
-        (1, "# Release Notes\n\nVersion **2.0** is *out*.", "en", "fix", 0),
-        (2, "Plain paragraph with [a link](https://example.com/x?a=1&b=2).",
-         "en", "fix", 0),
-        (3, "## Sub *head*\n\nFirst para.\n\nSecond **para** here.", "en", "fix", 0),
-        (4, "", "en", "fix", 0),
-        (5, None, "en", "fix", 0),
-        (6, "###### deep heading\n\n*em* **strong** ***both*** *a*b* edge",
-         "en", "fix", 0),
-    ]
-    sf_dir = str(tmp_path / "mdsf")
-    spark.createDataFrame(
-        docs, "doc_id long, text string, lang string, source string, n_chars long"
-    ).write.parquet(sf_dir + "/documents.parquet")
-    out = load_all()["markdown_html"].fn(spark, sf_dir).toPandas()
-    assert _canon_hash(out) == "528af2a88bfddf4d8ac09af6d5e5fa1e"
+    fixture = dict(md.MD_FIXTURE)
+    expected = {
+        1: '<div class="event-api-content"><h1>Release Notes</h1>\n'
+           "<p>Version <strong>2.0</strong> is <em>out</em> today.</p></div>",
+        2: '<div class="event-api-content"><p>Plain paragraph with '
+           '<a href="https://example.com/x?a=1&b=2">a link</a> inline.</p></div>',
+        4: '<div class="event-api-content"></div>',
+        5: None,
+        6: '<div class="event-api-content"><h6>deep heading</h6>\n'
+           "<p><em>em</em> <strong>strong</strong> "
+           "<strong><em>both</strong></em> <em>a</em>b* edge</p></div>",
+        8: '<div class="event-api-content"><h3>Café résumé — naïve</h3>\n'
+           "<p>Unicode <strong>café</strong> body.</p></div>",
+        12: '<div class="event-api-content"><p># H1\n## H2</p>\n'
+            "<p>heading only at block start</p></div>",
+    }
+    for doc_id, want in expected.items():
+        assert md.render_markdown(fixture[doc_id]) == want, f"doc {doc_id}"
+    # And the full query output (Spark plan + Arrow pandas_udf) stays
+    # hash-stable across runs of this session.
+    out1 = load_all()["markdown_html"].fn(spark, "unused").toPandas()
+    out2 = load_all()["markdown_html"].fn(spark, "unused").toPandas()
+    assert _canon_hash(out1) == _canon_hash(out2)
