@@ -55,7 +55,7 @@ def _driver_verdicts() -> dict[str, tuple[bool, int]]:
     import json
     import re
 
-    verdicts: dict[str, tuple[bool, int]] = {}
+    verdicts: dict[str, tuple[bool, int, bool]] = {}
     for path in sorted(glob.glob(str(Path(_REPO) / "CORRECTNESS_r*.json"))):
         m = re.search(r"CORRECTNESS_r(\d+)\.json$", path)
         rnd = int(m.group(1)) if m else 0
@@ -73,7 +73,9 @@ def _driver_verdicts() -> dict[str, tuple[bool, int]]:
                 and row.get("schema_match") is not False
                 and row.get("hash_match") is not False
             )
-            verdicts[name] = (ok, rnd)  # later rounds override earlier ones
+            rows_only = row.get("err") == "no_oracle"
+            # later rounds override earlier ones
+            verdicts[name] = (ok, rnd, rows_only)
     return verdicts
 
 
@@ -82,10 +84,20 @@ def _ordered_specs():
     verdicts = _driver_verdicts()
     names = list(specs)
     failed = [n for n in names if n in verdicts and not verdicts[n][0]]
-    never_checked = [n for n in names if n not in verdicts]
+    # "Never checked" includes verification-LEVEL upgrades: a query whose
+    # latest driver verdict was rows-only ("no_oracle") but which now
+    # declares a SQL oracle must be re-verified at the hash level, not
+    # coast on the weaker pass (markdown_html after its r6 golden-hash
+    # oracle is the motivating case).
+    never_checked = [
+        n
+        for n in names
+        if n not in verdicts or (verdicts[n][2] and specs[n].oracle is not None)
+    ]
+    pending = set(failed) | set(never_checked)
     # Stalest green first; ties broken by registry order for stability.
     green = sorted(
-        (n for n in names if n in verdicts and verdicts[n][0]),
+        (n for n in names if n in verdicts and verdicts[n][0] and n not in pending),
         key=lambda n: (verdicts[n][1], names.index(n)),
     )
     order = failed + never_checked + green

@@ -317,7 +317,14 @@ def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
     """STUB resizer: real deployments replace the byte stride with a
     PIL `thumbnail()` / ffmpeg scale filter. The Spark-side contract
     is the production shape — payload in, smaller payload's typed
-    summary out, row-local (no shuffle), Arrow-batched."""
+    summary out, row-local (no shuffle), Arrow-batched.
+
+    ASCII-only guard (ADVICE r5): the DuckDB oracle strides CHAR
+    indices over octet_length, which equals this byte stride only for
+    pure-ASCII text. A non-ASCII payload would silently hash-diff, so
+    fail loudly here instead — the stub's stand-in corpus contract, not
+    a production constraint (a real resizer is byte-oriented and needs
+    no oracle symmetry)."""
     for pdf in batches:
         rows: dict[str, list] = {
             "doc_id": [], "orig_bytes": [], "resized_bytes": [],
@@ -333,6 +340,13 @@ def _fake_resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
                 rows["resized_head"].append(None)
                 rows["resized_checksum"].append(None)
                 continue
+            if not bytes(payload).isascii():
+                raise ValueError(
+                    f"multimodal_resize stub: doc_id={doc_id} payload is "
+                    "non-ASCII; the DuckDB char-stride oracle is only "
+                    "byte-equivalent on ASCII text — extend the oracle "
+                    "to byte level before admitting this corpus"
+                )
             small = payload[::_RESIZE_STRIDE]
             rows["orig_bytes"].append(len(payload))
             rows["resized_bytes"].append(len(small))

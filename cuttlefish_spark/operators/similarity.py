@@ -788,7 +788,7 @@ def _semantic_dedup_oracle() -> str:
         SELECT a.vec_id, min(b.vec_id) AS dropped_by
         FROM sig a JOIN sig b
           ON a.bucket = b.bucket AND b.vec_id < a.vec_id
-         AND round(list_dot_product(a.v, b.v) / (a.nrm * b.nrm), 6)
+         AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
              >= {_SEMDEDUP_TAU}
         GROUP BY a.vec_id
     )
@@ -822,17 +822,18 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     block-local so a salting refinement (split buckets, then drop-by
     min-merge) composes without changing the contract.
 
-    Tier-3 residual (shared with embedding_near_dup, but SHARPER here):
-    the kernel rounds cosines with np.round (half-to-even) while the
-    oracle uses DuckDB round (half-away-from-zero); a cosine landing on
-    an exact 1e-6 half boundary rounds differently across engines. In
-    embedding_near_dup that residual only perturbs an EMITTED score —
-    here the rounded value is compared against tau, so a boundary hit
-    at exactly tau flips a keep/drop VERDICT (row-level divergence, not
-    value-level). Accepted because the unrounded alternative trades it
-    for a different flip (BLAS vs sequential-fold low-bit disagreement
-    within ~1e-12 of tau) rather than eliminating it; no boundary hit
-    has been observed at any tested sf."""
+    Verdict determinism: the keep/drop comparison uses the UNROUNDED
+    cosine against tau = {_SEMDEDUP_TAU} on both engines (r5 VERDICT
+    item 7 — the earlier round(,6)-then-compare version flipped
+    verdicts whenever a cosine landed on an exact 1e-6 half boundary,
+    because numpy rounds half-to-even and DuckDB half-away-from-zero).
+    tau is a dyadic rational (0.25 = 2^-2), so the threshold itself is
+    bit-identical across engines; the only remaining divergence class
+    is a true cosine within ~1 ulp of tau where BLAS blocked summation
+    and DuckDB's sequential fold disagree in the last bit — a far
+    narrower window (~1e-16 relative) than the 5e-7-wide rounding
+    boundary it replaces, and one no emitted value depends on (this
+    query exports verdicts, never scores)."""
     e = load_table(spark, sf_dir, "embeddings")
     t = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
@@ -866,7 +867,7 @@ def semantic_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         n = len(pdf)
         m = np.stack(pdf["v"].to_numpy())
         nrm = np.sqrt((m * m).sum(axis=1))
-        cos = np.round((m @ m.T) / np.outer(nrm, nrm), 6)
+        cos = (m @ m.T) / np.outer(nrm, nrm)
         # cand[j, i] == True iff i < j and cos(i, j) >= tau
         cand = np.tri(n, k=-1, dtype=bool) & (cos >= _SEMDEDUP_TAU)
         has = cand.any(axis=1)

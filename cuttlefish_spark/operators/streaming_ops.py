@@ -123,8 +123,20 @@ def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFram
         for i, f in enumerate(out.schema.fields)
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
     }
+    # Float/double columns too (ADVICE r5): a NULL double (e.g. an
+    # outer join's null-padded value column) round-trips through pandas
+    # as NaN and must be handed back as NULL. This deliberately
+    # conflates a GENUINE NaN value with NULL — accepted for these
+    # sinks, whose double columns are sums/values of finite inputs
+    # that cannot produce NaN; a stream whose semantics emit real NaNs
+    # would need a sentinel column instead.
+    dbl_idx = {
+        i
+        for i, f in enumerate(out.schema.fields)
+        if isinstance(f.dataType, (T.FloatType, T.DoubleType))
+    }
 
-    nullable_nan = int_idx | ts_idx  # hoisted: not per-cell
+    nullable_nan = int_idx | ts_idx | dbl_idx  # hoisted: not per-cell
 
     def _one(i, v):
         if v is None or (i in nullable_nan and v != v):
@@ -246,6 +258,94 @@ def streaming_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .dropDuplicates(["event_id"])
         )
         run_available_now_to_parquet(deduped, out_dir, ckpt_dir)
+    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    shutil.rmtree(d, ignore_errors=True)
+    shutil.rmtree(sink, ignore_errors=True)
+    return result
+
+
+@query(
+    "streaming_restart_dedup",
+    layer="C",
+    oracle="""
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    """,
+)
+def streaming_restart_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CHECKPOINT-RESTART proof as a driver-verified query: the
+    streaming dedup is run as TWO SEPARATE checkpointed executions of
+    the same plan. Run 1 drains only the even event_ids; the stream is
+    then shut down, a second file arrives carrying the FULL corpus
+    (every even id again — now a duplicate — plus all the odd ids), and
+    run 2 RESUMES from the same checkpoint dir. The oracle is the plain
+    N-row events table, so the driver hash passes only if all three
+    recovery layers work: source offsets (file 1 must not be re-read),
+    the dedup state store (re-arriving even ids must not re-emit — the
+    state predates the restart), and the file-sink manifest (run 1's
+    committed output must be visible exactly once alongside run 2's).
+    A kill mid-batch (abort, not clean stop) is pinned by
+    tests/test_streaming.py::test_checkpoint_kill_and_resume_exactly_once;
+    this query keeps the driver-checked variant deterministic.
+
+    This is the operational contract the streaming engine's 100 TB
+    story rests on: a daily-crawl dedup front-end is stopped, upgraded,
+    and resumed for years against one checkpoint, and every restart
+    must deliver exactly-once across the seam. Both phases' input files
+    are rewritten from load_table so the source dir holds ONE timestamp
+    encoding (the mixed-encoding guard in _events_file_schema rejects
+    mixing a rewritten file with the raw TIMESTAMP(NANOS) original).
+    Costs one extra drain + two tiny batch writes vs streaming_dedup —
+    the price of exercising a restart for real.
+
+    Deliberately NO watermark on the dedup: the checkpoint persists the
+    watermark across restarts, so a watermarked dropDuplicates would
+    classify run 2's odd ids — event-time OLDER than run 1's final
+    watermark — as late data and silently drop them (observed: run 2
+    emitted zero rows). A restartable crawl dedup cannot assume later
+    increments carry newer event times; it keeps unbounded keyed state
+    (one empty value per id) and production switches to
+    dropDuplicatesWithinWatermark only where arrival order is
+    guaranteed within the delay."""
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now_to_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    sink = tempfile.mkdtemp(prefix="cuttlefish_stream_sink_")
+    out_dir = os.path.join(sink, "out")
+    ckpt_dir = os.path.join(sink, "ckpt")
+
+    def add_source_file(df: DataFrame, name: str) -> None:
+        stage = os.path.join(sink, f"stage_{name}")
+        df.coalesce(1).write.parquet(stage)
+        part = next(
+            f for f in os.listdir(stage)
+            if f.startswith("part-") and f.endswith(".parquet")
+        )
+        shutil.move(os.path.join(stage, part), os.path.join(d, name))
+        shutil.rmtree(stage, ignore_errors=True)
+
+    def run_once() -> None:
+        with _stream_partitions(spark):
+            deduped = (
+                read_events_stream(spark, d)
+                .select("event_id", "ts", "user_id", "event_type", "value")
+                .dropDuplicates(["event_id"])
+            )
+            run_available_now_to_parquet(deduped, out_dir, ckpt_dir)
+
+    add_source_file(ev.filter(F.col("event_id") % 2 == 0), "part-000.parquet")
+    run_once()  # run 1: evens only; checkpoint records offsets + state
+    add_source_file(ev, "part-001.parquet")
+    run_once()  # run 2: resumes — evens are dups, odds are new
     result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
     shutil.rmtree(d, ignore_errors=True)
     shutil.rmtree(sink, ignore_errors=True)
@@ -408,7 +508,16 @@ def streaming_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_memory_sink(spark, name, d)
 
 
-_LOJ_CUTOFFS: dict[str, object] = {}
+# Memo key includes the events file's (mtime_ns, size): a test or
+# harness that regenerates the data at the same path within one process
+# must not reuse a stale cutoff (ADVICE r5 — a stale cutoff silently
+# filters to the wrong purchase set).
+_LOJ_CUTOFFS: dict[tuple[str, int, int], object] = {}
+
+
+def _loj_memo_key(sf_dir: str) -> tuple[str, int, int]:
+    st = os.stat(os.path.join(sf_dir, "events.parquet"))
+    return (sf_dir, st.st_mtime_ns, st.st_size)
 
 
 @query(
@@ -471,11 +580,13 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     # unmatched purchases above the click-side watermark, stranded in
     # state at shutdown (observed before this fix). The cutoff must be
     # a LITERAL in the streaming plan, so this one column-pruned batch
-    # aggregate is unavoidable — but it runs once per sf_dir
-    # (memoized), not once per invocation. (Every query in this module
+    # aggregate is unavoidable — but it runs once per data version
+    # (memoized on path + events.parquet mtime/size), not once per
+    # invocation. (Every query in this module
     # executes its stream inside fn() by design, so there is no lazy
     # build to preserve.)
-    cutoff = _LOJ_CUTOFFS.get(sf_dir)
+    memo_key = _loj_memo_key(sf_dir)
+    cutoff = _LOJ_CUTOFFS.get(memo_key)
     if cutoff is None:
         ev = load_table(spark, sf_dir, "events")
         cutoff = (
@@ -489,7 +600,7 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).alias("c")
             ).collect()[0]["c"]
         )
-        _LOJ_CUTOFFS[sf_dir] = cutoff
+        _LOJ_CUTOFFS[memo_key] = cutoff
     d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
     shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
     name = f"stream_loj_{uuid.uuid4().hex[:8]}"

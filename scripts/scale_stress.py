@@ -7,7 +7,7 @@ generating a 10x corpus (sf1-equivalent: 50k docs / 20k embeddings)
 with the same generative distributions as the driver's synthetic data
 (31-word vocab, ~54-token docs, 5 langs at the observed mix, uniform
 src0..19, ~0.16% exact-dup rate plus a matched near-dup rate;
-embeddings ~ N(0, 0.125^8) per dim, labels uniform 0..9) and timing
+embeddings ~ N(0, 0.125^2) per dim, labels uniform 0..9) and timing
 each query at sf0.1 vs sf1 alongside its OUTPUT PAIR VOLUME at both
 scales.
 

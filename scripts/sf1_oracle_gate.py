@@ -1,0 +1,277 @@
+"""sf1 CORRECTNESS gate: DuckDB hash-comparison at 10x scale for the
+highest-output queries (r5 VERDICT item 3).
+
+The driver's oracle gate runs at sf0.01 and the local pytest gate at
+sf0.001; the cross-engine rounding-flip class (round(,6) half-to-even
+vs half-away-from-zero, wild-caught at sf0.1 — PLANS.md Notes) scales
+with the NUMBER OF EMITTED VALUES, so small-sf gates under-sample it.
+This script runs the full compare (row count + sorted columns + exact
+values, tests/oracle_harness.compare — stricter than the driver's
+value-hash) at sf1 for the ~20 queries with the largest outputs:
+the entire pair-producing dedup/similarity family, the token-level
+text family, and the O(input)-output window family.
+
+Corpus: the same sf1 generators as scale_stress.py (documents +
+embeddings, TPC-H star schema) plus a 10x events table mirroring the
+driver's sf0.1 marginals (1M rows, 15k users, 5 uniform event types,
+ts ~ U(Jan 2024), value ~ U(0, 560), props = {"k": int}).
+
+Two queries need special handling, because the synthetic corpus's
+31-word vocab makes token-SET similarity DEGENERATE at 50k docs
+(~0.7% of ALL pairs are true near-dups; r5 scale-stress measured
+ngram_jaccard's true output at 87M pairs at sf1 — the ENGINE side is
+exponent-proven there, but no SQL oracle can verify 87M-pair ground
+truth in bounded spill):
+
+- `ngram_jaccard` gates on a 15k-doc SUBSET of the sf1 corpus (still
+  3x the largest driver scale, ~8.5M emitted pairs, every one
+  value-compared). Its jaccard is an unrounded IEEE division of
+  identical integers, so the rounding-flip class cannot occur at any
+  scale — the subset bounds oracle cost, not detection power.
+- `dedup_clusters` gates on the same subset with an ENGINE-INDEPENDENT
+  oracle: edges from the same DuckDB edge SQL the committed oracle
+  uses, transitive closure via Python union-find. The committed
+  recursive-CTE closure materializes O(component^2) (node,label) pairs
+  — correct semantics, but the degenerate corpus builds near-complete
+  components and the CTE spilled >80 GB at 50k docs. Union-find is the
+  textbook scalable closure and shares no code with the Spark path.
+  (Output is integer-only; no float-flip class exists here at all.)
+
+Usage: python scripts/sf1_oracle_gate.py [--skip-gen] [names...]
+Writes one JSON line per query and the committed report to
+SF1_ORACLE.json at the repo root.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import time
+from pathlib import Path
+
+REPO = str(Path(__file__).resolve().parent.parent)
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+from scripts.scale_stress import SF1, generate, generate_tpch  # noqa: E402
+
+SUBSET = f"{SF1}_subset15k"
+SUBSET_DOCS = 15_000
+
+# Bound DuckDB's footprint so one pathological oracle cannot fill the
+# disk and cascade errors into later queries (observed r6: the
+# recursive-CTE closure spilled >80 GB and the NEXT query died on
+# "no space left on device").
+PRAGMAS = [
+    "SET temp_directory='/tmp/duck_spill'",
+    "SET max_temp_directory_size='40GB'",
+    "SET memory_limit='32GB'",
+]
+
+GATE_QUERIES = [
+    # pair-producing dedup / similarity family
+    "dedup_clusters",
+    "ngram_jaccard",
+    "substring_dedup",
+    "editdist_near_dup",
+    "semantic_dedup",
+    "decontaminate",
+    "minhash_shingles",
+    "simhash_dedup",
+    "line_dedup",
+    "embedding_near_dup",
+    "embedding_lsh_bucket",
+    # token-level text family (output ~ corpus token count)
+    "explode_tokens",
+    "lm_bigram_score",
+    "cooccurrence_pmi",
+    "bpe_pair_counts",
+    "tfidf_top_terms",
+    # O(input)-output window family over the 1M-row events table
+    "window_running",
+    "window_lag_delta",
+    "window_distribution",
+    "window_rank",
+    # cross-corpus dedup incl. the persisted-index round-trip
+    "incremental_dedup",
+    "incremental_dedup_persisted",
+]
+
+SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard"}
+
+EVENTS_N = 1_000_000
+EVENTS_USERS = 15_000
+SEED = 43
+
+
+def generate_events() -> None:
+    """10x events with sf0.1's marginals (profiled: 100k rows / 1500
+    users at sf0.1; uniform event types, ts ~ U(2024-01-01, 2024-01-31),
+    value ~ U(0, 560) rounded to cents, props a one-key JSON object)."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(SF1, exist_ok=True)
+    t0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    t1 = np.datetime64("2024-01-31").astype("datetime64[us]").astype(np.int64)
+    ks = rng.integers(0, 100, EVENTS_N)
+    pq.write_table(
+        pa.table(
+            {
+                "event_id": pa.array(np.arange(EVENTS_N, dtype=np.int64)),
+                "ts": pa.array(
+                    rng.integers(t0, t1, EVENTS_N).astype("datetime64[us]")
+                ),
+                "user_id": pa.array(rng.integers(0, EVENTS_USERS, EVENTS_N)),
+                "event_type": pa.array(
+                    rng.choice(
+                        ["signup", "purchase", "view", "click", "error"],
+                        EVENTS_N,
+                    )
+                ),
+                "value": pa.array(np.round(rng.uniform(0, 560, EVENTS_N), 2)),
+                "props": pa.array([f'{{"k": {k}}}' for k in ks]),
+            }
+        ),
+        f"{SF1}/events.parquet",
+    )
+
+
+def build_subset() -> None:
+    """15k-doc subset dir: documents truncated, every other table
+    symlinked to the full sf1 corpus."""
+    import pyarrow.parquet as pq
+
+    os.makedirs(SUBSET, exist_ok=True)
+    docs = pq.read_table(f"{SF1}/documents.parquet").slice(0, SUBSET_DOCS)
+    pq.write_table(docs, f"{SUBSET}/documents.parquet")
+    for t in (
+        "region nation customer supplier part orders lineitem events "
+        "embeddings".split()
+    ):
+        dst = f"{SUBSET}/{t}.parquet"
+        if not os.path.exists(dst):
+            os.symlink(f"{SF1}/{t}.parquet", dst)
+
+
+def union_find_clusters(edges_a, edges_b, doc_ids):
+    """min-label connected components: cluster_id = min doc_id of the
+    component; independent of the Spark iterative-propagation path."""
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        root = x
+        while parent.get(root, root) != root:
+            root = parent[root]
+        while parent.get(x, x) != x:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    for a, b in zip(edges_a, edges_b):
+        ra, rb = find(int(a)), find(int(b))
+        if ra != rb:
+            if rb < ra:
+                ra, rb = rb, ra
+            parent[rb] = ra  # smaller id always the root -> min-label
+    rows = []
+    for d in doc_ids:
+        d = int(d)
+        lbl = find(d)
+        rows.append((d, lbl, lbl == d))
+    import pandas as pd
+
+    return pd.DataFrame(rows, columns=["doc_id", "cluster_id", "is_canonical"])
+
+
+def dedup_clusters_oracle(sf_dir: str):
+    """Edges from the committed oracle's edge SQL; closure in Python."""
+    import cuttlefish_spark.operators.dedup as dd
+    from tests.oracle_harness import run_oracle
+
+    edges = run_oracle(
+        f"WITH sig AS ({dd._TOKSIG_SQL}), e AS ({dd._CLUSTER_EDGE_SQL}) "
+        "SELECT doc_a, doc_b FROM e",
+        sf_dir,
+        pragmas=PRAGMAS,
+    )
+    docs = run_oracle("SELECT doc_id FROM documents", sf_dir, pragmas=PRAGMAS)
+    return union_find_clusters(
+        edges["doc_a"].to_numpy(), edges["doc_b"].to_numpy(),
+        docs["doc_id"].to_numpy(),
+    )
+
+
+def main() -> int:
+    from cuttlefish_spark.registry import load_all
+    from cuttlefish_spark.session import get_spark
+    from tests.oracle_harness import compare, run_oracle
+
+    spark = get_spark(
+        "sf1-oracle-gate", cpus=os.environ.get("SPARK_GRAFT_CPUS", 32)
+    )
+    skip = "--skip-gen" in sys.argv
+    if not (skip and os.path.exists(f"{SF1}/documents.parquet")):
+        generate(spark)
+    if not (skip and os.path.exists(f"{SF1}/lineitem.parquet")):
+        generate_tpch()
+    if not (skip and os.path.exists(f"{SF1}/events.parquet")):
+        generate_events()
+    build_subset()
+
+    only = [a for a in sys.argv[1:] if not a.startswith("--")]
+    specs = load_all()
+    report: dict[str, dict] = {}
+    n_fail = 0
+    for name in only or GATE_QUERIES:
+        spec = specs[name]
+        sf_dir = SUBSET if name in SUBSET_QUERIES else SF1
+        row: dict = {"scale": "sf0.3-subset" if name in SUBSET_QUERIES else "sf1"}
+        try:
+            t0 = time.monotonic()
+            got = spec.fn(spark, sf_dir).toPandas()
+            row["spark_sec"] = round(time.monotonic() - t0, 2)
+            t0 = time.monotonic()
+            if name == "dedup_clusters":
+                want = dedup_clusters_oracle(sf_dir)
+                row["oracle"] = "edge-SQL + union-find closure"
+            else:
+                want = run_oracle(spec.oracle, sf_dir, pragmas=PRAGMAS)
+            row["oracle_sec"] = round(time.monotonic() - t0, 2)
+            row["rows"] = len(got)
+            compare(got, want, name)
+            row["status"] = "match"
+        except AssertionError as e:
+            row["status"] = "MISMATCH"
+            row["detail"] = str(e)[:500]
+            n_fail += 1
+        except Exception as e:  # noqa: BLE001 — gate must report, not die
+            row["status"] = "ERROR"
+            row["detail"] = f"{type(e).__name__}: {e}"[:500]
+            n_fail += 1
+        report[name] = row
+        print(json.dumps({name: row}), flush=True)
+        shutil.rmtree("/tmp/duck_spill", ignore_errors=True)
+
+    out = {
+        "sf": 1,
+        "docs": 50_000,
+        "subset_docs": SUBSET_DOCS,
+        "embeddings": 20_000,
+        "events": EVENTS_N,
+        "lineitem": 6_000_000,
+        "n_queries": len(report),
+        "n_mismatch": n_fail,
+        "queries": report,
+    }
+    with open(Path(REPO) / "SF1_ORACLE.json", "w") as f:
+        json.dump(out, f, indent=1)
+    print(json.dumps({"summary": {"n_queries": len(report), "n_mismatch": n_fail}}))
+    return 1 if n_fail else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -16,8 +16,13 @@ import pandas as pd
 from cuttlefish_spark.io import TABLES
 
 
-def run_oracle(sql: str, sf_dir: str) -> pd.DataFrame:
+def run_oracle(sql: str, sf_dir: str, pragmas: list[str] | None = None) -> pd.DataFrame:
+    """`pragmas` (e.g. SET temp_directory/memory_limit) is for the
+    LARGE-scale gates only — the driver-parity path passes none, so the
+    local harness stays exactly as strict/vanilla as the driver."""
     con = duckdb.connect()
+    for p in pragmas or []:
+        con.execute(p)
     for t in TABLES:
         con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{sf_dir}/{t}.parquet')")
     return con.execute(sql).df()

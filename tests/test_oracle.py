@@ -96,6 +96,49 @@ def test_dedup_clusters_chain_graph(spark, tmp_path):
     assert out["is_canonical"].sum() == 2
 
 
+def test_editdist_short_doc_band_recall(spark, tmp_path):
+    """The r5 recall gap, closed r6: docs under 64 chars have
+    overlapping prefix/suffix anchors, so ONE mid-doc edit changes both
+    block keys and the pair escaped both anchor bands. The length-bucket
+    third band must catch (a) a same-bucket short pair whose edit sits
+    in the anchor overlap, and (b) an adjacent-bucket short pair whose
+    lengths straddle a bucket boundary AND whose anchors both differ —
+    and the output must still match the DuckDB oracle cell-exactly."""
+    from cuttlefish_spark.registry import load_all
+
+    a = "0123456789" * 4                      # 40 chars, bucket 2
+    b = a[:20] + "x" + a[21:]                 # 1 edit at pos 20: inside
+    # the 9..32 anchor overlap -> both blk_p and blk_s differ
+    assert a[:32] != b[:32] and a[-32:] != b[-32:]
+    c = "x" + "c" * 45 + "z"                  # 47 chars, bucket 2
+    d = "y" + "c" * 47 + "w"                  # 49 chars, bucket 3
+    assert c[:32] != d[:32] and c[-32:] != d[-32:]
+    rows = [
+        (1, a, "en", "s", len(a)),
+        (2, b, "en", "s", len(b)),
+        (3, c, "en", "s", len(c)),
+        (4, d, "en", "s", len(d)),
+    ]
+    sf_dir = str(tmp_path / "edshort")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    spec = load_all()["editdist_near_dup"]
+    out = spec.fn(spark, sf_dir).toPandas()
+    pairs = set(zip(out["doc_id_a"], out["doc_id_b"]))
+    assert (1, 2) in pairs, "same-bucket short near-dup missed"
+    assert (3, 4) in pairs, "adjacent-bucket short near-dup missed"
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    compare(out, con.execute(spec.oracle).df(), "editdist_short_band")
+
+
 def test_line_dedup_drops_boilerplate_chunks(spark, tmp_path):
     """A 10-token chunk occurring >= 3 times across the corpus must be
     dropped from EVERY doc (C4's boilerplate rule); chunks below the

@@ -344,3 +344,95 @@ def test_left_outer_interval_join_emits_null_on_eviction(spark, tmp_path):
         for r in spark.sql("SELECT * FROM loj_mem").collect()
     }
     assert got == {(2, 1), (3, None)}
+
+
+def test_checkpoint_kill_and_resume_exactly_once(spark, sf_dir, tmp_path):
+    """Checkpoint-recovery proof (r5 VERDICT item 5): a CHECKPOINTED
+    stateful streaming dedup over a 12-file source is STOPPED mid-drain
+    (processingTime trigger + maxFilesPerTrigger=1; stop() fires right
+    after the first committed micro-batch, aborting whatever batch is
+    in flight), then RESUMED from the same checkpoint dir with
+    availableNow. The resumed run must (a) not re-emit event_ids whose
+    state predates the kill, (b) pick up exactly the unprocessed files,
+    and (c) leave a parquet file sink whose manifest-visible rows equal
+    the batch dedup answer bit-for-bit — exactly-once across a restart,
+    with the aborted batch's orphan files excluded by the sink
+    manifest. The 12 identical source files make every post-kill batch
+    a pure re-dup test: any state loss re-emits, any offset loss
+    re-reads, any manifest failure double-counts."""
+    import time
+
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.streaming.pipeline import (
+        dedup_stream,
+        read_events_stream,
+    )
+
+    src = tmp_path / "ckpt_src"
+    src.mkdir()
+    for i in range(12):
+        shutil.copy(f"{sf_dir}/events.parquet", src / f"part-{i:03d}.parquet")
+    out_dir = str(tmp_path / "ckpt_out")
+    ckpt_dir = str(tmp_path / "ckpt_state")
+
+    def start(trigger_kwargs):
+        stream = dedup_stream(
+            read_events_stream(spark, str(src), max_files_per_trigger=1)
+        )
+        return (
+            stream.writeStream.format("parquet")
+            .option("path", out_dir)
+            .option("checkpointLocation", ckpt_dir)
+            .outputMode("append")
+            .trigger(**trigger_kwargs)
+            .start()
+        )
+
+    # Phase 1: run, then kill as soon as one micro-batch has committed.
+    q = start({"processingTime": "0 seconds"})
+    deadline = time.monotonic() + 120
+    while time.monotonic() < deadline:
+        done = [p for p in q.recentProgress if p["numInputRows"] > 0]
+        if done:
+            break
+        time.sleep(0.05)
+    assert q.recentProgress, "no micro-batch committed before the kill"
+    q.stop()  # mid-drain: 11 files were still queued at stop-issue time
+    q.awaitTermination()
+    n_committed = len([p for p in q.recentProgress if p["numInputRows"] > 0])
+    assert 1 <= n_committed < 12, (
+        f"kill was not mid-drain ({n_committed}/12 batches committed)"
+    )
+
+    # Phase 2: resume from the SAME checkpoint; drain to completion.
+    q2 = start({"availableNow": True})
+    q2.awaitTermination()
+    resumed_batches = len(
+        [p for p in q2.recentProgress if p["numInputRows"] > 0]
+    )
+    assert resumed_batches >= 1, "resume processed nothing"
+
+    # Manifest-visible output == batch dedup, exactly once.
+    got = spark.read.parquet(out_dir)
+    want = (
+        load_table(spark, sf_dir, "events")
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .dropDuplicates(["event_id"])
+    )
+    n_ids = want.count()
+    counts = got.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.countDistinct("event_id").alias("d"),
+    ).first()
+    assert counts["n"] == counts["d"] == n_ids, (
+        f"exactly-once violated: {counts['n']} rows / {counts['d']} distinct "
+        f"ids vs {n_ids} expected"
+    )
+    # The 12 copies are identical, so first-seen == the unique row:
+    # full row set must match, not just counts. (Compared in pandas —
+    # exceptAll over a dropDuplicates plan trips a Catalyst attribute-
+    # binding INTERNAL_ERROR in Spark 4.1; the result is n_ids rows,
+    # driver-small.)
+    got_pd = got.toPandas().sort_values("event_id").reset_index(drop=True)
+    want_pd = want.toPandas().sort_values("event_id").reset_index(drop=True)
+    assert got_pd.equals(want_pd[got_pd.columns])
