@@ -1,0 +1,445 @@
+"""Corpus-curation operators: rule-based quality filtering, mixture
+re-balancing by temperature, and iterative BPE tokenizer TRAINING.
+
+These extend the LLM-data-pipeline surface (SURVEY.md §2.B "absent in
+reference" categories; the reference engine has no text analytics at
+all — its only text op is markdown->HTML,
+/root/reference/private/workers/facebook.rkt:30-32). Everything here
+is built from JVM-side built-ins; the one driver-side loop
+(bpe_train_merges) moves exactly one scalar triple per iteration —
+the same pattern as dedup_clusters' convergence check.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuttlefish_spark.functions import hash60, tokens
+from cuttlefish_spark.io import load_table, spread
+from cuttlefish_spark.operators.text import STOPWORDS, _sql_list
+from cuttlefish_spark.registry import query
+
+# ---------------------------------------------------------------------------
+# gopher_quality_rules
+# ---------------------------------------------------------------------------
+
+_G_MIN_WORDS, _G_MAX_WORDS = 40, 100_000
+_G_MIN_MWL, _G_MAX_MWL = 3.0, 10.0
+_G_MIN_ALPHA = 0.8
+_G_MIN_STOP = 2
+_G_MAX_SYMBOL = 0.1
+_G_MAX_BULLET = 0.9
+_G_MAX_ELLIPSIS = 0.3
+
+_GOPHER_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+               regexp_split_to_array(text, '\n') AS lines,
+               length(regexp_replace(text, '[^#]', '', 'g'))
+                   + (length(text) - length(replace(text, '...', ''))) // 3
+                   AS n_symbols
+        FROM documents
+    ),
+    m AS (
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_words,
+               CASE WHEN len(toks) > 0 THEN
+                    CAST(list_sum(list_transform(toks, w -> length(w)))
+                         AS DOUBLE) / len(toks) END AS mean_word_len,
+               CASE WHEN len(toks) > 0 THEN
+                    CAST(len(list_filter(toks, w -> regexp_matches(w, '[a-z]')))
+                         AS DOUBLE) / len(toks) ELSE 0.0 END AS frac_alpha_words,
+               CAST(len(list_filter(toks,
+                    w -> list_contains({_sql_list(STOPWORDS["en"])}, w)))
+                    AS BIGINT) AS n_stopwords,
+               CASE WHEN len(toks) > 0 THEN
+                    CAST(n_symbols AS DOUBLE) / len(toks) ELSE 0.0 END
+                   AS symbol_word_ratio,
+               CAST(len(list_filter(lines, l -> trim(l) LIKE '-%'
+                                          OR trim(l) LIKE '*%'))
+                    AS DOUBLE) / len(lines) AS frac_bullet_lines,
+               CAST(len(list_filter(lines, l -> trim(l) LIKE '%...'))
+                    AS DOUBLE) / len(lines) AS frac_ellipsis_lines
+        FROM t
+    )
+    SELECT doc_id, n_words, mean_word_len, frac_alpha_words, n_stopwords,
+           symbol_word_ratio, frac_bullet_lines, frac_ellipsis_lines,
+           n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS} AS r_word_count,
+           coalesce(mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL},
+                    FALSE) AS r_mean_word_len,
+           frac_alpha_words >= {_G_MIN_ALPHA} AS r_alpha_words,
+           n_stopwords >= {_G_MIN_STOP} AS r_stopwords,
+           symbol_word_ratio < {_G_MAX_SYMBOL} AS r_symbol_ratio,
+           frac_bullet_lines < {_G_MAX_BULLET} AS r_bullet_lines,
+           frac_ellipsis_lines < {_G_MAX_ELLIPSIS} AS r_ellipsis_lines,
+           (n_words BETWEEN {_G_MIN_WORDS} AND {_G_MAX_WORDS})
+               AND coalesce(mean_word_len BETWEEN {_G_MIN_MWL} AND {_G_MAX_MWL},
+                            FALSE)
+               AND frac_alpha_words >= {_G_MIN_ALPHA}
+               AND n_stopwords >= {_G_MIN_STOP}
+               AND symbol_word_ratio < {_G_MAX_SYMBOL}
+               AND frac_bullet_lines < {_G_MAX_BULLET}
+               AND frac_ellipsis_lines < {_G_MAX_ELLIPSIS} AS keep
+    FROM m
+"""
+
+
+@query("gopher_quality_rules", layer="C", oracle=_GOPHER_SQL)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1,
+    the public-paper rule set every modern pretraining pipeline starts
+    from): per doc, word count in [{_G_MIN_WORDS}, {_G_MAX_WORDS}],
+    mean word length in [3, 10], >=80% of words containing a letter,
+    >=2 stopword hits, symbol-to-word ratio (# / ellipsis) < 0.1, <90%
+    bullet-point lines, <30% ellipsis-terminated lines. Emits every
+    measured stat, every per-rule verdict, and the conjunction `keep`
+    — the funnel composes with quality_filter_funnel downstream.
+
+    Exactness: every stat is a ratio of integers computed identically
+    on both engines (IEEE division of identical operands), thresholds
+    are exact binary/decimal literals, so no rule can flip on a float
+    boundary. Scale shape: one narrow projection per row, zero
+    shuffles, zero Python — at 100 TB this is a scan-bound map the
+    optimizer fuses into one WholeStageCodegen span."""
+    d = load_table(spark, sf_dir, "documents")
+    stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
+    t = d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        F.split(F.col("text"), "\n", -1).alias("lines"),
+        (
+            F.length(F.regexp_replace(F.col("text"), "[^#]", "")).cast("long")
+            + F.expr(
+                "(length(text) - length(replace(text, '...', ''))) div 3"
+            )
+        ).alias("n_symbols"),
+    )
+    n_words = F.size("toks").cast("long")
+    trimmed = lambda l: F.trim(l)  # noqa: E731
+    m = t.select(
+        "doc_id",
+        n_words.alias("n_words"),
+        F.when(
+            n_words > 0,
+            F.aggregate(
+                F.transform(F.col("toks"), F.length),
+                F.lit(0).cast("long"),
+                lambda acc, x: acc + x,
+            ).cast("double")
+            / n_words,
+        ).alias("mean_word_len"),
+        F.when(
+            n_words > 0,
+            F.size(F.filter(F.col("toks"), lambda w: w.rlike("[a-z]")))
+            .cast("double")
+            / n_words,
+        )
+        .otherwise(0.0)
+        .alias("frac_alpha_words"),
+        F.size(F.filter(F.col("toks"), lambda w: F.array_contains(stop_en, w)))
+        .cast("long")
+        .alias("n_stopwords"),
+        F.when(n_words > 0, F.col("n_symbols").cast("double") / n_words)
+        .otherwise(0.0)
+        .alias("symbol_word_ratio"),
+        (
+            F.size(
+                F.filter(
+                    F.col("lines"),
+                    lambda l: trimmed(l).startswith("-")
+                    | trimmed(l).startswith("*"),
+                )
+            ).cast("double")
+            / F.size("lines")
+        ).alias("frac_bullet_lines"),
+        (
+            F.size(F.filter(F.col("lines"), lambda l: trimmed(l).endswith("...")))
+            .cast("double")
+            / F.size("lines")
+        ).alias("frac_ellipsis_lines"),
+    )
+    rules = {
+        "r_word_count": F.col("n_words").between(_G_MIN_WORDS, _G_MAX_WORDS),
+        "r_mean_word_len": F.coalesce(
+            F.col("mean_word_len").between(_G_MIN_MWL, _G_MAX_MWL), F.lit(False)
+        ),
+        "r_alpha_words": F.col("frac_alpha_words") >= _G_MIN_ALPHA,
+        "r_stopwords": F.col("n_stopwords") >= _G_MIN_STOP,
+        "r_symbol_ratio": F.col("symbol_word_ratio") < _G_MAX_SYMBOL,
+        "r_bullet_lines": F.col("frac_bullet_lines") < _G_MAX_BULLET,
+        "r_ellipsis_lines": F.col("frac_ellipsis_lines") < _G_MAX_ELLIPSIS,
+    }
+    keep = None
+    for c in rules.values():
+        keep = c if keep is None else (keep & c)
+    return m.select(
+        "*",
+        *[c.alias(n) for n, c in rules.items()],
+        keep.alias("keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# temperature_sampling
+# ---------------------------------------------------------------------------
+
+_TEMP_M = 10_000  # keep-rate granularity: 1/10000
+
+_TEMP_SQL = f"""
+    WITH counts AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM documents GROUP BY source
+    ),
+    mx AS (SELECT MAX(n_docs) AS n_max FROM counts),
+    kept AS (
+        SELECT source, count(*) AS n_kept
+        FROM (
+            SELECT d.source,
+                   CAST('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % {_TEMP_M} AS h,
+                   c.n_docs, mx.n_max
+            FROM documents d
+            JOIN counts c USING (source) CROSS JOIN mx
+        )
+        WHERE h * h * n_max < {_TEMP_M * _TEMP_M} * n_docs
+        GROUP BY source
+    )
+    SELECT c.source, c.n_docs,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           coalesce(k.n_kept, 0) * 1.0 / c.n_docs AS achieved_rate
+    FROM counts c LEFT JOIN kept k USING (source)
+"""
+
+
+@query("temperature_sampling", layer="C", oracle=_TEMP_SQL)
+def temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-based mixture re-balancing (alpha = 0.5): each
+    source keeps docs with probability p_s = (n_s / n_max)^alpha — the
+    multilingual-LLM up/down-sampling rule (smaller sources keep a
+    LARGER share, the biggest source keeps 100%) with the keep decision
+    made by a deterministic content-independent doc_id hash, so the
+    sample is reproducible across engines and incremental runs
+    (mixture_plan decides targets; this executes a smoothing).
+
+    Exactness by construction: the sqrt never happens. Keep iff
+    hash_frac < sqrt(n_s/n_max) is restated as the INTEGER comparison
+    h*h*n_max < M*M*n_s (h = hash % M, M = {_TEMP_M}) — both engines
+    compare exact int64 products, so no float boundary exists anywhere
+    in the verdict path. Bound: h^2 <= 1e8, so n_max up to ~9.2e10 docs
+    fits int64; past that, widen to DECIMAL(38,0) on both engines.
+
+    Scale shape: one count aggregate (O(sources) rows) broadcast back
+    onto the doc scan, a narrow hash filter, one re-aggregate — two
+    tiny shuffles, no wide rows, no windows; AQE-safe at any corpus
+    size."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    n_max = counts.agg(F.max("n_docs").alias("n_max"))
+    h = hash60(F.col("doc_id").cast("string")) % _TEMP_M
+    kept = (
+        d.select("doc_id", "source")
+        .join(F.broadcast(counts), "source")
+        .crossJoin(F.broadcast(n_max))
+        .filter(h * h * F.col("n_max") < F.lit(_TEMP_M * _TEMP_M) * F.col("n_docs"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        counts.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0)) * F.lit(1.0) / F.col("n_docs")
+            ).alias("achieved_rate"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges — iterative BPE tokenizer training
+# ---------------------------------------------------------------------------
+
+_BPE_MERGES = 8
+
+_WORDS_SQL = r"""
+        SELECT word, CAST(count(*) AS BIGINT) AS freq
+        FROM (
+            SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                          END) AS word
+            FROM documents
+        ) GROUP BY word
+"""
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """Unrolled n-iteration BPE training in pure SQL. Each iteration:
+    pair counts -> argmax (cnt DESC, l, r) -> greedy left-to-right
+    merge application via window-function run-parity (among consecutive
+    match positions, offsets 0, 2, 4... are active; position j+1 of an
+    active match is consumed). The window formulation is deliberately a
+    DIFFERENT algorithm from the Spark side's sequential fold — the two
+    are provably equivalent on greedy BPE, so a hash match checks the
+    algorithm, not a shared implementation."""
+    ctes = [
+        f"""seq0 AS MATERIALIZED (
+        SELECT word, freq,
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)) AS syms
+        FROM ({_WORDS_SQL})
+    )"""
+    ]
+    for i in range(n_merges):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+        SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT freq, syms[j] AS l, syms[j + 1] AS r
+            FROM (
+                SELECT freq, syms,
+                       unnest(generate_series(1, len(syms) - 1)) AS j
+                FROM seq{i} WHERE len(syms) >= 2
+            )
+        ) GROUP BY l, r
+    )""")
+        ctes.append(f"""b{i} AS MATERIALIZED (
+        SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
+    )""")
+        ctes.append(f"""x{i} AS MATERIALIZED (
+        SELECT word, freq, j, syms[j] AS sym,
+               (syms[j] = b.l AND j < len(syms) AND syms[j + 1] = b.r) AS m
+        FROM (
+            SELECT word, freq, syms,
+                   unnest(generate_series(1, len(syms))) AS j
+            FROM seq{i}
+        ) CROSS JOIN b{i} b
+    )""")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+        SELECT word, j,
+               row_number() OVER (PARTITION BY word, grp ORDER BY j) % 2 = 1
+                   AS active
+        FROM (
+            SELECT word, j,
+                   j - row_number() OVER (PARTITION BY word ORDER BY j) AS grp
+            FROM x{i} WHERE m
+        )
+    )""")
+        ctes.append(f"""seq{i + 1} AS MATERIALIZED (
+        SELECT x.word, x.freq,
+               list(CASE WHEN coalesce(a.active, FALSE)
+                         THEN x.sym || b.r ELSE x.sym END
+                    ORDER BY x.j) AS syms
+        FROM x{i} x
+        CROSS JOIN b{i} b
+        LEFT JOIN a{i} a ON a.word = x.word AND a.j = x.j
+        LEFT JOIN a{i} c ON c.word = x.word AND c.j = x.j - 1 AND c.active
+        WHERE c.j IS NULL
+        GROUP BY x.word, x.freq
+    )""")
+    steps = "\n        UNION ALL\n".join(
+        f"        SELECT {i + 1} AS step, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS pair_count FROM b{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM (\n{steps}\n"
+        "    ) ORDER BY step"
+    )
+
+
+@query("bpe_train_merges", layer="C", oracle=_bpe_oracle(_BPE_MERGES))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, distributed: the first {_BPE_MERGES}
+    merge rules learned from the corpus (bpe_pair_counts is one round
+    of this loop's counting step; token_count_bpe APPLIES a trained
+    tokenizer — this trains one). Per iteration: adjacent-symbol pair
+    counts weighted by word frequency, argmax by (count DESC, pair
+    lexicographic), then greedy left-to-right merge application; emits
+    (step, left_sym, right_sym, merged, pair_count).
+
+    Spark-first iterative shape (the standard BPE factorization): the
+    corpus collapses ONCE to the word-frequency table — the working
+    set is O(vocabulary), not O(corpus), so at 100 TB the loop runs on
+    a few million rows regardless of input size. Each iteration is one
+    explode + one bounded-key count shuffle, the argmax moves ONE
+    scalar triple to the driver (the dedup_clusters convergence
+    pattern — a literal is required to build the next plan), merge
+    application is a JVM-side F.aggregate fold (no Python, no
+    shuffle), and seq is localCheckpointed per iteration so lineage
+    stays flat. The DuckDB oracle implements the SAME greedy semantics
+    with a structurally different algorithm (window-function run
+    parity instead of a sequential fold), so the hash match verifies
+    the algorithm itself. All values are integers or symbol strings —
+    no float exists anywhere in this query."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    merges: list[tuple[int, str, str, str, int]] = []
+    for step in range(1, _BPE_MERGES + 1):
+        pairs = (
+            seq.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " j -> struct(element_at(syms, j) AS l,"
+                        "             element_at(syms, j + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.l", "p.r")
+            .groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if not best:  # corpus fully merged — no adjacent pairs left
+            break
+        l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
+        merges.append((step, l, r, l + r, cnt))
+        # Greedy left-to-right merge as a JVM-side fold: merge when the
+        # accumulator's last symbol is `l` and the current one is `r`;
+        # the just-merged symbol (l||r, strictly longer than l) can
+        # never itself equal `l`, so the fold is exactly one greedy
+        # pass — provably the same result as the oracle's run-parity
+        # window formulation.
+        last = F.element_at  # noqa: E731 — alias for line width
+        seq = seq.select(
+            "word",
+            "freq",
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                lambda acc, x: F.when(
+                    F.when(F.size(acc) > 0, last(acc, -1)) == F.lit(l),
+                    F.when(
+                        x == F.lit(r),
+                        F.concat(
+                            F.slice(acc, 1, F.size(acc) - 1),
+                            F.array(F.lit(l + r)),
+                        ),
+                    ).otherwise(F.concat(acc, F.array(x))),
+                ).otherwise(F.concat(acc, F.array(x))),
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        merges,
+        "step int, left_sym string, right_sym string, merged string,"
+        " pair_count long",
+    )

@@ -609,3 +609,58 @@ def test_countmin_no_collision_equals_exact(spark, tmp_path):
     assert out.loc["c", "exact_cnt"] == 1
     assert (out["overcount"] == 0).all()
     assert (out["cm_est"] == out["exact_cnt"]).all()
+
+
+def test_bpe_merge_application_greedy_runs(spark, tmp_path):
+    """Pins the fold-vs-run-parity equivalence on the hard case: a
+    merge whose left and right symbols are EQUAL (a, a), where match
+    positions overlap and greedy left-to-right semantics require
+    pairing runs of k consecutive a's into floor(k/2) merges at even
+    offsets. The Spark side applies merges with a sequential
+    F.aggregate fold; the oracle applies them with window-function run
+    parity — this corpus forces both through the overlap logic, plus a
+    multi-merge chain (the learned symbol participating in a later
+    merge). Expected merges are hand-derived."""
+    from cuttlefish_spark.registry import load_all
+
+    # freq-weighted corpus: 'aaaa' x3 forces (a,a) as merge 1 with
+    # greedy pairing [aa, aa]; 'aaab' tests the odd-run tail; 'aab'
+    # exercises the learned 'aa' adjacent to 'b' for merge 2.
+    rows = [
+        (1, "aaaa aaaa aaaa aaab aab", "en", "s", 23),
+        (2, "aaab aab ba", "en", "s", 11),
+    ]
+    sf_dir = str(tmp_path / "bpe")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    spec = load_all()["bpe_train_merges"]
+    out = spec.fn(spark, sf_dir).toPandas().sort_values("step")
+    got = list(
+        zip(out["step"], out["left_sym"], out["right_sym"], out["pair_count"])
+    )
+    # Hand trace — word freqs: aaaa:3, aaab:2, aab:2, ba:1.
+    # Round 1 pairs: (a,a): aaaa has 3 adjacent pairs x3=9, aaab 2x2=4,
+    # aab 1x2=2 -> 15; (a,b): 2+2=4; (b,a): 1. Merge 1 = (a,a) @ 15.
+    # Apply greedy: aaaa->[aa,aa], aaab->[aa,a,b], aab->[aa,b], ba->[b,a].
+    # Round 2 pairs: (aa,aa):3, (aa,a):2, (a,b):2, (aa,b):2, (b,a):1.
+    # Tie at 3? (aa,aa)=3 wins (others <=2). Merge 2 = (aa,aa) @ 3.
+    # Apply: aaaa->[aaaa]; others unchanged.
+    # Round 3 pairs: (aa,a):2, (a,b):2, (aa,b):2, (b,a):1 — three-way
+    # tie at 2, lexicographic (l,r) order: ('a','b') < ('aa','a')?
+    # 'a' < 'aa' so ('a','b') wins. Merge 3 = (a,b) @ 2.
+    assert got[0] == (1, "a", "a", 15), got
+    assert got[1] == (2, "aa", "aa", 3), got
+    assert got[2] == (3, "a", "b", 2), got
+
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM "
+        f"read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    compare(
+        out.reset_index(drop=True), con.execute(spec.oracle).df(), "bpe_runs"
+    )
