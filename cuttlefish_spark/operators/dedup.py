@@ -121,7 +121,7 @@ def minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     without materialization Spark re-tokenizes and re-hashes the
     corpus once per branch. At 100 TB you'd write it to a signatures
     table (it's ~200 B/doc, orders of magnitude smaller than the
-    corpus); persist() is the in-session equivalent.
+    corpus); the eager localCheckpoint is the in-session equivalent.
     """
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     sh = F.array_distinct(word_shingles(tokens(F.col("text")), k=3))
@@ -138,13 +138,13 @@ def minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.concat(mh(1), mh(9)).alias("band1"),
             F.concat(mh(17), mh(25)).alias("band2"),
         )
-        .persist()
+        # Eager localCheckpoint: the four self-join scan branches below
+        # otherwise each recompute the full tokenize+hash pass; the
+        # in-session analogue of the production "write signatures, then
+        # join" two-job pipeline, and (unlike a bare persist with no
+        # unpersist) reclaimed with the DataFrame itself.
+        .localCheckpoint(eager=True)
     )
-    # Materialize the signature table eagerly: the four self-join scan
-    # branches below otherwise race to fill the cache and each computes
-    # the full hashing pass. This is the in-session analogue of the
-    # production "write signatures, then join" two-job pipeline.
-    sig.count()
 
     # Narrow, DISJOINT band joins (band2 fires only when band1
     # differs) — no pair dedup shuffle, payload arrays broadcast-
@@ -313,9 +313,10 @@ def _token_signatures(
                 F.min("doc_id").over(grp)
             ),
         )
-    sig = sig.persist()
-    sig.count()  # materialize once; all join branches read the cache
-    return sig
+    # Eager localCheckpoint, not a bare persist(): materializes once for
+    # all join branches AND is reclaimed with the DataFrame (a persist
+    # with no unpersist would leak storage memory in a long-lived session).
+    return sig.localCheckpoint(eager=True)
 
 
 def _band_candidates(sig: DataFrame, min_jaccard: float | None = None) -> DataFrame:

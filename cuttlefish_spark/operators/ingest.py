@@ -118,7 +118,7 @@ def datasource_canonical(
     reader = spark.read.format("cuttlefish_replay").option("transport", transport)
     if chapters_path:
         reader = reader.option("chapters_path", chapters_path)
-    raw = reader.load().persist()
+    raw = reader.load().localCheckpoint(eager=True)
     schemas = {
         "meetup": ad._MEETUP_RAW_SCHEMA,
         "facebook": ad._FACEBOOK_RAW_SCHEMA,

@@ -724,7 +724,7 @@ def decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", h.alias("h"), sh.alias("sh"))
         .filter((F.col("h") < 80) | (F.col("h") >= 90))
         .select("doc_id", "h", F.explode("sh").alias("s"))
-        .persist()
+        .localCheckpoint(eager=True)
     )
     inv = (
         ex.filter(F.col("h") < 80)
@@ -808,7 +808,7 @@ def cooccurrence_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("df").desc(), "tok")
         .limit(PMI_VOCAB)
     )
-    ft = dt.join(F.broadcast(voc.select("tok")), "tok").persist()
+    ft = dt.join(F.broadcast(voc.select("tok")), "tok").localCheckpoint(eager=True)
     n = F.broadcast(d.agg(F.countDistinct("doc_id").alias("n_docs")))
     a = ft.select("doc_id", F.col("tok").alias("tok_a"))
     b = ft.select("doc_id", F.col("tok").alias("tok_b"))
