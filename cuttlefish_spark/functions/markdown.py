@@ -61,6 +61,24 @@ def markdown_to_html(texts: pd.Series) -> pd.Series:
     return texts.map(render_markdown)
 
 
+def render_markdown_minimal(text: str | None) -> str | None:
+    """render_markdown pinned to the committed minimal renderer,
+    regardless of whether the optional `markdown` package is importable.
+    The `markdown_html` query's golden md5 table was generated from the
+    minimal renderer; routing the query through this function keeps the
+    golden contract independent of container contents (r6 ADVICE item 1
+    — previously the goldens would all fail, with no hint why, if the
+    lib ever appeared in the driver image)."""
+    if text is None:
+        return None
+    return _WRAPPER.format(_render_minimal(text))
+
+
+@pandas_udf(StringType())
+def markdown_to_html_minimal(texts: pd.Series) -> pd.Series:
+    return texts.map(render_markdown_minimal)
+
+
 # Committed markdown fixture corpus for the `markdown_html` query — one
 # doc per renderer branch (headings 1/6, bold, em, bold+em interleave,
 # links, multi-paragraph, no-markdown, unicode, unterminated markers,

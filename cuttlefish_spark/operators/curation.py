@@ -91,7 +91,7 @@ _GOPHER_SQL = rf"""
 def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Gopher-style rule-based quality filter (Rae et al. 2021 §A1.1,
     the public-paper rule set every modern pretraining pipeline starts
-    from): per doc, word count in [{_G_MIN_WORDS}, {_G_MAX_WORDS}],
+    from): per doc, word count in [40, 100000] (_G_MIN/_G_MAX_WORDS),
     mean word length in [3, 10], >=80% of words containing a letter,
     >=2 stopword hits, symbol-to-word ratio (# / ellipsis) < 0.1, <90%
     bullet-point lines, <30% ellipsis-terminated lines. Emits every
@@ -226,7 +226,7 @@ def temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness by construction: the sqrt never happens. Keep iff
     hash_frac < sqrt(n_s/n_max) is restated as the INTEGER comparison
-    h*h*n_max < M*M*n_s (h = hash % M, M = {_TEMP_M}) — both engines
+    h*h*n_max < M*M*n_s (h = hash % M, M = _TEMP_M = 10000) — both engines
     compare exact int64 products, so no float boundary exists anywhere
     in the verdict path. Bound: h^2 <= 1e8, so n_max up to ~9.2e10 docs
     fits int64; past that, widen to DECIMAL(38,0) on both engines.
@@ -234,9 +234,16 @@ def temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     Scale shape: one count aggregate (O(sources) rows) broadcast back
     onto the doc scan, a narrow hash filter, one re-aggregate — two
     tiny shuffles, no wide rows, no windows; AQE-safe at any corpus
-    size."""
+    size. `counts` is localCheckpointed (it is O(sources) rows) so the
+    corpus is scanned exactly twice — once for the counts, once for the
+    keep filter — instead of once per plan branch (r6 VERDICT item 5:
+    the un-checkpointed plan re-aggregated the scan three times)."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
-    counts = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    counts = (
+        d.groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
     n_max = counts.agg(F.max("n_docs").alias("n_max"))
     h = hash60(F.col("doc_id").cast("string")) % _TEMP_M
     kept = (
@@ -353,7 +360,7 @@ def _bpe_oracle(n_merges: int) -> str:
 
 @query("bpe_train_merges", layer="C", oracle=_bpe_oracle(_BPE_MERGES))
 def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING, distributed: the first {_BPE_MERGES}
+    """BPE tokenizer TRAINING, distributed: the first _BPE_MERGES = 8
     merge rules learned from the corpus (bpe_pair_counts is one round
     of this loop's counting step; token_count_bpe APPLIES a trained
     tokenizer — this trains one). Per iteration: adjacent-symbol pair

@@ -253,11 +253,16 @@ def markdown_html(spark: SparkSession, sf_dir: str) -> DataFrame:
     count. md5 is computed over explicit UTF-8 bytes on both engines
     (Spark encode(); DuckDB md5() hashes the string's UTF-8), and
     length() counts codepoints in both, so the unicode doc pins the
-    byte-vs-char distinction too."""
-    from cuttlefish_spark.functions.markdown import MD_FIXTURE
+    byte-vs-char distinction too. Uses the _minimal UDF explicitly so
+    the golden table stays valid even if the optional `markdown`
+    package appears in the driver image (r6 ADVICE item 1)."""
+    from cuttlefish_spark.functions.markdown import (
+        MD_FIXTURE,
+        markdown_to_html_minimal,
+    )
 
     docs = spark.createDataFrame(MD_FIXTURE, "doc_id long, text string")
-    html = markdown_to_html(F.col("text"))
+    html = markdown_to_html_minimal(F.col("text"))
     return docs.select(
         "doc_id",
         F.md5(F.encode(html, "UTF-8")).alias("html_md5"),

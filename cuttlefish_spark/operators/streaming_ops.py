@@ -342,14 +342,17 @@ def streaming_restart_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             run_available_now_to_parquet(deduped, out_dir, ckpt_dir)
 
-    add_source_file(ev.filter(F.col("event_id") % 2 == 0), "part-000.parquet")
-    run_once()  # run 1: evens only; checkpoint records offsets + state
-    add_source_file(ev, "part-001.parquet")
-    run_once()  # run 2: resumes — evens are dups, odds are new
-    result = spark.read.parquet(out_dir).localCheckpoint(eager=True)
-    shutil.rmtree(d, ignore_errors=True)
-    shutil.rmtree(sink, ignore_errors=True)
-    return result
+    # try/finally so a failed drain cannot leave source/sink/checkpoint
+    # dirs behind (r6 ADVICE item 2 — matches incremental_dedup_persisted)
+    try:
+        add_source_file(ev.filter(F.col("event_id") % 2 == 0), "part-000.parquet")
+        run_once()  # run 1: evens only; checkpoint records offsets + state
+        add_source_file(ev, "part-001.parquet")
+        run_once()  # run 2: resumes — evens are dups, odds are new
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
 
 
 @query(

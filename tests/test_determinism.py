@@ -123,15 +123,10 @@ def test_markdown_html_rendered_text_golden(spark):
     golden oracle (see ingest.py); this test pins the RENDERED TEXT
     itself for a representative slice of MD_FIXTURE, so a golden-hash
     failure there comes with a readable expected/actual diff here. The
-    pin covers the minimal built-in renderer; if the optional
-    `markdown` package appears in the container the output legitimately
-    differs, so the test skips (render_markdown prefers the lib)."""
-    import pytest as _pytest
-
+    query routes through render_markdown_minimal explicitly (r6 ADVICE
+    item 1), so this pin applies unconditionally — container contents
+    (the optional `markdown` package) no longer matter."""
     from cuttlefish_spark.functions import markdown as md
-
-    if md._markdown_lib is not None:
-        _pytest.skip("markdown lib present: minimal-renderer pin not applicable")
 
     fixture = dict(md.MD_FIXTURE)
     expected = {
@@ -150,7 +145,7 @@ def test_markdown_html_rendered_text_golden(spark):
             "<p>heading only at block start</p></div>",
     }
     for doc_id, want in expected.items():
-        assert md.render_markdown(fixture[doc_id]) == want, f"doc {doc_id}"
+        assert md.render_markdown_minimal(fixture[doc_id]) == want, f"doc {doc_id}"
     # And the full query output (Spark plan + Arrow pandas_udf) stays
     # hash-stable across runs of this session.
     out1 = load_all()["markdown_html"].fn(spark, "unused").toPandas()

@@ -389,7 +389,12 @@ def test_checkpoint_kill_and_resume_exactly_once(spark, sf_dir, tmp_path):
         )
 
     # Phase 1: run, then kill as soon as one micro-batch has committed.
-    q = start({"processingTime": "0 seconds"})
+    # 1-second trigger spacing guarantees the kill lands mid-drain even
+    # on a fast machine (r6 ADVICE item 3: with a 0-second trigger all
+    # 12 single-file batches could commit between the poll detecting
+    # batch 1 and stop() taking effect, failing the <12 assert
+    # spuriously; now a spurious full drain needs stop() delayed >11 s).
+    q = start({"processingTime": "1 second"})
     deadline = time.monotonic() + 120
     while time.monotonic() < deadline:
         done = [p for p in q.recentProgress if p["numInputRows"] > 0]
