@@ -101,19 +101,23 @@ def main() -> None:
     normalize_rps = round(ev_rows / (time.perf_counter() - t0), 1)
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "queryset_wall_clock",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "cold_total_sec": round(sum(cold.values()), 3),
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "normalize_events_rows_per_sec": normalize_rps,
-            }
-        )
-    )
+    out = {
+        "metric": "queryset_wall_clock",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "cold_total_sec": round(sum(cold.values()), 3),
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "normalize_events_rows_per_sec": normalize_rps,
+    }
+    # The driver's BENCH_r{N}.json keeps only the tail of stdout, which
+    # truncates the per-query map (r6 VERDICT item 6: 74/176 survived).
+    # Persist the FULL per-query record (min-of-2 AND cold) to a file so
+    # cross-round regression diffs cover the whole surface; each round's
+    # copy is committed as BENCH_FULL_r{N}.json.
+    with open(Path(REPO) / "BENCH_FULL.json", "w") as f:
+        json.dump({**out, "queries_cold": cold}, f, indent=1, sort_keys=True)
+    print(json.dumps(out))
 
 
 if __name__ == "__main__":

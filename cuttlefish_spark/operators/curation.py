@@ -1,5 +1,8 @@
 """Corpus-curation operators: rule-based quality filtering, mixture
-re-balancing by temperature, and iterative BPE tokenizer TRAINING.
+re-balancing by temperature, iterative BPE tokenizer TRAINING, a
+TRAINED n-gram quality classifier (fixed-point logistic regression),
+and URL/domain-level curation (host profiling + per-domain cap
+sampling, the C4/RefinedWeb recipe).
 
 These extend the LLM-data-pipeline surface (SURVEY.md §2.B "absent in
 reference" categories; the reference engine has no text analytics at
@@ -15,7 +18,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuttlefish_spark.functions import hash60, tokens
+from cuttlefish_spark.functions import hash60, tokens, word_shingles
 from cuttlefish_spark.io import load_table, spread
 from cuttlefish_spark.operators.text import STOPWORDS, _sql_list
 from cuttlefish_spark.registry import query
@@ -358,30 +361,19 @@ def _bpe_oracle(n_merges: int) -> str:
     )
 
 
-@query("bpe_train_merges", layer="C", oracle=_bpe_oracle(_BPE_MERGES))
-def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """BPE tokenizer TRAINING, distributed: the first _BPE_MERGES = 8
-    merge rules learned from the corpus (bpe_pair_counts is one round
-    of this loop's counting step; token_count_bpe APPLIES a trained
-    tokenizer — this trains one). Per iteration: adjacent-symbol pair
-    counts weighted by word frequency, argmax by (count DESC, pair
-    lexicographic), then greedy left-to-right merge application; emits
-    (step, left_sym, right_sym, merged, pair_count).
+def _bpe_train(
+    spark: SparkSession,
+    sf_dir: str,
+    n_merges: int,
+    round_secs: list[float] | None = None,
+) -> DataFrame:
+    """The BPE training loop, depth-parameterized (bpe_train_merges
+    runs it at _BPE_MERGES = 8; scripts/bpe_depth_stress.py at 64 to
+    prove the per-round cost stays flat as merges accumulate and
+    symbols lengthen). Appends each round's wall-clock to `round_secs`
+    when given."""
+    import time as _time
 
-    Spark-first iterative shape (the standard BPE factorization): the
-    corpus collapses ONCE to the word-frequency table — the working
-    set is O(vocabulary), not O(corpus), so at 100 TB the loop runs on
-    a few million rows regardless of input size. Each iteration is one
-    explode + one bounded-key count shuffle, the argmax moves ONE
-    scalar triple to the driver (the dedup_clusters convergence
-    pattern — a literal is required to build the next plan), merge
-    application is a JVM-side F.aggregate fold (no Python, no
-    shuffle), and seq is localCheckpointed per iteration so lineage
-    stays flat. The DuckDB oracle implements the SAME greedy semantics
-    with a structurally different algorithm (window-function run
-    parity instead of a sequential fold), so the hash match verifies
-    the algorithm itself. All values are integers or symbol strings —
-    no float exists anywhere in this query."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     words = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -397,7 +389,8 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     merges: list[tuple[int, str, str, str, int]] = []
-    for step in range(1, _BPE_MERGES + 1):
+    for step in range(1, n_merges + 1):
+        t0 = _time.perf_counter()
         pairs = (
             seq.filter(F.size("syms") >= 2)
             .select(
@@ -444,9 +437,559 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("syms"),
         ).localCheckpoint(eager=True)
+        if round_secs is not None:
+            round_secs.append(_time.perf_counter() - t0)
 
     return spark.createDataFrame(
         merges,
         "step int, left_sym string, right_sym string, merged string,"
         " pair_count long",
+    )
+
+
+@query("bpe_train_merges", layer="C", oracle=_bpe_oracle(_BPE_MERGES))
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE tokenizer TRAINING, distributed: the first _BPE_MERGES = 8
+    merge rules learned from the corpus (bpe_pair_counts is one round
+    of this loop's counting step; token_count_bpe APPLIES a trained
+    tokenizer — this trains one). Per iteration: adjacent-symbol pair
+    counts weighted by word frequency, argmax by (count DESC, pair
+    lexicographic), then greedy left-to-right merge application; emits
+    (step, left_sym, right_sym, merged, pair_count).
+
+    Spark-first iterative shape (the standard BPE factorization): the
+    corpus collapses ONCE to the word-frequency table — the working
+    set is O(vocabulary), not O(corpus), so at 100 TB the loop runs on
+    a few million rows regardless of input size. Each iteration is one
+    explode + one bounded-key count shuffle, the argmax moves ONE
+    scalar triple to the driver (the dedup_clusters convergence
+    pattern — a literal is required to build the next plan), merge
+    application is a JVM-side F.aggregate fold (no Python, no
+    shuffle), and seq is localCheckpointed per iteration so lineage
+    stays flat. The DuckDB oracle implements the SAME greedy semantics
+    with a structurally different algorithm (window-function run
+    parity instead of a sequential fold), so the hash match verifies
+    the algorithm itself. All values are integers or symbol strings —
+    no float exists anywhere in this query."""
+    return _bpe_train(spark, sf_dir, _BPE_MERGES)
+
+
+# ---------------------------------------------------------------------------
+# URL/domain-level curation (C4 / RefinedWeb recipe)
+# ---------------------------------------------------------------------------
+
+# The corpus schema carries `source` but no URL column (TESTDATA.md), so
+# a deterministic URL is SYNTHESIZED per doc from a salted hash and then
+# PARSED back (the parse is the operator under test; the synthesis is
+# the fixture). host index = floor(sqrt(h % 10000)) gives 100 hosts with
+# a skewed size law P(idx=k) = (2k+1)/10000 — the biggest host holds
+# ~2% of the corpus, the smallest 0.01%, so the cap sample has real
+# work to do at every sf. sqrt is IEEE-754 correctly-rounded in both
+# engines (required by the standard, unlike exp/log) and its argument
+# is an exact small integer, so floor(sqrt(...)) is bit-deterministic.
+_URL_SQL_FRAG = """
+        SELECT doc_id, source, n_chars,
+               'https://www.h' || CAST(
+                   CAST(floor(sqrt(CAST(
+                       CAST('0x' || substr(md5('url:' || CAST(doc_id AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 10000 AS DOUBLE))) AS BIGINT)
+                   AS VARCHAR)
+               || '.example.com/' || source || '/doc-'
+               || CAST(doc_id AS VARCHAR) AS url
+        FROM documents
+"""
+
+_HOST_SQL_FRAG = f"""
+        SELECT doc_id, source, n_chars,
+               regexp_extract(url, 'https://([^/]+)/', 1) AS host
+        FROM ({_URL_SQL_FRAG})
+"""
+
+_URL_HOST_PROFILE_SQL = f"""
+    WITH h AS ({_HOST_SQL_FRAG}),
+    agg AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_chars) AS BIGINT) AS n_chars,
+               CAST(count(DISTINCT source) AS BIGINT) AS n_sources
+        FROM h GROUP BY host
+    ),
+    tot AS (SELECT CAST(sum(n_docs) AS BIGINT) AS n_total FROM agg)
+    SELECT host, n_docs, n_chars, n_sources,
+           CAST(n_docs AS DOUBLE) / n_total AS doc_share,
+           CAST(row_number() OVER (ORDER BY n_docs DESC, host) AS BIGINT)
+               AS size_rank
+    FROM agg CROSS JOIN tot
+"""
+
+
+def _docs_with_host(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """documents + synthesized url + host parsed back out via the
+    engine's real URL parser (Spark `parse_url`; the oracle re-parses
+    with a regex so the two parses are independent implementations)."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    hidx = F.floor(
+        F.sqrt((hash60(F.concat(F.lit("url:"), F.col("doc_id").cast("string")))
+                % 10_000).cast("double"))
+    ).cast("long")
+    url = F.concat(
+        F.lit("https://www.h"), hidx.cast("string"), F.lit(".example.com/"),
+        F.col("source"), F.lit("/doc-"), F.col("doc_id").cast("string"),
+    )
+    return d.select(
+        "doc_id", "source", "n_chars", url.alias("url")
+    ).withColumn("host", F.parse_url(F.col("url"), F.lit("HOST")))
+
+
+@query("url_host_profile", layer="C", oracle=_URL_HOST_PROFILE_SQL)
+def url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-host corpus profile — the discovery step of C4/RefinedWeb
+    domain curation (Raffel et al. 2020 §2.2; Penedo et al. 2023 §3.1
+    dedup by URL + host-level stats before content filtering): parse
+    the host out of each doc's URL (Spark's parse_url — the oracle
+    re-parses with an independent regex), then per host: doc count,
+    total chars, distinct sources, corpus share, and size rank.
+
+    Exactness: counts/sums are integers; doc_share is one IEEE division
+    of identical integers; size_rank orders by (n_docs DESC, host) —
+    fully tie-broken, so the window is deterministic. Scale shape: one
+    hash-partitioned aggregate over hosts (high cardinality in a real
+    crawl — web-scale host counts are ~1e8, far beyond broadcast, which
+    is why the profile aggregates rather than collects); the window
+    runs on the AGGREGATED O(hosts) table, never on the corpus."""
+    h = _docs_with_host(spark, sf_dir)
+    agg = h.groupBy("host").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("n_chars"),
+        F.countDistinct("source").alias("n_sources"),
+    )
+    tot = agg.agg(F.sum("n_docs").alias("n_total"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("n_docs"), "host")
+    return (
+        agg.crossJoin(F.broadcast(tot))
+        .select(
+            "host",
+            "n_docs",
+            "n_chars",
+            "n_sources",
+            (F.col("n_docs").cast("double") / F.col("n_total")).alias("doc_share"),
+            F.row_number().over(w).cast("long").alias("size_rank"),
+        )
+    )
+
+
+_CAP_M = 10_000  # keep-test granularity, shared with temperature_sampling
+_CAP_DEN = 100  # per-host cap = ceil(corpus / 100) = 1% share
+
+_DOMAIN_CAP_SQL = f"""
+    WITH h AS ({_HOST_SQL_FRAG}),
+    agg AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_docs
+        FROM h GROUP BY host
+    ),
+    tot AS (
+        SELECT CAST(sum(n_docs) AS BIGINT) AS n_total,
+               CAST((sum(n_docs) + {_CAP_DEN - 1}) // {_CAP_DEN} AS BIGINT)
+                   AS cap_docs
+        FROM agg
+    ),
+    kept AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_kept
+        FROM (
+            SELECT h.host,
+                   CAST('0x' || substr(md5('cap:' || CAST(h.doc_id AS VARCHAR)), 1, 15)
+                        AS BIGINT) % {_CAP_M} AS h2,
+                   a.n_docs, t.cap_docs
+            FROM h JOIN agg a USING (host) CROSS JOIN tot t
+        )
+        WHERE h2 * n_docs < cap_docs * {_CAP_M}
+        GROUP BY host
+    )
+    SELECT a.host, a.n_docs, t.cap_docs,
+           CAST(coalesce(k.n_kept, 0) AS BIGINT) AS n_kept,
+           a.n_docs > t.cap_docs AS capped,
+           coalesce(k.n_kept, 0) * 1.0 / a.n_docs AS kept_share
+    FROM agg a CROSS JOIN tot t LEFT JOIN kept k USING (host)
+"""
+
+
+@query("domain_cap_sample", layer="C", oracle=_DOMAIN_CAP_SQL)
+def domain_cap_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-domain cap sampling — the C4/RefinedWeb rule that no single
+    host may dominate the corpus: each host's share is capped at 1%
+    (cap = ceil(corpus/{100}), integer-exact ceil via (n+99)//100 on
+    both engines), and over-cap hosts are downsampled to the cap by the
+    same deterministic content-independent hash keep-test as
+    temperature_sampling: keep iff h2 * n_host < cap * M with
+    h2 = md5-hash(doc_id) % M — pure int64 products, no float anywhere
+    in the verdict path, and when n_host <= cap the inequality holds
+    for every h2 so under-cap hosts keep everything with no branch.
+
+    Scale shape: this is the 100 TB-safe formulation — NO per-host
+    window/rank (a row_number per host would sort the biggest host's
+    billions of rows in one partition; the hash test is embarrassingly
+    parallel and skew-immune), one O(hosts) aggregate broadcast back
+    onto the doc scan, one re-aggregate. The keep-rate is cap/n_host in
+    expectation (binomial around the cap), which is the published
+    behavior of hash-based domain capping; exact-N capping requires the
+    skew-prone sort and buys nothing for training-mix purposes."""
+    h = _docs_with_host(spark, sf_dir)
+    agg = (
+        h.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .localCheckpoint(eager=True)
+    )
+    tot = agg.agg(
+        F.sum("n_docs").alias("n_total"),
+        F.expr(f"(sum(n_docs) + {_CAP_DEN - 1}) div {_CAP_DEN}")
+        .cast("long")
+        .alias("cap_docs"),
+    )
+    h2 = hash60(F.concat(F.lit("cap:"), F.col("doc_id").cast("string"))) % _CAP_M
+    kept = (
+        h.select("doc_id", "host")
+        .join(F.broadcast(agg), "host")
+        .crossJoin(F.broadcast(tot))
+        .filter(h2 * F.col("n_docs") < F.col("cap_docs") * F.lit(_CAP_M))
+        .groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        agg.crossJoin(F.broadcast(tot.select("cap_docs")))
+        .join(kept, "host", "left")
+        .select(
+            "host",
+            "n_docs",
+            "cap_docs",
+            F.coalesce(F.col("n_kept"), F.lit(0)).cast("long").alias("n_kept"),
+            (F.col("n_docs") > F.col("cap_docs")).alias("capped"),
+            (
+                F.coalesce(F.col("n_kept"), F.lit(0)) * F.lit(1.0) / F.col("n_docs")
+            ).alias("kept_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_ngram — TRAINED quality filter (fastText-style)
+# ---------------------------------------------------------------------------
+
+_QC_D = 128          # hashed feature buckets; bucket _QC_D is the bias (x=1)
+_QC_T = 24           # full-batch gradient steps
+_QC_SCALE = 1 << 20  # fixed-point scale (2^20)
+
+
+def _qc_lr_div(t: int) -> int:
+    """Deterministic step-decay schedule: lr_t = 1 / 2^(t // 4) of the
+    mean gradient (halve every 4 steps). Measured at sf0.01 this is the
+    schedule that CONVERGES (training accuracy stable at 0.830 for the
+    last 4 steps) where fixed lr oscillates between 0.39 and 0.81 —
+    full-batch GD on a hard-sigmoid link needs decay, and a power-of-2
+    schedule keeps every update an exact integer floordiv."""
+    return 1 << (t // 4)
+
+
+# Trained weights memo, keyed on the corpus file identity so the two
+# classifier queries (scores + weights) and repeated test invocations
+# train once per corpus, not once per call (same discipline as the
+# streaming left-join cutoff memo keyed on (path, mtime, size)).
+_QC_CACHE: dict[tuple, tuple] = {}
+
+
+def _qc_feature_sql() -> str:
+    """DuckDB twin of _qc_feats: unigram + bigram ('_'-joined) tokens,
+    salted-md5 feature hashing into _QC_D buckets, plus the constant
+    bias feature (bucket _QC_D, cnt 1) on EVERY doc — carrying the bias
+    as a feature row makes one keyed aggregate compute the whole
+    gradient and guarantees featureless (empty-text) docs still score."""
+    return rf"""
+            SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5('qc:' || f), 1, 15) AS BIGINT)
+                         % {_QC_D} AS bucket
+              FROM (
+                SELECT doc_id, unnest(list_concat(toks,
+                       CASE WHEN len(toks) >= 2 THEN
+                            list_transform(generate_series(1, len(toks) - 1),
+                                           i -> toks[i] || '_' || toks[i + 1])
+                       ELSE []::VARCHAR[] END)) AS f
+                FROM (SELECT doc_id,
+                             CASE WHEN length(trim(text)) = 0
+                                  THEN []::VARCHAR[]
+                                  ELSE regexp_split_to_array(
+                                           trim(lower(text)), '\s+') END AS toks
+                      FROM documents)
+              )
+            ) GROUP BY doc_id, bucket
+            UNION ALL
+            SELECT doc_id, CAST({_QC_D} AS BIGINT) AS bucket,
+                   CAST(1 AS BIGINT) AS cnt
+            FROM documents
+"""
+
+
+def _qc_oracle(n_steps: int, final: str) -> str:
+    """Unrolled n-step fixed-point logistic-regression training in pure
+    SQL — every cross-row reduction is an int64 SUM (order-independent
+    by construction), the hard-sigmoid is shift/clip integer math, and
+    the weight update's floor-division is spelled with the pmod
+    identity because DuckDB `//` truncates while the Spark driver's
+    Python `//` floors. `final` selects either the scored corpus or the
+    trained weight vector from the same training CTE chain."""
+    D, S = _QC_D, _QC_SCALE
+    ctes = [
+        f"lbl AS MATERIALIZED (SELECT doc_id, CAST(keep AS INT) AS y "
+        f"FROM ({_GOPHER_SQL}))",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lbl)",
+        f"ft AS MATERIALIZED ({_qc_feature_sql()})",
+        f"w0 AS (SELECT unnest(generate_series(0, {D})) AS bucket,"
+        f" CAST(0 AS BIGINT) AS w)",
+    ]
+    for t in range(n_steps + 1):
+        ctes.append(f"""s{t} AS MATERIALIZED (
+            SELECT l.doc_id, l.y, d.score
+            FROM lbl l
+            JOIN (SELECT f.doc_id, CAST(sum(f.cnt * w.w) AS BIGINT) AS score
+                  FROM ft f JOIN w{t} w USING (bucket)
+                  GROUP BY f.doc_id) d
+              USING (doc_id))""")
+        ctes.append(f"""p{t} AS MATERIALIZED (
+            SELECT doc_id, y, score,
+                   greatest(CAST(0 AS BIGINT), least(CAST({S} AS BIGINT),
+                            {S // 2} + (score >> 2))) AS p_int
+            FROM s{t})""")
+        if t == n_steps:
+            break
+        m = f"(nn.n * {_qc_lr_div(t)})"
+        ctes.append(f"""g{t} AS MATERIALIZED (
+            SELECT f.bucket,
+                   CAST(sum((pp.p_int - CAST(pp.y AS BIGINT) * {S}) * f.cnt)
+                        AS BIGINT) AS g
+            FROM ft f JOIN p{t} pp USING (doc_id) GROUP BY f.bucket)""")
+        ctes.append(f"""w{t + 1} AS MATERIALIZED (
+            SELECT w.bucket,
+                   w.w - CASE WHEN g.g IS NULL THEN 0
+                         ELSE (g.g - ((g.g % {m}) + {m}) % {m}) // {m}
+                         END AS w
+            FROM w{t} w CROSS JOIN nn
+            LEFT JOIN g{t} g ON g.bucket = w.bucket)""")
+    return "WITH " + ",\n    ".join(ctes) + f"\n    {final}"
+
+
+def _qc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, cnt): salted-md5 feature hashing of unigrams +
+    '_'-joined bigrams into _QC_D buckets (Weinberger et al. 2009
+    hashing trick; the fastText feature recipe of Joulin et al. 2016),
+    plus the constant bias feature (bucket _QC_D, cnt 1) per doc."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    toks = tokens(F.col("text"))
+    feats = F.concat(toks, word_shingles(toks, k=2, sep="_"))
+    ngram = (
+        d.select("doc_id", F.explode(feats).alias("f"))
+        .select(
+            "doc_id",
+            (hash60(F.concat(F.lit("qc:"), F.col("f"))) % _QC_D).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bias_rows = d.select(
+        "doc_id",
+        F.lit(_QC_D).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return ngram.unionByName(bias_rows)
+
+
+def _qc_score(
+    spark: SparkSession, feats: DataFrame, labels: DataFrame, w: list[int]
+) -> DataFrame:
+    """Score every doc under integer weight vector `w` and attach the
+    hard-sigmoid p and residual, all in int64: score = sum(w*cnt) over
+    the doc's feature rows incl. the bias row (exact int sum —
+    order-independent), p = clip(S/2 + score>>2, 0, S) (arithmetic
+    shift = floor division by 4 in BOTH engines — verified: Spark
+    shiftright(-7,1) = DuckDB -7>>1 = -4, while DuckDB `//` truncates
+    and would disagree), resid = p - y*S.
+
+    The model rides in as a BROADCAST 129-row DataFrame, not a literal
+    array: literals change the generated code every step, forcing a
+    whole-stage-codegen recompile per iteration (measured: the literal
+    formulation cost ~1.6 s/step at sf0.1, dominated by compilation;
+    the broadcast-join plan is byte-identical across steps so the
+    codegen cache hits). feats/labels arrive pre-partitioned by doc_id,
+    so the doc aggregate and the labels join run exchange-free."""
+    wdf = spark.createDataFrame(
+        [(b, int(w[b])) for b in range(_QC_D + 1)], "bucket long, w long"
+    )
+    dots = (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("long").alias("score"))
+    )
+    scored = labels.join(dots, "doc_id").select("doc_id", "y", "score")
+    p = F.greatest(
+        F.lit(0).cast("long"),
+        F.least(
+            F.lit(_QC_SCALE).cast("long"),
+            F.lit(_QC_SCALE // 2) + F.shiftright(F.col("score"), 2),
+        ),
+    )
+    return scored.withColumn("p", p.cast("long")).withColumn(
+        "resid", F.col("p") - F.col("y").cast("long") * _QC_SCALE
+    )
+
+
+def _qc_train(spark: SparkSession, sf_dir: str) -> tuple:
+    """_QC_T full-batch gradient steps of hashed-n-gram logistic
+    regression with a hard-sigmoid link, ENTIRELY in fixed-point int64
+    — see quality_classifier_ngram's docstring for why that makes
+    distributed training bit-reproducible. Returns (weights, n_docs);
+    weights[_QC_D] is the bias. The driver holds O(_QC_D) ints per step
+    (the model — the same bounded-scalar discipline as bpe_train_merges'
+    argmax); all per-doc work stays distributed, one collect per step.
+    Returns the checkpointed feats/labels too so callers score without
+    re-deriving them; memo key includes the Spark applicationId because
+    localCheckpoints die with their session."""
+    import os
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir, 0, 0)
+    key = (spark.sparkContext.applicationId,) + key
+    if key in _QC_CACHE:
+        return _QC_CACHE[key]
+
+    # Pre-partition BOTH sides by doc_id before checkpointing: the
+    # per-step doc aggregate and labels join then satisfy their
+    # distribution requirements from the checkpointed partitioning —
+    # the only exchange left per step is the 129-key gradient
+    # aggregate, which map-side partial combine collapses first.
+    feats = (
+        _qc_feats(spark, sf_dir)
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        gopher_quality_rules(spark, sf_dir)
+        .select("doc_id", F.col("keep").cast("int").alias("y"))
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n = labels.count()
+    w = [0] * (_QC_D + 1)
+    for t in range(_QC_T):
+        scored = _qc_score(spark, feats, labels, w)
+        g_rows = (
+            feats.join(scored.select("doc_id", "resid"), "doc_id")
+            .groupBy("bucket")
+            .agg(F.sum(F.col("resid") * F.col("cnt")).alias("g"))
+            .collect()
+        )
+        m = n * _qc_lr_div(t)
+        # Python // floors — matches the oracle's pmod-spelled floordiv.
+        for row in g_rows:
+            w[row["bucket"]] -= int(row["g"]) // m
+    _QC_CACHE[key] = (w, n, feats, labels)
+    return w, n, feats, labels
+
+
+_QC_SCORES_FINAL = (
+    f"SELECT doc_id, y, score AS score_fixed,"
+    f" CAST(p_int AS DOUBLE) / {_QC_SCALE} AS prob,"
+    f" score > 0 AS predicted FROM p{_QC_T}"
+)
+
+_QC_WEIGHTS_FINAL = (
+    f"SELECT bucket, w AS w_fixed, CAST(w AS DOUBLE) / {_QC_SCALE} AS weight"
+    f" FROM w{_QC_T}"
+)
+
+
+@query(
+    "quality_classifier_ngram",
+    layer="C",
+    oracle=_qc_oracle(_QC_T, _QC_SCORES_FINAL),
+)
+def quality_classifier_ngram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TRAINED n-gram quality classifier — the learned rung above
+    gopher_quality_rules on the heuristic->learned quality ladder
+    (public recipe: Joulin et al. 2016 fastText — bag of hashed
+    uni+bigram features into a linear classifier — which is the quality
+    filter DCLM/RedPajama-class pipelines train; labels here are
+    distilled from the Gopher rule set, the standard weak-supervision
+    bootstrap). _QC_T = 24 full-batch gradient steps with a
+    halve-every-4 lr schedule, then the corpus is scored:
+    (doc_id, y, score_fixed, prob, predicted).
+
+    Bit-reproducibility by construction — the entire training loop is
+    fixed-point int64: feature counts are ints, weights are ints in
+    units of 2^-20, scores are exact int sums (order-independent, so
+    ANY partitioning/reduction order gives the same model), the
+    logistic link is the HARD sigmoid clip(1/2 + z/4, 0, 1) (standard
+    in quantized training, e.g. Courbariaux et al. 2015) computed as
+    clip(S/2 + score>>2, 0, S) — an arithmetic shift, floor division in
+    both engines — and the update divides by (n * 2^(t//4)) with an
+    explicit pmod-floor so Python's floored // and DuckDB's truncating
+    // agree. exp/log appear NOWHERE: unlike IEEE sqrt/divide,
+    transcendentals are not correctly-rounded across libms, and one ulp
+    of drift per step would compound through the iteration — the hard
+    link removes the class entirely. prob = p / 2^20 divides by a power
+    of two, so even the exported double is exact. Measured at sf0.01:
+    training accuracy 0.830 vs 0.612 majority-class, stable for the
+    last 4 steps (the 31-word synthetic vocab bounds separability; real
+    corpora separate far better).
+
+    Scale shape: the corpus collapses once to the hashed feature table
+    (O(docs x distinct-buckets-per-doc) narrow ints + one bias row per
+    doc, repartitioned by doc_id and localCheckpointed); each step is
+    then ONE job — the model broadcast in as a 129-row join (not a
+    literal array: literals force a codegen recompile every step), an
+    exchange-free doc aggregate + labels join (both sides co-partitioned
+    by doc_id from the checkpoint), and a 129-key gradient aggregate
+    (map-side partial combine collapses it) ending in one O(_QC_D)-row
+    collect (the model — bounded, like bpe_train_merges' argmax row).
+    Measured per-step cost equals this harness's floor for ANY 2-stage
+    collect (~0.6 s — pure job latency, not data), so the loop's sf0.1
+    cold cost (~18 s) is fixed machinery like the streaming queries'
+    micro-batch setup, amortizing to nothing at production scale;
+    trained weights are memoized per corpus so re-scoring is one pass.
+    No windows, no skew exposure, no Python in the row path. Overflow
+    bound: |resid| <= 2^20 and the gradient sum must fit int64 => safe
+    past 1e11 token occurrences per bucket; widen the gradient sum to
+    DECIMAL(38,0) beyond that."""
+    w, _, feats, labels = _qc_train(spark, sf_dir)
+    scored = _qc_score(spark, feats, labels, w)
+    return scored.select(
+        "doc_id",
+        "y",
+        F.col("score").alias("score_fixed"),
+        (F.col("p").cast("double") / F.lit(float(_QC_SCALE))).alias("prob"),
+        (F.col("score") > 0).alias("predicted"),
+    )
+
+
+@query(
+    "quality_classifier_weights",
+    layer="C",
+    oracle=_qc_oracle(_QC_T, _QC_WEIGHTS_FINAL),
+)
+def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The trained model itself: the _QC_D+1 fixed-point weights (bias
+    at bucket _QC_D) after quality_classifier_ngram's training loop,
+    exported as (bucket, w_fixed, weight). Checks the TRAJECTORY of the
+    training (every gradient step's exact arithmetic), not just the
+    final per-doc verdicts — a single flipped floor anywhere in any
+    step moves at least one weight. The oracle re-derives the weights
+    through the same unrolled CTE chain; the Spark side returns the
+    driver-held model directly (it IS O(_QC_D) scalars by design)."""
+    w = _qc_train(spark, sf_dir)[0]
+    rows = [(b, int(w[b]), float(w[b]) / _QC_SCALE) for b in range(_QC_D + 1)]
+    return spark.createDataFrame(
+        rows, "bucket long, w_fixed long, weight double"
     )

@@ -97,6 +97,11 @@ GATE_QUERIES = [
     # cross-corpus dedup incl. the persisted-index round-trip
     "incremental_dedup",
     "incremental_dedup_persisted",
+    # TPC-H SQL front-end q1-q22 over the 6M-row sf1 star schema
+    # (r6 VERDICT item 1: the dec_sum/rounding-flip class scales with
+    # emitted values and the q1-style aggregate surface is its natural
+    # habitat — previously sf1 timing-only, oracle-checked at sf0.1)
+    *[f"sql_frontend_q{i}" for i in range(1, 23)],
 ]
 
 SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard"}

@@ -1,0 +1,113 @@
+"""Semantic tests for the r7 curation operators — the hash-level
+oracle tests in test_oracle.py prove cross-engine parity; these pin the
+BEHAVIOR the parity is supposed to deliver: the classifier actually
+learns, the domain cap actually caps, the floor-division conventions
+the fixed-point training depends on hold in both engines.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+from pyspark.sql import functions as F
+
+from cuttlefish_spark.registry import load_all
+
+SPECS = load_all()
+
+
+def test_integer_division_conventions_pinned(spark):
+    """The load-bearing arithmetic facts the fixed-point classifier is
+    built on (see _qc_score/_qc_oracle): arithmetic right-shift is
+    FLOOR division by a power of two in BOTH engines, while DuckDB's
+    `//` TRUNCATES (unlike Python's floored `//`) — which is why the
+    oracle spells the weight-update floordiv with the pmod identity.
+    If either engine ever changes these, training parity breaks; this
+    test makes the break readable instead of a hash mismatch."""
+    duck = duckdb.sql(
+        "SELECT CAST(-7 AS BIGINT) >> 1, -7 // 2,"
+        " (-7 - ((-7 % 4) + 4) % 4) // 4"
+    ).fetchone()
+    assert duck[0] == -4  # >> floors
+    assert duck[1] == -3  # // truncates (NOT Python semantics)
+    assert duck[2] == -2 == -7 // 4  # pmod identity == Python floordiv
+    row = spark.sql(
+        "SELECT shiftright(-7L, 1) AS a, -7L div 2 AS b, pmod(-7, 4) AS c"
+    ).collect()[0]
+    assert row["a"] == -4  # shiftright floors, matches DuckDB >>
+    assert row["b"] == -3  # div truncates — also never used for negatives
+    assert row["c"] == 1
+
+
+def test_quality_classifier_learns_above_majority():
+    """The trained model must beat the majority-class baseline at the
+    driver's correctness scale — otherwise it is an expensive constant.
+    Uses the DuckDB oracle (bit-identical to the Spark training by the
+    hash-level tests) so this runs without a Spark job."""
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT *"
+        " FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    import cuttlefish_spark.operators.curation as cur
+
+    df = con.sql(cur._qc_oracle(cur._QC_T, cur._QC_SCORES_FINAL)).df()
+    acc = (df.predicted == (df.y == 1)).mean()
+    majority = max(df.y.mean(), 1 - df.y.mean())
+    assert acc >= majority + 0.15, f"acc={acc:.3f} majority={majority:.3f}"
+    assert acc >= 0.80  # measured 0.830; slack for corpus regeneration
+
+
+def test_quality_classifier_weights_shape_and_convergence(spark, sf_dir):
+    import cuttlefish_spark.operators.curation as cur
+
+    w = SPECS["quality_classifier_weights"].fn(spark, sf_dir).toPandas()
+    assert len(w) == cur._QC_D + 1
+    assert set(w.bucket) == set(range(cur._QC_D + 1))
+    # fixed-point consistency: weight == w_fixed / 2^20 exactly
+    assert (w.weight == w.w_fixed / cur._QC_SCALE).all()
+    # training moved the model (not the zero init)
+    assert (w.w_fixed != 0).any()
+
+
+def test_domain_cap_semantics(spark, sf_dir):
+    df = SPECS["domain_cap_sample"].fn(spark, sf_dir).toPandas()
+    assert len(df) > 0
+    cap = df.cap_docs.iloc[0]
+    assert (df.cap_docs == cap).all()  # one global cap
+    under = df[~df.capped]
+    # under-cap hosts keep EVERYTHING (the integer keep-test is a
+    # tautology when n_docs <= cap — no branch needed, by construction)
+    assert (under.n_kept == under.n_docs).all()
+    assert (df.n_kept <= df.n_docs).all()
+    over = df[df.capped]
+    if len(over):
+        # hash-binomial around the cap: the aggregate keep rate of
+        # capped hosts must sit near cap/n, far below 1
+        assert over.n_kept.sum() < over.n_docs.sum()
+
+
+def test_url_host_profile_shares_and_ranks(spark, sf_dir):
+    df = (
+        SPECS["url_host_profile"]
+        .fn(spark, sf_dir)
+        .toPandas()
+        .sort_values("size_rank")
+        .reset_index(drop=True)
+    )
+    assert df.doc_share.sum() == pytest.approx(1.0)
+    assert list(df.size_rank) == list(range(1, len(df) + 1))
+    # rank is by n_docs desc (ties broken by host asc)
+    assert (df.n_docs.diff().dropna() <= 0).all()
+    assert df.host.str.match(r"www\.h\d+\.example\.com").all()
+
+
+def test_classifier_memo_trains_once(spark, sf_dir):
+    """Both classifier queries and repeated calls reuse one training
+    run per (session, corpus) — the memo key must hit."""
+    import cuttlefish_spark.operators.curation as cur
+
+    SPECS["quality_classifier_weights"].fn(spark, sf_dir).collect()
+    n_keys = len(cur._QC_CACHE)
+    SPECS["quality_classifier_ngram"].fn(spark, sf_dir).collect()
+    assert len(cur._QC_CACHE) == n_keys
