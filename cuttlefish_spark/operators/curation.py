@@ -993,3 +993,130 @@ def quality_classifier_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "bucket long, w_fixed long, weight double"
     )
+
+
+_QC_PR_FINAL = f"""SELECT CAST(k AS BIGINT) AS k,
+           CAST(k AS DOUBLE) / 16 AS threshold,
+           CAST(sum(CASE WHEN p_int > k * {_QC_SCALE // 16} AND y = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+           CAST(sum(CASE WHEN p_int > k * {_QC_SCALE // 16} AND y = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+           CAST(sum(CASE WHEN p_int <= k * {_QC_SCALE // 16} AND y = 0
+                    THEN 1 ELSE 0 END) AS BIGINT) AS tn,
+           CAST(sum(CASE WHEN p_int <= k * {_QC_SCALE // 16} AND y = 1
+                    THEN 1 ELSE 0 END) AS BIGINT) AS fn
+    FROM p{_QC_T} CROSS JOIN (SELECT unnest(generate_series(1, 15)) AS k)
+    GROUP BY k"""
+
+_QC_PR_SQL = (
+    "SELECT k, threshold, tp, fp, tn, fn,"
+    " CASE WHEN tp + fp > 0 THEN CAST(tp AS DOUBLE) / (tp + fp) END"
+    " AS precision_,"
+    " CASE WHEN tp + fn > 0 THEN CAST(tp AS DOUBLE) / (tp + fn) END"
+    " AS recall_ FROM (\n"
+)
+
+
+@query(
+    "quality_classifier_pr_curve",
+    layer="C",
+    oracle=_QC_PR_SQL + _qc_oracle(_QC_T, _QC_PR_FINAL) + "\n)",
+)
+def quality_classifier_pr_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Precision/recall sweep of the trained quality classifier — the
+    measurement a pipeline runs BEFORE deploying a filter (pick the
+    operating threshold from the curve, the DCLM/fastText-filter
+    workflow). 15 thresholds at k/16 (k = 1..15): exact binary
+    fractions of the fixed-point scale, so `p_int > k * S/16` is a pure
+    int64 comparison — no float appears in any confusion count.
+    Emits (k, threshold, tp, fp, tn, fn, precision_, recall_);
+    precision/recall are single IEEE divisions of identical integers
+    (NULL when undefined, rather than ANSI div-by-zero).
+
+    Scale shape: one scoring pass (memoized model), a 15-way broadcast
+    cross join, one 15-key aggregate with map-side combine — the
+    sweep costs one corpus scan regardless of threshold count."""
+    w, _, feats, labels = _qc_train(spark, sf_dir)
+    scored = _qc_score(spark, feats, labels, w)
+    ks = spark.range(1, 16).select(F.col("id").cast("long").alias("k"))
+    thr = F.col("k") * F.lit(_QC_SCALE // 16)
+    pred = F.col("p") > thr
+    pos = F.col("y") == 1
+    cnt = lambda c: F.sum(F.when(c, 1).otherwise(0)).cast("long")  # noqa: E731
+    agg = (
+        scored.crossJoin(F.broadcast(ks))
+        .groupBy("k")
+        .agg(
+            cnt(pred & pos).alias("tp"),
+            cnt(pred & ~pos).alias("fp"),
+            cnt(~pred & ~pos).alias("tn"),
+            cnt(~pred & pos).alias("fn"),
+        )
+    )
+    return agg.select(
+        "k",
+        (F.col("k").cast("double") / 16).alias("threshold"),
+        "tp",
+        "fp",
+        "tn",
+        "fn",
+        F.when(
+            F.col("tp") + F.col("fp") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fp")),
+        ).alias("precision_"),
+        F.when(
+            F.col("tp") + F.col("fn") > 0,
+            F.col("tp").cast("double") / (F.col("tp") + F.col("fn")),
+        ).alias("recall_"),
+    )
+
+
+_QC_CALIB_FINAL = f"""SELECT CAST(p_int * 8 // {_QC_SCALE} AS BIGINT) AS bin,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(p_int) AS BIGINT) AS sum_p_fixed,
+           CAST(sum(y) AS BIGINT) AS n_pos,
+           CAST(sum(p_int) AS DOUBLE) / (count(*) * {_QC_SCALE})
+               AS mean_predicted,
+           CAST(sum(y) AS DOUBLE) / count(*) AS actual_rate
+    FROM p{_QC_T}
+    GROUP BY 1"""
+
+
+@query(
+    "quality_classifier_calibration",
+    layer="C",
+    oracle=_qc_oracle(_QC_T, _QC_CALIB_FINAL),
+)
+def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reliability diagram of the trained classifier: docs bucketed
+    into 8 equal probability bins (bin = p_int * 8 // S — exact integer
+    arithmetic; S is a power of two so the product never rounds), each
+    bin reporting mean predicted probability vs actual keep rate. A
+    calibrated filter's two columns track each other; systematic gaps
+    say the scores need temperature scaling before thresholding —
+    the standard pre-deployment audit for a learned quality filter.
+    All aggregates are int64 sums; the two rates are single IEEE
+    divisions of identical integers on both engines."""
+    w, _, feats, labels = _qc_train(spark, sf_dir)
+    scored = _qc_score(spark, feats, labels, w)
+    return (
+        scored.groupBy(
+            F.floor(F.col("p") * 8 / _QC_SCALE).cast("long").alias("bin")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("p").cast("long").alias("sum_p_fixed"),
+            F.sum("y").cast("long").alias("n_pos"),
+        )
+        .select(
+            "bin",
+            "n_docs",
+            "sum_p_fixed",
+            "n_pos",
+            (
+                F.col("sum_p_fixed").cast("double")
+                / (F.col("n_docs") * F.lit(_QC_SCALE))
+            ).alias("mean_predicted"),
+            (F.col("n_pos").cast("double") / F.col("n_docs")).alias("actual_rate"),
+        )
+    )

@@ -111,3 +111,44 @@ def test_classifier_memo_trains_once(spark, sf_dir):
     n_keys = len(cur._QC_CACHE)
     SPECS["quality_classifier_ngram"].fn(spark, sf_dir).collect()
     assert len(cur._QC_CACHE) == n_keys
+
+
+def test_pr_curve_monotone_and_consistent():
+    """Raising the threshold can only shrink the predicted-positive
+    set: tp and fp are non-increasing in k, tp+fn and fp+tn are
+    constant (the class marginals), and recall is non-increasing.
+    Computed via the DuckDB oracle (bit-identical to Spark by the
+    hash-level tests) so this runs without a Spark job."""
+    import cuttlefish_spark.operators.curation as cur
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT *"
+        " FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    sql = cur._QC_PR_SQL + cur._qc_oracle(cur._QC_T, cur._QC_PR_FINAL) + "\n)"
+    df = con.sql(sql).df().sort_values("k").reset_index(drop=True)
+    assert len(df) == 15
+    assert (df.tp.diff().dropna() <= 0).all()
+    assert (df.fp.diff().dropna() <= 0).all()
+    assert df.tp.add(df.fn).nunique() == 1  # positives constant
+    assert df.fp.add(df.tn).nunique() == 1  # negatives constant
+    assert (df.recall_.diff().dropna() <= 1e-12).all()
+
+
+def test_calibration_bins_partition_corpus():
+    import cuttlefish_spark.operators.curation as cur
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT *"
+        " FROM '/root/testdata/sf0.01/documents.parquet'"
+    )
+    df = con.sql(cur._qc_oracle(cur._QC_T, cur._QC_CALIB_FINAL)).df()
+    assert df.n_docs.sum() == 500  # every doc in exactly one bin
+    assert df.bin.between(0, 8).all()
+    assert (df.mean_predicted >= 0).all() and (df.mean_predicted <= 1).all()
+    assert (df.actual_rate >= 0).all() and (df.actual_rate <= 1).all()
+    # bins are ordered in predicted probability by construction
+    s = df.sort_values("bin")
+    assert (s.mean_predicted.diff().dropna() > 0).all()
