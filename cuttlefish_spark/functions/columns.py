@@ -48,7 +48,18 @@ def dec_sum(col: Column, scale: int = 6, alias: str | None = None) -> Column:
     is ~5x slower (BigDecimal boxing per row: measured 1.85s vs 0.4s
     for six sums over 600k rows); the quantized-integer sum is exactly
     as order-independent. Capacity: |total| < 2^63/10^scale (9.2e12 at
-    scale 6) — beyond that, widen to sum(cast(.. as decimal(38,0)))."""
+    scale 6) — beyond that, widen to sum(cast(.. as decimal(38,0))).
+
+    CROSS-ENGINE boundary at |total| > 2^53/10^scale (~9.0e9 at scale
+    6): past it the scaled integer no longer fits a double exactly, so
+    this helper's int->double->divide and DuckDB's decimal->double cast
+    may differ by one ulp (double rounding vs correct rounding — wild-
+    caught by the r7 sf1 gate on TPC-H q1's sum_charge at 2.1e10).
+    Oracles for aggregates that can exceed it must use the same
+    two-step: CAST(CAST(sum_decimal * 10^scale AS BIGINT) AS DOUBLE)
+    / 10^scale — bit-identical to this helper at ANY magnitude, and
+    value-identical to the plain decimal cast below the boundary (see
+    _Q1_SQL, relational_ext.py)."""
     q = 10 ** scale
     out = F.sum(F.round(col * q).cast("long")) / F.lit(float(q))
     return out.alias(alias) if alias else out

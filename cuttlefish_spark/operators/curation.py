@@ -557,10 +557,18 @@ def url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     is why the profile aggregates rather than collects); the window
     runs on the AGGREGATED O(hosts) table, never on the corpus."""
     h = _docs_with_host(spark, sf_dir)
-    agg = h.groupBy("host").agg(
-        F.count(F.lit(1)).alias("n_docs"),
-        F.sum("n_chars").alias("n_chars"),
-        F.countDistinct("source").alias("n_sources"),
+    # localCheckpoint the O(hosts) aggregate: it feeds both the total
+    # and the output, and without materialization the corpus scan +
+    # host aggregate lineage is executed once per consumer (the
+    # temperature_sampling r6->r7 lesson; plan audit showed 7 Exch).
+    agg = (
+        h.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_chars").alias("n_chars"),
+            F.countDistinct("source").alias("n_sources"),
+        )
+        .localCheckpoint(eager=True)
     )
     tot = agg.agg(F.sum("n_docs").alias("n_total"))
     from pyspark.sql import Window

@@ -1274,18 +1274,33 @@ def sql_frontend_q10(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.sql(_Q10_SQL)
 
 
+# The three money sums use the TWO-STEP export — extract the exact
+# scaled BIGINT from the decimal total, THEN divide as doubles —
+# because their sf1 totals (~2.1e10, scaled ~2.1e16) exceed 2^53:
+# above that, `CAST(decimal AS DOUBLE)` is allowed to differ by one
+# ulp between engines (Spark correctly rounds the rational via
+# BigDecimal; DuckDB converts the scaled int then divides — a double
+# rounding). Forcing BOTH engines through int->double->divide makes
+# the result bit-identical at any magnitude the BIGINT holds, and is
+# value-identical to the old form below 2^53 (int->double is then
+# exact, leaving one correctly-rounded division — the same result the
+# decimal cast produces). Wild-caught by the sf1 oracle gate (r7):
+# sum_charge differed by exactly 2^-18 = 1 ulp at 2.1e10.
 _Q1_SQL = """
     SELECT l_returnflag, l_linestatus,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
-               AS sum_base_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,6)))
-               AS DOUBLE) AS sum_disc_price,
-           CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
-                         AS DECIMAL(18,6))) AS DOUBLE) AS sum_charge,
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000
+                     AS BIGINT) AS DOUBLE) / 1000000 AS sum_base_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount)
+                              AS DECIMAL(18,6))) * 1000000
+                     AS BIGINT) AS DOUBLE) / 1000000 AS sum_disc_price,
+           CAST(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) * (1 + l_tax)
+                              AS DECIMAL(18,6))) * 1000000
+                     AS BIGINT) AS DOUBLE) / 1000000 AS sum_charge,
            CAST(SUM(CAST(l_quantity AS DECIMAL(18,6))) AS DOUBLE)
                / COUNT(*) AS avg_qty,
-           CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) AS DOUBLE)
+           CAST(CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,6))) * 1000000
+                     AS BIGINT) AS DOUBLE) / 1000000
                / COUNT(*) AS avg_price,
            CAST(SUM(CAST(l_discount AS DECIMAL(18,6))) AS DOUBLE)
                / COUNT(*) AS avg_disc,
