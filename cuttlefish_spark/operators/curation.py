@@ -551,11 +551,15 @@ def url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Exactness: counts/sums are integers; doc_share is one IEEE division
     of identical integers; size_rank orders by (n_docs DESC, host) —
-    fully tie-broken, so the window is deterministic. Scale shape: one
+    fully tie-broken, so the rank is deterministic. Scale shape: one
     hash-partitioned aggregate over hosts (high cardinality in a real
     crawl — web-scale host counts are ~1e8, far beyond broadcast, which
-    is why the profile aggregates rather than collects); the window
-    runs on the AGGREGATED O(hosts) table, never on the corpus."""
+    is why the profile aggregates rather than collects); size_rank is
+    the TWO-PHASE distributed rank (range-repartition on the sort key,
+    per-partition row_number plus an exclusive offset lifted from one
+    O(partitions) count collect — the feature_binning/token_budget_trim
+    pattern), never a single-task global ordered window over the 1e8
+    hosts."""
     h = _docs_with_host(spark, sf_dir)
     # localCheckpoint the O(hosts) aggregate: it feeds both the total
     # and the output, and without materialization the corpus scan +
@@ -573,16 +577,31 @@ def url_host_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     tot = agg.agg(F.sum("n_docs").alias("n_total"))
     from pyspark.sql import Window
 
-    w = Window.orderBy(F.desc("n_docs"), "host")
+    nparts = spark.sparkContext.defaultParallelism
+    part = (
+        agg.repartitionByRange(nparts, F.col("n_docs").desc(), F.col("host"))
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    subs = sorted(
+        (r["pid"], r["count"]) for r in part.groupBy("pid").count().collect()
+    )
+    offsets, acc = [], 0
+    for pid, cnt in subs:
+        offsets.append((pid, acc))
+        acc += cnt
+    off_df = spark.createDataFrame(offsets, "pid int, off bigint")
+    w = Window.partitionBy("pid").orderBy(F.desc("n_docs"), "host")
     return (
-        agg.crossJoin(F.broadcast(tot))
+        part.join(F.broadcast(off_df), "pid")
+        .crossJoin(F.broadcast(tot))
         .select(
             "host",
             "n_docs",
             "n_chars",
             "n_sources",
             (F.col("n_docs").cast("double") / F.col("n_total")).alias("doc_share"),
-            F.row_number().over(w).cast("long").alias("size_rank"),
+            (F.row_number().over(w) + F.col("off")).cast("long").alias("size_rank"),
         )
     )
 
