@@ -20,7 +20,7 @@ from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
 from cuttlefish_spark.io import load_table, spread
-from cuttlefish_spark.operators.text import STOPWORDS, _sql_list
+from cuttlefish_spark.operators.text import _LM_SCORED_CTES, STOPWORDS, _sql_list
 from cuttlefish_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -287,8 +287,10 @@ _WORDS_SQL = r"""
 """
 
 
-def _bpe_oracle(n_merges: int) -> str:
-    """Unrolled n-iteration BPE training in pure SQL. Each iteration:
+def _bpe_ctes(n_merges: int) -> list[str]:
+    """The shared CTE chain of the BPE oracles: seq0 (char-split word
+    frequency table) through seq{n} (symbol sequences after n greedy
+    merges), with b{i} holding round i's argmax pair. Each iteration:
     pair counts -> argmax (cnt DESC, l, r) -> greedy left-to-right
     merge application via window-function run-parity (among consecutive
     match positions, offsets 0, 2, 4... are active; position j+1 of an
@@ -350,15 +352,41 @@ def _bpe_oracle(n_merges: int) -> str:
         WHERE c.j IS NULL
         GROUP BY x.word, x.freq
     )""")
+    return ctes
+
+
+def _bpe_oracle(n_merges: int) -> str:
+    """The learned merge table: one row per training round's argmax."""
     steps = "\n        UNION ALL\n".join(
         f"        SELECT {i + 1} AS step, l AS left_sym, r AS right_sym,"
         f" l || r AS merged, cnt AS pair_count FROM b{i}"
         for i in range(n_merges)
     )
     return (
-        "WITH " + ",\n    ".join(ctes) + f"\n    SELECT * FROM (\n{steps}\n"
+        "WITH " + ",\n    ".join(_bpe_ctes(n_merges))
+        + f"\n    SELECT * FROM (\n{steps}\n"
         "    ) ORDER BY step"
     )
+
+
+def _bpe_token_stats_oracle(n_merges: int) -> str:
+    """Vocabulary profile of the ENCODED corpus — the seq{n} CTE (the
+    symbol sequences after n merges) exploded and aggregated."""
+    return (
+        "WITH " + ",\n    ".join(_bpe_ctes(n_merges)) + f"""
+    SELECT sym AS token,
+           CAST(length(sym) AS BIGINT) AS token_len,
+           CAST(sum(freq) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM (SELECT word, freq, unnest(syms) AS sym FROM seq{n_merges})
+    GROUP BY sym"""
+    )
+
+
+# Trained merges + encoded-corpus memo, keyed on corpus identity and
+# depth (same discipline as _QC_CACHE): bpe_train_merges and
+# bpe_token_stats share ONE training run per corpus per session.
+_BPE_CACHE: dict[tuple, tuple] = {}
 
 
 def _bpe_train(
@@ -366,13 +394,27 @@ def _bpe_train(
     sf_dir: str,
     n_merges: int,
     round_secs: list[float] | None = None,
-) -> DataFrame:
+) -> tuple[DataFrame, DataFrame]:
     """The BPE training loop, depth-parameterized (bpe_train_merges
     runs it at _BPE_MERGES = 8; scripts/bpe_depth_stress.py at 64 to
     prove the per-round cost stays flat as merges accumulate and
     symbols lengthen). Appends each round's wall-clock to `round_secs`
-    when given."""
+    when given. Returns (merge table, final seq) — seq is the ENCODED
+    corpus vocabulary (word, freq, syms after all merges), which
+    bpe_token_stats aggregates; both are memoized per (session, corpus,
+    depth) so the two queries train once."""
+    import os
     import time as _time
+
+    path = os.path.join(sf_dir, "documents.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir, 0, 0)
+    key = (spark.sparkContext.applicationId, n_merges) + key
+    if round_secs is None and key in _BPE_CACHE:
+        return _BPE_CACHE[key]
 
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     words = (
@@ -440,11 +482,14 @@ def _bpe_train(
         if round_secs is not None:
             round_secs.append(_time.perf_counter() - t0)
 
-    return spark.createDataFrame(
+    merges_df = spark.createDataFrame(
         merges,
         "step int, left_sym string, right_sym string, merged string,"
         " pair_count long",
     )
+    if round_secs is None:
+        _BPE_CACHE[key] = (merges_df, seq)
+    return merges_df, seq
 
 
 @query("bpe_train_merges", layer="C", oracle=_bpe_oracle(_BPE_MERGES))
@@ -471,7 +516,50 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     parity instead of a sequential fold), so the hash match verifies
     the algorithm itself. All values are integers or symbol strings —
     no float exists anywhere in this query."""
-    return _bpe_train(spark, sf_dir, _BPE_MERGES)
+    return _bpe_train(spark, sf_dir, _BPE_MERGES)[0]
+
+
+@query(
+    "bpe_token_stats",
+    layer="C",
+    oracle=_bpe_token_stats_oracle(_BPE_MERGES),
+)
+def bpe_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE ENCODING — the third rung of the tokenizer ladder
+    (bpe_pair_counts counts one round, bpe_train_merges learns the
+    merge table, this APPLIES the trained tokenizer and profiles the
+    resulting vocabulary): the corpus re-tokenized under the first
+    _BPE_MERGES = 8 learned merges, then per emitted token its length,
+    total corpus occurrences (word-frequency-weighted) and the number
+    of distinct words it appears in. This is the table a tokenizer
+    report is built from — fertility, single-char fallback rate, which
+    merges actually pay.
+
+    Spark-first shape: training is shared with bpe_train_merges via
+    the per-(session, corpus, depth) memo — ONE training run serves
+    both queries (the _QC_CACHE discipline) — and encoding falls out
+    of training for free: the final `seq` frame IS the encoded
+    corpus's word->symbols map, already localCheckpointed and
+    O(vocabulary) not O(corpus), so the profile is one explode plus
+    one token-keyed count shuffle. The oracle re-derives seq{8} with
+    the run-parity window formulation and aggregates the exploded
+    symbols — same greedy semantics, structurally different algorithm.
+    All outputs are integers and symbol strings — no float anywhere."""
+    seq = _bpe_train(spark, sf_dir, _BPE_MERGES)[1]
+    return (
+        seq.select("word", "freq", F.explode("syms").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("freq").cast("long").alias("n_occurrences"),
+            F.countDistinct("word").alias("n_words"),
+        )
+        .select(
+            "token",
+            F.length("token").cast("long").alias("token_len"),
+            "n_occurrences",
+            "n_words",
+        )
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -1146,4 +1234,248 @@ def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFram
             ).alias("mean_predicted"),
             (F.col("n_pos").cast("double") / F.col("n_docs")).alias("actual_rate"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# ccnet_perplexity_buckets — LM-perplexity head/middle/tail split
+# ---------------------------------------------------------------------------
+
+_CCNET_SQL = f"""
+    WITH {{lm_ctes}},
+    d AS (
+        SELECT s.doc_id, s.n_bigrams,
+               CAST(floor(CAST(s.slp AS DOUBLE) / s.n_bigrams) AS BIGINT)
+                   AS lp_micro,
+               doc.lang
+        FROM scored s JOIN documents doc USING (doc_id)
+    ),
+    r AS (
+        SELECT lang, n_bigrams, lp_micro,
+               row_number() OVER (PARTITION BY lang
+                                  ORDER BY lp_micro DESC, doc_id) AS rn,
+               count(*) OVER (PARTITION BY lang) AS n
+        FROM d
+    )
+    SELECT lang,
+           CASE WHEN rn <= (n + 2) // 3 THEN 'head'
+                WHEN rn <= (2 * n + 2) // 3 THEN 'middle'
+                ELSE 'tail' END AS bucket,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(n_bigrams) AS BIGINT) AS tot_bigrams,
+           CAST(min(lp_micro) AS BIGINT) AS min_lp_micro,
+           CAST(max(lp_micro) AS BIGINT) AS max_lp_micro
+    FROM r GROUP BY lang, bucket
+"""
+
+
+@query(
+    "ccnet_perplexity_buckets",
+    layer="C",
+    oracle=_CCNET_SQL.format(lm_ctes=_LM_SCORED_CTES),
+)
+def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet's perplexity bucketing (Wenzek et al. 2019 §4.3, the
+    RedPajama/CC-pipeline staple): per LANGUAGE, rank documents by
+    corpus-LM quality and cut the ranking into equal thirds — head
+    (best third, lowest perplexity), middle, tail (the filter-out
+    candidates) — reporting each bucket's doc count, bigram volume,
+    and score range. Per-language terciles are the point: one global
+    cutoff would let a verbose language's distribution set the bar
+    for every other language (the same failure adaptive_length_cutoff
+    guards against for length).
+
+    Determinism: the ranking key is lp_micro = floor(slp/n_bigrams) —
+    one IEEE division of identical int64s then floor, bit-identical on
+    both engines — with doc_id as total-order tiebreak, and the
+    tercile cuts are exact integer order statistics ceil(n/3) =
+    (n+2) div 3 (DuckDB `//` truncates but the operands are positive),
+    so no float boundary exists anywhere. Docs with <2 tokens have no
+    bigrams and are excluded (ccnet drops them as unscoreable).
+
+    Scale shape: the LM scoring frame is shared plan-for-plan with
+    lm_bigram_score (two corpus count aggregates with map-side
+    partials, pre-aggregated model join); the rank window partitions
+    by lang — at 100 TB a per-language full sort is the cost, and the
+    documented swap-in is the two-phase distributed rank of
+    feature_binning applied per language group, trading one collect of
+    O(partitions) counts for the single-task sort."""
+    from cuttlefish_spark.operators.text import lm_scored
+
+    d = load_table(spark, sf_dir, "documents")
+    scored = lm_scored(spark, sf_dir)
+    lp_micro = F.floor(
+        F.col("slp").cast("double") / F.col("n_bigrams")
+    ).cast("long")
+    dd = scored.join(d.select("doc_id", "lang"), "doc_id").select(
+        "lang", "n_bigrams", "doc_id", lp_micro.alias("lp_micro")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("lang").orderBy(F.desc("lp_micro"), "doc_id")
+    wc = Window.partitionBy("lang")
+    ranked = dd.select(
+        "lang",
+        "n_bigrams",
+        "lp_micro",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1)).over(wc).alias("n"),
+    )
+    bucket = (
+        F.when(F.col("rn") <= F.expr("(n + 2) div 3"), F.lit("head"))
+        .when(F.col("rn") <= F.expr("(2 * n + 2) div 3"), F.lit("middle"))
+        .otherwise(F.lit("tail"))
+    )
+    return (
+        ranked.groupBy("lang", bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").cast("long").alias("tot_bigrams"),
+            F.min("lp_micro").alias("min_lp_micro"),
+            F.max("lp_micro").alias("max_lp_micro"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# url_dedup_canonical — canonical-URL dedup (C4/RefinedWeb first pass)
+# ---------------------------------------------------------------------------
+
+# Fixture: raw URLs are SYNTHESIZED so that every 3 consecutive doc_ids
+# share one canonical target, each wearing a different real-world
+# disguise — doc_id%3 = 0 plain, 1 tracking query-string, 2 trailing
+# slash + fragment — and odd doc_ids additionally upper-case the
+# authority. The host derives from md5('url:' || doc_id//3) via the
+# same floor(sqrt(h % 10000)) skew law as url_host_profile, keyed on
+# the GROUP so variants agree on the host. The parse + canonicalize is
+# the operator under test; the synthesis is the fixture.
+_UDC_Q = "?utm_source=feed&utm_campaign=sync"
+
+_URL_DEDUP_SQL = f"""
+    WITH raw AS (
+        SELECT doc_id, n_chars,
+               'https://'
+               || CASE WHEN doc_id % 2 = 1 THEN upper(h) ELSE h END
+               || '/doc-' || CAST(doc_id // 3 AS VARCHAR)
+               || CASE WHEN doc_id % 3 = 1 THEN '{_UDC_Q}'
+                       WHEN doc_id % 3 = 2 THEN '/#section-2'
+                       ELSE '' END AS url
+        FROM (
+            SELECT doc_id, n_chars,
+                   'www.h' || CAST(CAST(floor(sqrt(CAST(
+                       CAST('0x' || substr(md5('url:'
+                                || CAST(doc_id // 3 AS VARCHAR)), 1, 15)
+                            AS BIGINT) % 10000 AS DOUBLE))) AS BIGINT)
+                       AS VARCHAR)
+                   || '.example.com' AS h
+            FROM documents
+        )
+    ),
+    canon AS (
+        SELECT doc_id, n_chars,
+               lower(regexp_extract(url, 'https://([^/]+)', 1)) AS host,
+               'https://'
+               || lower(regexp_extract(url, 'https://([^/]+)', 1))
+               || rtrim(regexp_extract(url, 'https://[^/]+([^?#]*)', 1), '/')
+                   AS canonical_url
+        FROM raw
+    ),
+    agg AS (
+        SELECT canonical_url,
+               min(host) AS host,
+               CAST(count(*) AS BIGINT) AS n_variants,
+               CAST(max(n_chars) AS BIGINT) AS kept_chars
+        FROM canon GROUP BY canonical_url
+    ),
+    kept AS (
+        SELECT c.canonical_url, CAST(min(c.doc_id) AS BIGINT) AS kept_doc_id
+        FROM canon c
+        JOIN agg a ON c.canonical_url = a.canonical_url
+                  AND c.n_chars = a.kept_chars
+        GROUP BY c.canonical_url
+    )
+    SELECT a.canonical_url, a.host, a.n_variants, k.kept_doc_id,
+           a.kept_chars, a.n_variants - 1 AS n_dropped
+    FROM agg a JOIN kept k USING (canonical_url)
+"""
+
+
+@query("url_dedup_canonical", layer="C", oracle=_URL_DEDUP_SQL)
+def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """URL-level dedup — the FIRST dedup pass of C4/RefinedWeb-class
+    pipelines (Penedo et al. 2023 §3.1 dedups by URL before any
+    content hashing; crawls re-fetch the same page under tracking
+    query-strings, fragments, trailing slashes, and case-shifted
+    hosts): canonicalize each URL (lower-case the authority, strip
+    query string and fragment, strip the trailing slash) and keep ONE
+    document per canonical target — the longest (max n_chars), ties
+    to the smallest doc_id. Emits per canonical URL the survivor and
+    the collapse accounting (n_variants, n_dropped).
+
+    The canonicalizer is the operator under test, implemented twice
+    independently: Spark parses with parse_url(HOST/PATH) (java.net
+    semantics), the oracle with regexes — a hash match means the two
+    parses agree on every synthesized disguise. The argmax is the
+    join-back pattern (max n_chars per group, then min doc_id among
+    rows attaining it — the q15 equality-argmax shape), never a
+    first()/max_by() whose tie behavior is engine-defined.
+
+    Scale shape: one hash aggregate on canonical_url (high-cardinality
+    key — web-scale URL dedup is the textbook embarrassingly-parallel
+    groupBy) plus one equi-join back for the argmax; no windows, no
+    Python, no skew risk beyond genuinely viral URLs (the same
+    residual C4 accepts). All outputs are integers and strings."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    gid = F.expr("doc_id div 3")
+    hidx = F.floor(
+        F.sqrt(
+            (hash60(F.concat(F.lit("url:"), gid.cast("string"))) % 10_000)
+            .cast("double")
+        )
+    ).cast("long")
+    h = F.concat(F.lit("www.h"), hidx.cast("string"), F.lit(".example.com"))
+    cased = F.when(F.col("doc_id") % 2 == 1, F.upper(h)).otherwise(h)
+    deco = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit(_UDC_Q))
+        .when(F.col("doc_id") % 3 == 2, F.lit("/#section-2"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"), cased, F.lit("/doc-"), gid.cast("string"), deco
+    )
+    raw = d.select("doc_id", "n_chars", url.alias("url"))
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.regexp_replace(
+        F.parse_url(F.col("url"), F.lit("PATH")), "/$", ""
+    )
+    canon = raw.select(
+        "doc_id",
+        "n_chars",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+    )
+    agg = canon.groupBy("canonical_url").agg(
+        F.min("host").alias("host"),
+        F.count(F.lit(1)).alias("n_variants"),
+        F.max("n_chars").cast("long").alias("kept_chars"),
+    )
+    mx = agg.select(
+        F.col("canonical_url").alias("cu"), F.col("kept_chars").alias("kc")
+    )
+    kept = (
+        canon.join(
+            mx,
+            (canon["canonical_url"] == mx["cu"]) & (canon["n_chars"] == mx["kc"]),
+        )
+        .select("canonical_url", "doc_id")
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").cast("long").alias("kept_doc_id"))
+    )
+    return agg.join(kept, "canonical_url").select(
+        "canonical_url",
+        "host",
+        "n_variants",
+        "kept_doc_id",
+        "kept_chars",
+        (F.col("n_variants") - 1).alias("n_dropped"),
     )

@@ -1285,11 +1285,55 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@query(
-    "lm_bigram_score",
-    layer="C",
-    oracle=r"""
-    WITH t AS (
+def lm_scored(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the `scored` CTE in _LM_SCORED_CTES: per doc the
+    exact int64 pair (n_bigrams, slp) where slp sums micro-nat-
+    quantized add-one-smoothed bigram log-probs. Shared by
+    lm_bigram_score (which derives avg_logprob/ppl) and
+    ccnet_perplexity_buckets (which ranks on the quantized mean)."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    t = d.select("doc_id", w.alias("w"))
+    toks = t.select(F.explode("w").alias("w1"))
+    uni = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("u"))
+    v = uni.agg(F.count(F.lit(1)).alias("v"))
+    bg = (
+        t.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)
+            ).alias("pair"),
+        )
+    )
+    big = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("b"))
+    docbg = bg.groupBy("doc_id", "w1", "pair").agg(F.count(F.lit(1)).alias("c"))
+    lp_micro = F.round(
+        F.log((F.col("b") + F.lit(1.0)) / (F.col("u") + F.col("v"))) * 1_000_000
+    ).cast("long")
+    return (
+        docbg.join(big, "pair")
+        .join(uni, "w1")
+        .crossJoin(F.broadcast(v))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(lp_micro * F.col("c")).alias("slp"),
+        )
+    )
+
+
+# The bigram-LM per-doc scoring CTE chain, shared between
+# lm_bigram_score's oracle and ccnet_perplexity_buckets' (curation.py):
+# `scored` ends as (doc_id, n_bigrams, slp) with slp an exact int64 sum
+# of micro-nat-quantized log-probs — see lm_bigram_score's docstring.
+_LM_SCORED_CTES = r"""t AS (
         SELECT doc_id,
                CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
                     ELSE regexp_split_to_array(trim(lower(text)), '\s+')
@@ -1321,7 +1365,14 @@ def quality_filter_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN uni ON uni.w1 = d.w1
         CROSS JOIN v
         GROUP BY d.doc_id
-    )
+    )"""
+
+
+@query(
+    "lm_bigram_score",
+    layer="C",
+    oracle=f"""
+    WITH {_LM_SCORED_CTES}
     SELECT doc_id, n_bigrams,
            slp / 1000000.0 / n_bigrams AS avg_logprob,
            round(exp(-(slp / 1000000.0 / n_bigrams)), 2) AS ppl
@@ -1370,42 +1421,7 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffles, and the trained `big`/`uni` frames double as the
     reusable model tables.
     """
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
-    w = tokens(F.col("text"))
-    t = d.select("doc_id", w.alias("w"))
-    toks = t.select(F.explode("w").alias("w1"))
-    uni = toks.groupBy("w1").agg(F.count(F.lit(1)).alias("u"))
-    v = uni.agg(F.count(F.lit(1)).alias("v"))
-    bg = (
-        t.filter(F.size("w") >= 2)
-        .select(
-            "doc_id",
-            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
-            "w",
-        )
-        .select(
-            "doc_id",
-            F.element_at("w", F.col("i")).alias("w1"),
-            F.concat_ws(
-                " ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)
-            ).alias("pair"),
-        )
-    )
-    big = bg.groupBy("pair").agg(F.count(F.lit(1)).alias("b"))
-    docbg = bg.groupBy("doc_id", "w1", "pair").agg(F.count(F.lit(1)).alias("c"))
-    lp_micro = F.round(
-        F.log((F.col("b") + F.lit(1.0)) / (F.col("u") + F.col("v"))) * 1_000_000
-    ).cast("long")
-    scored = (
-        docbg.join(big, "pair")
-        .join(uni, "w1")
-        .crossJoin(F.broadcast(v))
-        .groupBy("doc_id")
-        .agg(
-            F.sum("c").alias("n_bigrams"),
-            F.sum(lp_micro * F.col("c")).alias("slp"),
-        )
-    )
+    scored = lm_scored(spark, sf_dir)
     avg_lp = F.col("slp") / F.lit(1_000_000.0) / F.col("n_bigrams")
     return scored.select(
         "doc_id",

@@ -39,7 +39,7 @@ def main() -> int:
         generate(spark)
 
     secs: list[float] = []
-    merges = _bpe_train(spark, SF1, N_MERGES, round_secs=secs).collect()
+    merges = _bpe_train(spark, SF1, N_MERGES, round_secs=secs)[0].collect()
     rounds = [round(s, 3) for s in secs]
     q = lambda xs: sorted(xs)[len(xs) // 2]  # noqa: E731
     summary = {

@@ -152,3 +152,79 @@ def test_calibration_bins_partition_corpus():
     # bins are ordered in predicted probability by construction
     s = df.sort_values("bin")
     assert (s.mean_predicted.diff().dropna() > 0).all()
+
+
+def test_bpe_token_stats_conserves_char_mass(spark, sf_dir):
+    """Merging never creates or destroys characters: the encoded
+    vocabulary's sum(n_occurrences * token_len) must equal the
+    corpus's total word-character mass (freq-weighted), and every
+    multi-char token must be exactly one of the learned merge
+    outputs — tokens are only ever created by merges."""
+    stats = SPECS["bpe_token_stats"].fn(spark, sf_dir)
+    merges = SPECS["bpe_train_merges"].fn(spark, sf_dir)
+    mass = stats.select(
+        F.sum(F.col("n_occurrences") * F.col("token_len")).alias("m")
+    ).collect()[0]["m"]
+    from cuttlefish_spark.functions import tokens
+    from cuttlefish_spark.io import load_table
+
+    d = load_table(spark, sf_dir, "documents")
+    expected = (
+        d.select(F.explode(tokens(F.col("text"))).alias("w"))
+        .select(F.sum(F.length("w")).alias("m"))
+        .collect()[0]["m"]
+    )
+    assert mass == expected
+    merged = {r["merged"] for r in merges.collect()}
+    multi = {r["token"] for r in stats.filter(F.col("token_len") > 1).collect()}
+    assert multi <= merged
+
+
+def test_ccnet_buckets_partition_and_order(spark, sf_dir):
+    """Per lang: the three buckets partition the scoreable docs into
+    near-equal thirds (sizes within 1), and the score ranges are
+    ordered head >= middle >= tail (ties only at the boundaries)."""
+    rows = SPECS["ccnet_perplexity_buckets"].fn(spark, sf_dir).collect()
+    by_lang: dict[str, dict[str, dict]] = {}
+    for r in rows:
+        by_lang.setdefault(r["lang"], {})[r["bucket"]] = r.asDict()
+    assert by_lang
+    for lang, b in by_lang.items():
+        assert set(b) == {"head", "middle", "tail"}, lang
+        sizes = [b[k]["n_docs"] for k in ("head", "middle", "tail")]
+        assert max(sizes) - min(sizes) <= 1, (lang, sizes)
+        assert b["head"]["min_lp_micro"] >= b["middle"]["max_lp_micro"]
+        assert b["middle"]["min_lp_micro"] >= b["tail"]["max_lp_micro"]
+
+
+def test_url_dedup_canonical_semantics(spark, sf_dir):
+    """Canonical URLs carry none of the synthesized disguises (query,
+    fragment, trailing slash, uppercase), every variant is accounted
+    for exactly once, and the survivor really is the longest doc of
+    its group (ties to smallest doc_id)."""
+    from cuttlefish_spark.io import load_table
+
+    out = SPECS["url_dedup_canonical"].fn(spark, sf_dir)
+    rows = out.collect()
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert sum(r["n_variants"] for r in rows) == n_docs
+    assert all(1 <= r["n_variants"] <= 3 for r in rows)
+    for r in rows:
+        cu = r["canonical_url"]
+        assert "?" not in cu and "#" not in cu
+        assert cu == cu.lower()
+        assert not cu.endswith("/")
+        assert r["n_dropped"] == r["n_variants"] - 1
+    # Survivor rule, recomputed independently in Python at sf scale.
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    docs = {r["doc_id"]: r["n_chars"] for r in d.collect()}
+    groups: dict[int, list[int]] = {}
+    for did in docs:
+        groups.setdefault(did // 3, []).append(did)
+    survivors = {
+        min(
+            (g_did for g_did in g if docs[g_did] == max(docs[x] for x in g)),
+        )
+        for g in groups.values()
+    }
+    assert {r["kept_doc_id"] for r in rows} == survivors
