@@ -1351,9 +1351,10 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 # the operator under test; the synthesis is the fixture.
 _UDC_Q = "?utm_source=feed&utm_campaign=sync"
 
-_URL_DEDUP_SQL = f"""
-    WITH raw AS (
-        SELECT doc_id, n_chars,
+# Shared CTE chain (url_dedup_canonical + curation_funnel_e2e): the
+# synthesized raw URLs and their canonical forms.
+_UDC_CTES = f"""raw AS (
+        SELECT doc_id, source, n_chars,
                'https://'
                || CASE WHEN doc_id % 2 = 1 THEN upper(h) ELSE h END
                || '/doc-' || CAST(doc_id // 3 AS VARCHAR)
@@ -1361,7 +1362,7 @@ _URL_DEDUP_SQL = f"""
                        WHEN doc_id % 3 = 2 THEN '/#section-2'
                        ELSE '' END AS url
         FROM (
-            SELECT doc_id, n_chars,
+            SELECT doc_id, source, n_chars,
                    'www.h' || CAST(CAST(floor(sqrt(CAST(
                        CAST('0x' || substr(md5('url:'
                                 || CAST(doc_id // 3 AS VARCHAR)), 1, 15)
@@ -1372,14 +1373,53 @@ _URL_DEDUP_SQL = f"""
         )
     ),
     canon AS (
-        SELECT doc_id, n_chars,
+        SELECT doc_id, source, n_chars,
                lower(regexp_extract(url, 'https://([^/]+)', 1)) AS host,
                'https://'
                || lower(regexp_extract(url, 'https://([^/]+)', 1))
                || rtrim(regexp_extract(url, 'https://[^/]+([^?#]*)', 1), '/')
                    AS canonical_url
         FROM raw
-    ),
+    )"""
+
+def _url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark twin of the raw/canon CTEs: documents + synthesized raw
+    URL, parsed (java.net parse_url) and canonicalized to
+    (doc_id, source, n_chars, host, canonical_url)."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    gid = F.expr("doc_id div 3")
+    hidx = F.floor(
+        F.sqrt(
+            (hash60(F.concat(F.lit("url:"), gid.cast("string"))) % 10_000)
+            .cast("double")
+        )
+    ).cast("long")
+    h = F.concat(F.lit("www.h"), hidx.cast("string"), F.lit(".example.com"))
+    cased = F.when(F.col("doc_id") % 2 == 1, F.upper(h)).otherwise(h)
+    deco = (
+        F.when(F.col("doc_id") % 3 == 1, F.lit(_UDC_Q))
+        .when(F.col("doc_id") % 3 == 2, F.lit("/#section-2"))
+        .otherwise(F.lit(""))
+    )
+    url = F.concat(
+        F.lit("https://"), cased, F.lit("/doc-"), gid.cast("string"), deco
+    )
+    raw = d.select("doc_id", "source", "n_chars", url.alias("url"))
+    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    path = F.regexp_replace(
+        F.parse_url(F.col("url"), F.lit("PATH")), "/$", ""
+    )
+    return raw.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        host.alias("host"),
+        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
+    )
+
+
+_URL_DEDUP_SQL = f"""
+    WITH {_UDC_CTES},
     agg AS (
         SELECT canonical_url,
                min(host) AS host,
@@ -1425,35 +1465,7 @@ def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     groupBy) plus one equi-join back for the argmax; no windows, no
     Python, no skew risk beyond genuinely viral URLs (the same
     residual C4 accepts). All outputs are integers and strings."""
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
-    gid = F.expr("doc_id div 3")
-    hidx = F.floor(
-        F.sqrt(
-            (hash60(F.concat(F.lit("url:"), gid.cast("string"))) % 10_000)
-            .cast("double")
-        )
-    ).cast("long")
-    h = F.concat(F.lit("www.h"), hidx.cast("string"), F.lit(".example.com"))
-    cased = F.when(F.col("doc_id") % 2 == 1, F.upper(h)).otherwise(h)
-    deco = (
-        F.when(F.col("doc_id") % 3 == 1, F.lit(_UDC_Q))
-        .when(F.col("doc_id") % 3 == 2, F.lit("/#section-2"))
-        .otherwise(F.lit(""))
-    )
-    url = F.concat(
-        F.lit("https://"), cased, F.lit("/doc-"), gid.cast("string"), deco
-    )
-    raw = d.select("doc_id", "n_chars", url.alias("url"))
-    host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
-    path = F.regexp_replace(
-        F.parse_url(F.col("url"), F.lit("PATH")), "/$", ""
-    )
-    canon = raw.select(
-        "doc_id",
-        "n_chars",
-        host.alias("host"),
-        F.concat(F.lit("https://"), host, path).alias("canonical_url"),
-    )
+    canon = _url_canon(spark, sf_dir)
     agg = canon.groupBy("canonical_url").agg(
         F.min("host").alias("host"),
         F.count(F.lit(1)).alias("n_variants"),
@@ -1478,4 +1490,279 @@ def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         "kept_doc_id",
         "kept_chars",
         (F.col("n_variants") - 1).alias("n_dropped"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# curation_funnel_e2e — the composed pipeline: URL dedup -> quality ->
+# domain cap, with per-source funnel accounting
+# ---------------------------------------------------------------------------
+
+_FUNNEL_CAP_M = 10_000
+_FUNNEL_CAP_DEN = 100
+
+_CURATION_FUNNEL_SQL = f"""
+    WITH {_UDC_CTES},
+    agg AS (
+        SELECT canonical_url, CAST(max(n_chars) AS BIGINT) AS kept_chars
+        FROM canon GROUP BY canonical_url
+    ),
+    surv AS (
+        SELECT c.canonical_url, CAST(min(c.doc_id) AS BIGINT) AS doc_id
+        FROM canon c
+        JOIN agg a ON c.canonical_url = a.canonical_url
+                  AND c.n_chars = a.kept_chars
+        GROUP BY c.canonical_url
+    ),
+    s1 AS (
+        SELECT c.doc_id, c.source, c.host, c.n_chars
+        FROM canon c JOIN surv s ON c.doc_id = s.doc_id
+    ),
+    q AS (SELECT doc_id, keep FROM ({_GOPHER_SQL})),
+    s2 AS (SELECT s1.* FROM s1 JOIN q USING (doc_id) WHERE q.keep),
+    hagg AS (
+        SELECT host, CAST(count(*) AS BIGINT) AS n_host FROM s2 GROUP BY host
+    ),
+    tot AS (
+        SELECT CAST(count(*) AS BIGINT) AS n2,
+               CAST((count(*) + {_FUNNEL_CAP_DEN - 1}) // {_FUNNEL_CAP_DEN}
+                    AS BIGINT) AS cap_docs
+        FROM s2
+    ),
+    s3 AS (
+        SELECT s2.* FROM s2 JOIN hagg USING (host) CROSS JOIN tot
+        WHERE CAST('0x' || substr(md5('cap2:' || CAST(s2.doc_id AS VARCHAR)),
+                                  1, 15) AS BIGINT) % {_FUNNEL_CAP_M} * n_host
+              < cap_docs * {_FUNNEL_CAP_M}
+    ),
+    base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+        FROM documents GROUP BY source
+    ),
+    f1 AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_url_kept
+        FROM s1 GROUP BY source
+    ),
+    f2 AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_quality_kept
+        FROM s2 GROUP BY source
+    ),
+    f3 AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_final,
+               CAST(sum(n_chars) AS BIGINT) AS final_chars
+        FROM s3 GROUP BY source
+    ),
+    ftot AS (SELECT CAST(sum(n_final) AS BIGINT) AS n_final_total FROM f3)
+    SELECT b.source, b.n_raw,
+           CAST(coalesce(f1.n_url_kept, 0) AS BIGINT) AS n_url_kept,
+           CAST(coalesce(f2.n_quality_kept, 0) AS BIGINT) AS n_quality_kept,
+           CAST(coalesce(f3.n_final, 0) AS BIGINT) AS n_final,
+           CAST(coalesce(f3.final_chars, 0) AS BIGINT) AS final_chars,
+           CAST(coalesce(f3.n_final, 0) AS DOUBLE) / ftot.n_final_total
+               AS final_share
+    FROM base b
+    LEFT JOIN f1 USING (source)
+    LEFT JOIN f2 USING (source)
+    LEFT JOIN f3 USING (source)
+    CROSS JOIN ftot
+"""
+
+
+@query("curation_funnel_e2e", layer="C", oracle=_CURATION_FUNNEL_SQL)
+def curation_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The COMPOSED curation pipeline, end to end in one plan — the
+    C4/RefinedWeb macro-recipe run as a single query: (1) URL-level
+    dedup (canonicalize, keep the longest doc per canonical target —
+    url_dedup_canonical's survivor rule), (2) Gopher rule-based
+    quality gate on the survivors (gopher_quality_rules' conjunction),
+    (3) per-domain cap sampling of the quality-kept set (cap = 1% of
+    the post-quality corpus, domain_cap_sample's deterministic hash
+    keep-test on salt 'cap2:'), reported as a per-SOURCE funnel:
+    n_raw -> n_url_kept -> n_quality_kept -> n_final, with surviving
+    char volume and final corpus share. quality_filter_funnel is the
+    per-doc-RULE funnel; this is the cross-doc STAGE funnel — the
+    number a pipeline owner actually watches per ingest source.
+
+    Composition is the point: every stage re-uses the exact logic of
+    its standalone operator (same synthesis, same survivor argmax,
+    same rule set, same keep-test discipline), so the standalone
+    hash-verifications transfer to the composition and this query
+    verifies their INTERACTION. The narrow stage frames (doc_id,
+    source, host, n_chars — never text) are localCheckpointed between
+    stages, the production shape where each stage persists its
+    survivor manifest; at 100 TB the checkpoint becomes a parquet
+    write and every stage remains a hash-partitioned aggregate or
+    broadcast-joined filter — no windows, no Python, no driver state.
+    All funnel counts are int64; final_share is one IEEE division of
+    identical integers."""
+    canon = _url_canon(spark, sf_dir).localCheckpoint(eager=True)
+    agg = canon.groupBy("canonical_url").agg(
+        F.max("n_chars").cast("long").alias("kept_chars")
+    )
+    mx = agg.select(
+        F.col("canonical_url").alias("cu"), F.col("kept_chars").alias("kc")
+    )
+    surv = (
+        canon.join(
+            mx,
+            (canon["canonical_url"] == mx["cu"]) & (canon["n_chars"] == mx["kc"]),
+        )
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    s1 = (
+        canon.join(surv, "doc_id")
+        .select("doc_id", "source", "host", "n_chars")
+        .localCheckpoint(eager=True)
+    )
+    q = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    s2 = (
+        s1.join(q, "doc_id")
+        .filter(F.col("keep"))
+        .drop("keep")
+        .localCheckpoint(eager=True)
+    )
+    hagg = s2.groupBy("host").agg(F.count(F.lit(1)).alias("n_host"))
+    tot = s2.agg(
+        F.count(F.lit(1)).alias("n2"),
+        F.expr(
+            f"(count(1) + {_FUNNEL_CAP_DEN - 1}) div {_FUNNEL_CAP_DEN}"
+        ).cast("long").alias("cap_docs"),
+    ).select("cap_docs")
+    h2 = (
+        hash60(F.concat(F.lit("cap2:"), F.col("doc_id").cast("string")))
+        % _FUNNEL_CAP_M
+    )
+    s3 = (
+        s2.join(F.broadcast(hagg), "host")
+        .crossJoin(F.broadcast(tot))
+        .filter(h2 * F.col("n_host") < F.col("cap_docs") * F.lit(_FUNNEL_CAP_M))
+    )
+    base = (
+        load_table(spark, sf_dir, "documents")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_raw"))
+    )
+    f1 = s1.groupBy("source").agg(F.count(F.lit(1)).alias("n_url_kept"))
+    f2 = s2.groupBy("source").agg(F.count(F.lit(1)).alias("n_quality_kept"))
+    # f3 feeds BOTH the final join and the ftot total — materialize the
+    # O(sources) aggregate so the cap-filter subtree runs once, not per
+    # consumer (the url_host_profile/temperature_sampling lesson).
+    f3 = (
+        s3.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_final"),
+            F.sum("n_chars").cast("long").alias("final_chars"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    ftot = f3.agg(F.sum("n_final").alias("n_final_total"))
+    z = F.lit(0).cast("long")
+    return (
+        base.join(f1, "source", "left")
+        .join(f2, "source", "left")
+        .join(f3, "source", "left")
+        .crossJoin(F.broadcast(ftot))
+        .select(
+            "source",
+            "n_raw",
+            F.coalesce(F.col("n_url_kept"), z).alias("n_url_kept"),
+            F.coalesce(F.col("n_quality_kept"), z).alias("n_quality_kept"),
+            F.coalesce(F.col("n_final"), z).alias("n_final"),
+            F.coalesce(F.col("final_chars"), z).alias("final_chars"),
+            (
+                F.coalesce(F.col("n_final"), z).cast("double")
+                / F.col("n_final_total")
+            ).alias("final_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# bpe_fertility_by_source — per-source tokenizer fertility report
+# ---------------------------------------------------------------------------
+
+
+def _bpe_fertility_oracle(n_merges: int) -> str:
+    return (
+        "WITH " + ",\n    ".join(_bpe_ctes(n_merges)) + f""",
+    vocab AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_syms FROM seq{n_merges}
+    ),
+    w AS (
+        SELECT source,
+               unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                      END) AS word
+        FROM documents
+    ),
+    per AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        FROM w GROUP BY source, word
+    )
+    SELECT p.source,
+           CAST(sum(p.c) AS BIGINT) AS n_words,
+           CAST(count(*) AS BIGINT) AS n_distinct_words,
+           CAST(sum(p.c * v.n_syms) AS BIGINT) AS n_tokens,
+           CAST(sum(p.c * v.n_syms) AS DOUBLE) / sum(p.c) AS fertility,
+           CAST(sum(CASE WHEN v.n_syms = length(p.word) THEN p.c ELSE 0 END)
+                AS BIGINT) AS n_unmerged_words
+    FROM per p JOIN vocab v USING (word)
+    GROUP BY p.source"""
+    )
+
+
+@query(
+    "bpe_fertility_by_source",
+    layer="C",
+    oracle=_bpe_fertility_oracle(_BPE_MERGES),
+)
+def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer FERTILITY report, per ingest source — the number a
+    tokenizer owner actually tracks (tokens emitted per word; the
+    standard multilingual-tokenizer health metric): encode the corpus
+    under the first _BPE_MERGES = 8 trained merges and report, per
+    source, word volume, distinct vocabulary, token volume, fertility
+    = n_tokens/n_words, and how many word occurrences the merge table
+    never touched (n_syms == word length, the char-fallback class).
+
+    Spark-first shape: the trained word->symbols map comes from the
+    shared per-(session, corpus, depth) training memo (O(vocabulary),
+    localCheckpointed — see bpe_token_stats); the corpus collapses to
+    per-(source, word) counts BEFORE joining it, so the join is
+    per-distinct-word-per-source, never per-occurrence. Two keyed
+    count shuffles + one equi-join + one per-source aggregate; all
+    counts int64, fertility one IEEE division of identical integers."""
+    seq = _bpe_train(spark, sf_dir, _BPE_MERGES)[1]
+    vocab = seq.select(
+        "word",
+        F.size("syms").cast("long").alias("n_syms"),
+        F.length("word").cast("long").alias("wlen"),
+    )
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    per = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        per.join(vocab, "word")
+        .groupBy("source")
+        .agg(
+            F.sum("c").cast("long").alias("n_words"),
+            F.count(F.lit(1)).alias("n_distinct_words"),
+            F.sum(F.col("c") * F.col("n_syms")).cast("long").alias("n_tokens"),
+            (
+                F.sum(F.col("c") * F.col("n_syms")).cast("double")
+                / F.sum("c")
+            ).alias("fertility"),
+            F.sum(
+                F.when(F.col("n_syms") == F.col("wlen"), F.col("c")).otherwise(
+                    F.lit(0)
+                )
+            )
+            .cast("long")
+            .alias("n_unmerged_words"),
+        )
     )

@@ -116,6 +116,13 @@ GATE_QUERIES = [
     "quality_classifier_calibration",
     "url_host_profile",
     "domain_cap_sample",
+    # r7 additions: the BPE-encode vocabulary profile, per-language
+    # perplexity terciles (ranks 50k quantized LM means), canonical-URL
+    # dedup (~17k survivor groups), and the composed 3-stage funnel
+    "bpe_token_stats",
+    "ccnet_perplexity_buckets",
+    "url_dedup_canonical",
+    "curation_funnel_e2e",
 ]
 
 SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard"}

@@ -228,3 +228,30 @@ def test_url_dedup_canonical_semantics(spark, sf_dir):
         for g in groups.values()
     }
     assert {r["kept_doc_id"] for r in rows} == survivors
+
+
+def test_curation_funnel_monotone_and_consistent(spark, sf_dir):
+    """Per source the funnel only shrinks; stage totals agree with the
+    standalone operators the stages were lifted from (URL survivors ==
+    url_dedup_canonical's group count); final shares sum to 1."""
+    rows = SPECS["curation_funnel_e2e"].fn(spark, sf_dir).collect()
+    for r in rows:
+        assert (
+            r["n_raw"] >= r["n_url_kept"] >= r["n_quality_kept"] >= r["n_final"]
+        ), r
+    n_groups = SPECS["url_dedup_canonical"].fn(spark, sf_dir).count()
+    assert sum(r["n_url_kept"] for r in rows) == n_groups
+    assert abs(sum(r["final_share"] for r in rows) - 1.0) < 1e-9
+    assert sum(r["n_final"] for r in rows) > 0
+
+
+def test_bpe_fertility_bounds(spark, sf_dir):
+    """Fertility is bounded by construction: at least 1 token per word
+    (merges only shrink, never below one symbol) and at most the
+    word's character count; token volume conserves accordingly."""
+    rows = SPECS["bpe_fertility_by_source"].fn(spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_words"] <= r["n_tokens"], r
+        assert 1.0 <= r["fertility"], r
+        assert 0 <= r["n_unmerged_words"] <= r["n_words"], r
