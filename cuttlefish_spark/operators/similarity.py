@@ -1058,3 +1058,151 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# embedding_pca_power — top principal direction via fixed-point power
+# iteration
+# ---------------------------------------------------------------------------
+
+_PCA_D = 64        # embedding dimensionality of the corpus tables
+_PCA_T = 8         # power-iteration rounds
+_PCA_XS = 1 << 20  # input quantization scale (exact: *2^20 is a pure
+                   # exponent shift on the double, floor is exact)
+_PCA_WS = 32       # per-vector projection down-shift (bounds S below 2^63)
+
+
+def _pca_oracle(n_iters: int) -> str:
+    """Unrolled n-round power iteration in pure int64 SQL. The
+    floor-division by the data-derived rescale uses the pmod identity
+    (DuckDB // truncates; Python // floors — see
+    test_integer_division_conventions_pinned)."""
+    ctes = [
+        f"""x AS MATERIALIZED (
+        SELECT vec_id, j - 1 AS dim,
+               CAST(floor(CAST(embedding[j] AS DOUBLE) * {_PCA_XS})
+                    AS BIGINT) AS xf
+        FROM (SELECT vec_id, embedding,
+                     unnest(generate_series(1, len(embedding))) AS j
+              FROM embeddings)
+    )""",
+        f"""v0 AS (
+        SELECT d AS dim, CASE WHEN d = 0 THEN CAST({_PCA_XS} AS BIGINT)
+                              ELSE CAST(0 AS BIGINT) END AS v
+        FROM (SELECT unnest(generate_series(0, {_PCA_D - 1})) AS d)
+    )""",
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""w{t} AS MATERIALIZED (
+        SELECT x.vec_id, CAST(sum(x.xf * v.v) AS BIGINT) >> {_PCA_WS} AS w
+        FROM x JOIN v{t} v USING (dim) GROUP BY x.vec_id
+    )""")
+        ctes.append(f"""s{t} AS MATERIALIZED (
+        SELECT x.dim, CAST(sum(x.xf * d.w) AS BIGINT) AS s
+        FROM x JOIN w{t} d USING (vec_id) GROUP BY x.dim
+    )""")
+        ctes.append(f"""m{t} AS (
+        SELECT greatest(CAST(1 AS BIGINT), (max(abs(s)) >> 20)) AS d
+        FROM s{t}
+    )""")
+        ctes.append(f"""v{t + 1} AS MATERIALIZED (
+        SELECT dim, (s - ((s % m.d) + m.d) % m.d) // m.d AS v
+        FROM s{t} CROSS JOIN m{t} m
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT dim, v AS v_fixed,
+           CAST(v AS DOUBLE) / sqrt(CAST(ns.ns AS DOUBLE)) AS loading
+    FROM v{n_iters}
+    CROSS JOIN (SELECT CAST(sum(v * v) AS BIGINT) AS ns FROM v{n_iters}) ns"""
+    )
+
+
+@query("embedding_pca_power", layer="C", oracle=_pca_oracle(_PCA_T))
+def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top principal direction of the embedding corpus by POWER
+    ITERATION (von Mises iteration — the textbook distributed-PCA
+    primitive behind embedding whitening, ABTT post-processing (Mu &
+    Viswanath 2018's "all-but-the-top"), and drift monitoring):
+    _PCA_T = 8 rounds of v <- rescale(X^T (X v)) against the
+    UNCENTERED second-moment matrix, emitted as 64 (dim, v_fixed,
+    loading) rows with loading the unit-normalized coefficient.
+    (Centering is the one-line variant — subtract the per-dim mean
+    from xf before the loop; left uncentered so the oracle chain
+    stays two joins per round.)
+
+    The whole iteration is fixed-point int64, which is what makes a
+    distributed eigensolver bit-reproducible across engines AND
+    partitionings: inputs quantize EXACTLY (x * 2^20 is an exponent
+    shift on the double — no rounding — then an exact floor), each
+    matvec is an exact integer sum (order-independent by
+    construction), the per-vector projection down-shifts by
+    arithmetic >> 32 (floors identically in both engines — the pinned
+    convention), and the per-round rescale divides by the exact
+    integer max(1, max|s| >> 20) with a FLOORED division (Python //
+    driver-side; the pmod identity in the oracle). No float exists
+    until the final unit-normalization: one sqrt of an exact int64
+    sum of squares and one IEEE division, both bit-identical.
+
+    Spark-first shape: X explodes once to (vec_id, dim, xf),
+    pre-partitioned by vec_id and localCheckpointed — per round the
+    projection aggregate runs exchange-free on that partitioning, the
+    model join is a broadcast of the 64-row v, and the d-key
+    re-aggregate map-side-combines to 64 rows. The driver holds the
+    64-int model per round (the _qc_train/bpe argmax bounded-scalar
+    discipline); at 100 TB each round is one broadcast joined scan +
+    one 64-key shuffle. The shift pair (32, 20) bounds every partial
+    below 2^63 through sf100 given |x| <= ~8."""
+    e = load_table(spark, sf_dir, "embeddings")
+    x = (
+        e.select(
+            "vec_id",
+            F.posexplode(F.col("embedding").cast("array<double>")).alias(
+                "dim", "xd"
+            ),
+        )
+        .select(
+            "vec_id",
+            "dim",
+            F.floor(F.col("xd") * F.lit(_PCA_XS)).cast("long").alias("xf"),
+        )
+        .repartition("vec_id")
+        .localCheckpoint(eager=True)
+    )
+    v = [0] * _PCA_D
+    v[0] = _PCA_XS
+    for _ in range(_PCA_T):
+        vdf = spark.createDataFrame(
+            [(j, int(v[j])) for j in range(_PCA_D)], "dim int, v long"
+        )
+        w = (
+            x.join(F.broadcast(vdf), "dim")
+            .groupBy("vec_id")
+            .agg(
+                F.shiftright(
+                    F.sum(F.col("xf") * F.col("v")), _PCA_WS
+                ).alias("w")
+            )
+        )
+        s_rows = (
+            x.join(w, "vec_id")
+            .groupBy("dim")
+            .agg(F.sum(F.col("xf") * F.col("w")).alias("s"))
+            .collect()
+        )
+        s = {r["dim"]: int(r["s"]) for r in s_rows}
+        m = max(abs(sv) for sv in s.values())
+        d0 = max(1, m >> 20)
+        v = [s.get(j, 0) // d0 for j in range(_PCA_D)]
+    ns = sum(val * val for val in v)
+    out = spark.createDataFrame(
+        [(j, int(v[j])) for j in range(_PCA_D)], "dim long, v_fixed long"
+    )
+    return out.select(
+        "dim",
+        "v_fixed",
+        (
+            F.col("v_fixed").cast("double")
+            / F.sqrt(F.lit(ns).cast("double"))
+        ).alias("loading"),
+    )

@@ -127,3 +127,45 @@ def test_editdist_second_pass_catches_early_edit(spark, tmp_path):
     assert not any(4 in p for p in pairs)
     # union-dedup: each pair exactly once even if both bands emit it
     assert len(pairs) == len(out)
+
+
+def test_pca_power_recovers_planted_direction(spark, tmp_path):
+    """On a corpus WITH a dominant direction the 8-round fixed-point
+    iterate must align with the true top eigenvector (the synthetic
+    testdata embeddings are near-isotropic — eigengap ~1.02 — where
+    NO 8-round power method separates; the oracle hash pins exactness
+    there, this pins the semantics where they are observable). Also
+    pins unit normalization of the emitted loadings."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(7)
+    u = rng.normal(size=64)
+    u /= np.linalg.norm(u)
+    X = np.outer(rng.normal(size=400) * 3.0, u) + rng.normal(
+        size=(400, 64)
+    ) * 0.3
+    tbl = pa.table(
+        {
+            "vec_id": pa.array(range(400), pa.int64()),
+            "embedding": pa.array(
+                [row.astype(np.float32) for row in X],
+                pa.list_(pa.float32()),
+            ),
+            "label": pa.array([0] * 400, pa.int32()),
+        }
+    )
+    pq.write_table(tbl, str(tmp_path / "embeddings.parquet"))
+
+    from cuttlefish_spark.registry import load_all
+
+    rows = (
+        load_all()["embedding_pca_power"].fn(spark, str(tmp_path)).collect()
+    )
+    assert len(rows) == 64
+    v = np.zeros(64)
+    for r in rows:
+        v[r["dim"]] = r["loading"]
+    assert abs(np.linalg.norm(v) - 1.0) < 1e-9
+    assert abs(float(v @ u)) > 0.99
