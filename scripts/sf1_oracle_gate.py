@@ -123,6 +123,8 @@ GATE_QUERIES = [
     "ccnet_perplexity_buckets",
     "url_dedup_canonical",
     "curation_funnel_e2e",
+    "bpe_fertility_by_source",
+    "embedding_pca_power",
 ]
 
 SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard"}
