@@ -1072,11 +1072,11 @@ _PCA_XS = 1 << 20  # input quantization scale (exact: *2^20 is a pure
 _PCA_WS = 32       # per-vector projection down-shift (bounds S below 2^63)
 
 
-def _pca_oracle(n_iters: int) -> str:
-    """Unrolled n-round power iteration in pure int64 SQL. The
-    floor-division by the data-derived rescale uses the pmod identity
-    (DuckDB // truncates; Python // floors — see
-    test_integer_division_conventions_pinned)."""
+def _pca_cte_list(n_iters: int) -> list[str]:
+    """The shared CTE chain of the PCA oracles: x (exact fixed-point
+    matrix) and v0..v{n} (the iterates). The floor-division by the
+    data-derived rescale uses the pmod identity (DuckDB // truncates;
+    Python // floors — see test_integer_division_conventions_pinned)."""
     ctes = [
         f"""x AS MATERIALIZED (
         SELECT vec_id, j - 1 AS dim,
@@ -1109,8 +1109,12 @@ def _pca_oracle(n_iters: int) -> str:
         SELECT dim, (s - ((s % m.d) + m.d) % m.d) // m.d AS v
         FROM s{t} CROSS JOIN m{t} m
     )""")
+    return ctes
+
+
+def _pca_oracle(n_iters: int) -> str:
     return (
-        "WITH " + ",\n    ".join(ctes) + f"""
+        "WITH " + ",\n    ".join(_pca_cte_list(n_iters)) + f"""
     SELECT dim, v AS v_fixed,
            CAST(v AS DOUBLE) / sqrt(CAST(ns.ns AS DOUBLE)) AS loading
     FROM v{n_iters}
@@ -1153,22 +1157,59 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
     discipline); at 100 TB each round is one broadcast joined scan +
     one 64-key shuffle. The shift pair (32, 20) bounds every partial
     below 2^63 through sf100 given |x| <= ~8."""
-    e = load_table(spark, sf_dir, "embeddings")
-    x = (
-        e.select(
-            "vec_id",
-            F.posexplode(F.col("embedding").cast("array<double>")).alias(
-                "dim", "xd"
-            ),
-        )
-        .select(
-            "vec_id",
-            "dim",
-            F.floor(F.col("xd") * F.lit(_PCA_XS)).cast("long").alias("xf"),
-        )
-        .repartition("vec_id")
-        .localCheckpoint(eager=True)
+    v, ns = _pca_iterate(spark, sf_dir)
+    out = spark.createDataFrame(
+        [(j, int(v[j])) for j in range(_PCA_D)], "dim long, v_fixed long"
     )
+    return out.select(
+        "dim",
+        "v_fixed",
+        (
+            F.col("v_fixed").cast("double")
+            / F.sqrt(F.lit(ns).cast("double"))
+        ).alias("loading"),
+    )
+
+
+def _pca_x(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(vec_id, dim, xf): the exactly-quantized fixed-point embedding
+    matrix (xf = floor(x * 2^20), both steps exact — see
+    embedding_pca_power)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.posexplode(F.col("embedding").cast("array<double>")).alias(
+            "dim", "xd"
+        ),
+    ).select(
+        "vec_id",
+        "dim",
+        F.floor(F.col("xd") * F.lit(_PCA_XS)).cast("long").alias("xf"),
+    )
+
+
+# Converged-direction memo (the _QC_CACHE discipline): the power
+# iteration runs once per (session, corpus) and serves both
+# embedding_pca_power and embedding_abtt_projection.
+_PCA_CACHE: dict[tuple, tuple] = {}
+
+
+def _pca_iterate(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
+    """_PCA_T fixed-point power-iteration rounds; returns (v, ns) with
+    v the 64 int64 fixed-point coefficients and ns = sum(v^2) exact."""
+    import os
+
+    path = os.path.join(sf_dir, "embeddings.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir, 0, 0)
+    key = (spark.sparkContext.applicationId,) + key
+    if key in _PCA_CACHE:
+        return _PCA_CACHE[key]
+
+    x = _pca_x(spark, sf_dir).repartition("vec_id").localCheckpoint(eager=True)
     v = [0] * _PCA_D
     v[0] = _PCA_XS
     for _ in range(_PCA_T):
@@ -1195,14 +1236,87 @@ def embedding_pca_power(spark: SparkSession, sf_dir: str) -> DataFrame:
         d0 = max(1, m >> 20)
         v = [s.get(j, 0) // d0 for j in range(_PCA_D)]
     ns = sum(val * val for val in v)
-    out = spark.createDataFrame(
-        [(j, int(v[j])) for j in range(_PCA_D)], "dim long, v_fixed long"
+    _PCA_CACHE[key] = (v, ns)
+    return v, ns
+
+
+def _abtt_oracle(n_iters: int) -> str:
+    """The v{T} chain of the PCA oracle, joined back onto every vector:
+    per-vec exact int64 projection and squared norm, then IEEE-only
+    derived columns."""
+    ctes = _pca_cte_list(n_iters)
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    p AS (
+        SELECT x.vec_id,
+               CAST(sum(x.xf * v.v) AS BIGINT) AS proj_fixed,
+               CAST(sum(x.xf * x.xf) AS BIGINT) AS x2f
+        FROM x JOIN v{n_iters} v USING (dim) GROUP BY x.vec_id
     )
-    return out.select(
-        "dim",
-        "v_fixed",
+    SELECT vec_id, proj_fixed, x2f,
+           CAST(proj_fixed AS DOUBLE)
+               / ({float(_PCA_XS)} * sqrt(CAST(ns.ns AS DOUBLE))) AS proj,
+           CAST(proj_fixed AS DOUBLE)
+               / (sqrt(CAST(x2f AS DOUBLE)) * sqrt(CAST(ns.ns AS DOUBLE)))
+               AS cos_top
+    FROM p
+    CROSS JOIN (SELECT CAST(sum(v * v) AS BIGINT) AS ns FROM v{n_iters}) ns"""
+    )
+
+
+@query(
+    "embedding_abtt_projection",
+    layer="C",
+    oracle=_abtt_oracle(_PCA_T),
+)
+def embedding_abtt_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABTT common-component audit (Mu & Viswanath 2018, "All-but-the-
+    Top" — the standard embedding post-process: remove the dominant
+    direction(s) before similarity search, because the common
+    component inflates every cosine): per vector, its projection onto
+    the corpus's power-iteration top direction and its cosine to it —
+    the two numbers that decide how much of each embedding is shared
+    background vs content. Vectors with |cos_top| near 1 are almost
+    pure common component (dedup/similarity scores against them are
+    artifacts); the corrected vector is x - proj * u, one subtraction
+    away from the emitted columns.
+
+    Bit-reproducible like its parent: the direction comes from the
+    shared per-(session, corpus) power-iteration memo (ONE training
+    run serves embedding_pca_power and this audit), proj_fixed =
+    sum(xf * v) and x2f = sum(xf^2) are exact int64 sums over the
+    same exactly-quantized matrix, and the derived proj / cos_top are
+    IEEE-only expressions (sqrt is correctly-rounded by the standard)
+    over those identical integers — no rounding needed anywhere.
+
+    Scale shape: one explode + one broadcast join of the 64-row
+    direction + one per-vector aggregate (map-side combine on vec_id);
+    at 100 TB this is a single scan-shaped pass, embarrassingly
+    parallel, no skew (every key has exactly 64 rows)."""
+    v, ns = _pca_iterate(spark, sf_dir)
+    vdf = spark.createDataFrame(
+        [(j, int(v[j])) for j in range(_PCA_D)], "dim int, v long"
+    )
+    p = (
+        _pca_x(spark, sf_dir)
+        .join(F.broadcast(vdf), "dim")
+        .groupBy("vec_id")
+        .agg(
+            F.sum(F.col("xf") * F.col("v")).alias("proj_fixed"),
+            F.sum(F.col("xf") * F.col("xf")).alias("x2f"),
+        )
+    )
+    sq_ns = F.sqrt(F.lit(ns).cast("double"))
+    return p.select(
+        "vec_id",
+        "proj_fixed",
+        "x2f",
         (
-            F.col("v_fixed").cast("double")
-            / F.sqrt(F.lit(ns).cast("double"))
-        ).alias("loading"),
+            F.col("proj_fixed").cast("double")
+            / (F.lit(float(_PCA_XS)) * sq_ns)
+        ).alias("proj"),
+        (
+            F.col("proj_fixed").cast("double")
+            / (F.sqrt(F.col("x2f").cast("double")) * sq_ns)
+        ).alias("cos_top"),
     )

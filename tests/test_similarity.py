@@ -169,3 +169,19 @@ def test_pca_power_recovers_planted_direction(spark, tmp_path):
         v[r["dim"]] = r["loading"]
     assert abs(np.linalg.norm(v) - 1.0) < 1e-9
     assert abs(float(v @ u)) > 0.99
+
+
+def test_abtt_projection_identities(spark, sf_dir):
+    """Pythagoras in fixed point: |cos_top| <= 1 for every vector (the
+    projection never exceeds the norm), one row per embedding, and on
+    the planted-free corpus the mean |cos_top| is strictly between 0
+    and 1 (the direction is neither degenerate nor universal)."""
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.registry import load_all
+
+    rows = load_all()["embedding_abtt_projection"].fn(spark, sf_dir).collect()
+    n = load_table(spark, sf_dir, "embeddings").count()
+    assert len(rows) == n
+    assert all(abs(r["cos_top"]) <= 1.0 + 1e-12 for r in rows)
+    mean_abs = sum(abs(r["cos_top"]) for r in rows) / n
+    assert 0.0 < mean_abs < 1.0
