@@ -125,6 +125,7 @@ GATE_QUERIES = [
     "curation_funnel_e2e",
     "bpe_fertility_by_source",
     "embedding_pca_power",
+    "embedding_abtt_projection",
 ]
 
 SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard"}
