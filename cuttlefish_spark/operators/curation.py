@@ -1766,3 +1766,175 @@ def bpe_fertility_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_unmerged_words"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# host_pagerank — domain-authority scores over the host link graph
+# ---------------------------------------------------------------------------
+
+_PR_T = 10            # damped iterations
+_PR_SCALE = 1_000_000  # fixed-point rank scale
+_PR_D_NUM, _PR_D_DEN = 85, 100  # damping 0.85 as an exact rational
+_PR_OUT = 3           # synthesized out-links per host
+
+
+def _pr_oracle(n_iters: int) -> str:
+    """Unrolled fixed-point PageRank. Every value is a non-negative
+    int64, every division is a floor of non-negatives (DuckDB `//`
+    truncation == floor there), so no float and no pmod identity is
+    needed anywhere."""
+    ctes = [
+        f"""hosts AS MATERIALIZED (
+        SELECT host,
+               CAST(regexp_extract(host, 'www\\.h(\\d+)\\.', 1) AS BIGINT)
+                   AS idx,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM ({_HOST_SQL_FRAG})
+        GROUP BY host
+    )""",
+        f"""edges AS MATERIALIZED (
+        SELECT s.host AS src, t.host AS dst
+        FROM (
+            SELECT host, idx, (idx * 31 + 17 * k + 7) % 100 AS tgt
+            FROM hosts CROSS JOIN
+                 (SELECT unnest(generate_series(0, {_PR_OUT - 1})) AS k)
+        ) s JOIN hosts t ON t.idx = s.tgt
+        WHERE s.idx <> s.tgt
+    )""",
+        """deg AS (
+        SELECT src AS host, CAST(count(*) AS BIGINT) AS outdeg
+        FROM edges GROUP BY src
+    )""",
+        f"""r0 AS (
+        SELECT host, CAST({_PR_SCALE} AS BIGINT) AS r FROM hosts
+    )""",
+    ]
+    teleport = _PR_SCALE * (_PR_D_DEN - _PR_D_NUM) // _PR_D_DEN
+    for t in range(n_iters):
+        ctes.append(f"""c{t} AS MATERIALIZED (
+        SELECT e.dst AS host, CAST(sum(r.r // d.outdeg) AS BIGINT) AS c
+        FROM edges e
+        JOIN r{t} r ON r.host = e.src
+        JOIN deg d ON d.host = e.src
+        GROUP BY e.dst
+    )""")
+        ctes.append(f"""r{t + 1} AS MATERIALIZED (
+        SELECT h.host,
+               {teleport} + ({_PR_D_NUM} * coalesce(c.c, 0)) // {_PR_D_DEN}
+                   AS r
+        FROM hosts h LEFT JOIN c{t} c ON c.host = h.host
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT h.host, h.n_docs,
+           CAST(coalesce(d.outdeg, 0) AS BIGINT) AS outdeg,
+           r.r AS rank_fixed,
+           CAST(r.r AS DOUBLE) / {_PR_SCALE} AS rank
+    FROM hosts h
+    JOIN r{n_iters} r ON r.host = h.host
+    LEFT JOIN deg d ON d.host = h.host"""
+    )
+
+
+@query("host_pagerank", layer="C", oracle=_pr_oracle(_PR_T))
+def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Domain-authority scores by damped PageRank (Page et al. 1999)
+    over the host LINK graph — the domain-reputation signal
+    RefinedWeb-class curation uses to weight quality upstream of
+    content filters (a host linked by many authorities earns trust;
+    link farms decay). Hosts come from the corpus (the same parsed
+    host universe as url_host_profile — presence varies with sf since
+    small hosts may own zero docs at low scale); the link structure is
+    SYNTHESIZED deterministically (3 arithmetic out-links per
+    host, (idx*31 + 17k + 7) mod 100, dropped when the target host is
+    absent from the corpus or self) — the fixture; the ITERATION is
+    the operator under test. Ten rounds of
+    r <- teleport + floor(0.85 * sum_in(floor(r_u / outdeg_u))),
+    the pruned-dangling variant (absent-target mass is dropped, not
+    redistributed — documented semantics, standard for web-scale
+    implementations that prune cross-partition dangling bookkeeping).
+
+    Fixed-point int64 end to end: damping is the exact rational 85/100
+    and every division floors non-negative integers (DuckDB `//`
+    truncation == floor on non-negatives; Spark `div` likewise), so
+    each round is bit-identical across engines AND partitionings — no
+    float exists until the final display division. The oracle unrolls
+    the same ten rounds as CTEs.
+
+    Scale shape: the rank table is O(hosts) (~1e8 web-scale — far
+    beyond driver/broadcast, which is why the loop is TWO hash joins
+    (rank x edges, + degree) and one dst-keyed aggregate per round,
+    all AQE-friendly equi-joins, localCheckpointed per round to keep
+    lineage flat; nothing ever collects. The corpus is touched once
+    (host extraction); iterations run on the O(hosts + links)
+    remnant — the dedup_clusters contraction discipline applied to a
+    rank loop."""
+    h = _docs_with_host(spark, sf_dir)
+    hosts = (
+        h.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "host",
+            F.regexp_extract(F.col("host"), r"www\.h(\d+)\.", 1)
+            .cast("long")
+            .alias("idx"),
+            "n_docs",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ks = spark.range(_PR_OUT).select(F.col("id").alias("k"))
+    tgt = (F.col("idx") * 31 + 17 * F.col("k") + 7) % 100
+    src = hosts.crossJoin(F.broadcast(ks)).select(
+        F.col("host").alias("src"), "idx", tgt.alias("tgt")
+    )
+    tdf = hosts.select(F.col("host").alias("dst"), F.col("idx").alias("tidx"))
+    edges = (
+        src.join(tdf, src["tgt"] == tdf["tidx"])
+        .filter(F.col("idx") != F.col("tgt"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    deg = edges.groupBy(F.col("src").alias("host")).agg(
+        F.count(F.lit(1)).alias("outdeg")
+    )
+    esrc = edges.join(
+        deg.select(F.col("host").alias("src"), "outdeg"), "src"
+    ).localCheckpoint(eager=True)
+    teleport = _PR_SCALE * (_PR_D_DEN - _PR_D_NUM) // _PR_D_DEN
+    r = hosts.select("host", F.lit(_PR_SCALE).cast("long").alias("r"))
+    for _ in range(_PR_T):
+        c = (
+            esrc.join(r.select(F.col("host").alias("src"), "r"), "src")
+            .select(
+                F.col("dst").alias("host"),
+                F.expr("r div outdeg").alias("contrib"),
+            )
+            .groupBy("host")
+            .agg(F.sum("contrib").alias("c"))
+        )
+        r = (
+            hosts.select("host")
+            .join(c, "host", "left")
+            .select(
+                "host",
+                (
+                    F.lit(teleport)
+                    + F.expr(
+                        f"({_PR_D_NUM} * coalesce(c, 0L)) div {_PR_D_DEN}"
+                    )
+                ).cast("long").alias("r"),
+            )
+            .localCheckpoint(eager=True)
+        )
+    return (
+        hosts.select("host", "n_docs")
+        .join(r, "host")
+        .join(deg, "host", "left")
+        .select(
+            "host",
+            "n_docs",
+            F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
+            F.col("r").alias("rank_fixed"),
+            (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias("rank"),
+        )
+    )

@@ -255,3 +255,30 @@ def test_bpe_fertility_bounds(spark, sf_dir):
         assert r["n_words"] <= r["n_tokens"], r
         assert 1.0 <= r["fertility"], r
         assert 0 <= r["n_unmerged_words"] <= r["n_words"], r
+
+
+def test_host_pagerank_semantics(spark, sf_dir):
+    """Rank floor: every host holds at least the teleport mass; hosts
+    with in-links hold strictly more; zero-in-link hosts hold exactly
+    the teleport floor; ranks are positive and the graph is non-empty."""
+    rows = SPECS["host_pagerank"].fn(spark, sf_dir).collect()
+    assert rows
+    teleport = 1_000_000 * 15 // 100
+    hosts = {r["host"] for r in rows}
+    import re
+
+    def links_of(h):
+        i = int(re.search(r"www\.h(\d+)\.", h).group(1))
+        return {(i * 31 + 17 * k + 7) % 100 for k in range(3)} - {i}
+
+    has_inlink = set()
+    for r in rows:
+        for t in links_of(r["host"]):
+            tgt = f"www.h{t}.example.com"
+            if tgt in hosts:
+                has_inlink.add(tgt)
+    for r in rows:
+        if r["host"] in has_inlink:
+            assert r["rank_fixed"] > teleport, r
+        else:
+            assert r["rank_fixed"] == teleport, r
