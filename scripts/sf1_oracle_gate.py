@@ -126,6 +126,7 @@ GATE_QUERIES = [
     "bpe_fertility_by_source",
     "embedding_pca_power",
     "embedding_abtt_projection",
+    "host_pagerank",
 ]
 
 SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard"}
