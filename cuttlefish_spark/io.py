@@ -94,3 +94,18 @@ def write_bucketed(df: DataFrame, name: str, path: str, key: str,
     if sort:
         w = w.sortBy(key)
     w.option("path", path).format("parquet").saveAsTable(name)
+
+
+def memo_key(spark: SparkSession, sf_dir: str, table: str) -> tuple:
+    """Session-scoped memo key for derived-model caches (trained
+    weights, BPE merges, PCA direction): (applicationId, realpath,
+    mtime_ns, size) of the source parquet — localCheckpoints die with
+    their session, and a regenerated corpus must invalidate. One
+    definition so the recipe cannot drift between caches."""
+    path = os.path.join(sf_dir, f"{table}.parquet")
+    try:
+        st = os.stat(path)
+        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
+    except OSError:
+        key = (sf_dir, 0, 0)
+    return (spark.sparkContext.applicationId,) + key

@@ -1204,9 +1204,12 @@ _QC_CALIB_FINAL = f"""SELECT CAST(p_int * 8 // {_QC_SCALE} AS BIGINT) AS bin,
 )
 def quality_classifier_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Reliability diagram of the trained classifier: docs bucketed
-    into 8 equal probability bins (bin = p_int * 8 // S — exact integer
-    arithmetic; S is a power of two so the product never rounds), each
-    bin reporting mean predicted probability vs actual keep rate. A
+    by bin = p_int * 8 // S (exact integer arithmetic; S is a power of
+    two so the product never rounds) — 8 equal-width bins 0-7 plus a
+    9th bin 8 holding the docs whose hard-sigmoid output saturates at
+    exactly p_int == S (any score >= 2S clips there; mean_predicted is
+    exactly 1.0 for that bin) — each bin reporting mean predicted
+    probability vs actual keep rate. A
     calibrated filter's two columns track each other; systematic gaps
     say the scores need temperature scaling before thresholding —
     the standard pre-deployment audit for a learned quality filter.
@@ -1406,8 +1409,12 @@ def _url_canon(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     raw = d.select("doc_id", "source", "n_chars", url.alias("url"))
     host = F.lower(F.parse_url(F.col("url"), F.lit("HOST")))
+    # Strip ALL trailing slashes ('/+$'), matching the oracle's
+    # rtrim(path, '/') — a lone '/$' would diverge on inputs ending
+    # '//' (real crawls have them) even though the fixture only
+    # synthesizes one.
     path = F.regexp_replace(
-        F.parse_url(F.col("url"), F.lit("PATH")), "/$", ""
+        F.parse_url(F.col("url"), F.lit("PATH")), "/+$", ""
     )
     return raw.select(
         "doc_id",

@@ -16,7 +16,6 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuttlefish_spark.functions.markdown import markdown_to_html
 from cuttlefish_spark.io import load_table
 from cuttlefish_spark.registry import query
 from cuttlefish_spark.sources.adapters import dispatch_replay
