@@ -109,3 +109,26 @@ def memo_key(spark: SparkSession, sf_dir: str, table: str) -> tuple:
     except OSError:
         key = (sf_dir, 0, 0)
     return (spark.sparkContext.applicationId,) + key
+
+
+def memo_put(cache: dict, key: tuple, value) -> None:
+    """Insert into a derived-model memo (key = memo_key(...) + extras),
+    evicting entries for the SAME (applicationId, corpus path) whose
+    corpus identity (mtime, size) has changed — a regenerated corpus
+    must not leave superseded entries accumulating, nor their
+    localCheckpointed frames pinned in executor storage for the
+    session's lifetime. DataFrames inside an evicted value are
+    unpersisted; non-frame payloads (weight vectors) just drop."""
+    stale = [k for k in cache if k[:2] == key[:2] and k[2:4] != key[2:4]]
+    for k in stale:
+        for item in _flat(cache.pop(k)):
+            if isinstance(item, DataFrame):
+                try:
+                    item.unpersist()
+                except Exception:  # session already gone — nothing pinned
+                    pass
+    cache[key] = value
+
+
+def _flat(v) -> tuple:
+    return tuple(v) if isinstance(v, tuple) else (v,)

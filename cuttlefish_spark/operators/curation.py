@@ -403,16 +403,11 @@ def _bpe_train(
     corpus vocabulary (word, freq, syms after all merges), which
     bpe_token_stats aggregates; both are memoized per (session, corpus,
     depth) so the two queries train once."""
-    import os
     import time as _time
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = (sf_dir, 0, 0)
-    key = (spark.sparkContext.applicationId, n_merges) + key
+    from cuttlefish_spark.io import memo_key, memo_put
+
+    key = memo_key(spark, sf_dir, "documents") + (n_merges,)
     if round_secs is None and key in _BPE_CACHE:
         return _BPE_CACHE[key]
 
@@ -488,7 +483,7 @@ def _bpe_train(
         " pair_count long",
     )
     if round_secs is None:
-        _BPE_CACHE[key] = (merges_df, seq)
+        memo_put(_BPE_CACHE, key, (merges_df, seq))
     return merges_df, seq
 
 
@@ -968,15 +963,9 @@ def _qc_train(spark: SparkSession, sf_dir: str) -> tuple:
     Returns the checkpointed feats/labels too so callers score without
     re-deriving them; memo key includes the Spark applicationId because
     localCheckpoints die with their session."""
-    import os
+    from cuttlefish_spark.io import memo_key, memo_put
 
-    path = os.path.join(sf_dir, "documents.parquet")
-    try:
-        st = os.stat(path)
-        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = (sf_dir, 0, 0)
-    key = (spark.sparkContext.applicationId,) + key
+    key = memo_key(spark, sf_dir, "documents")
     if key in _QC_CACHE:
         return _QC_CACHE[key]
 
@@ -1010,7 +999,7 @@ def _qc_train(spark: SparkSession, sf_dir: str) -> tuple:
         # Python // floors — matches the oracle's pmod-spelled floordiv.
         for row in g_rows:
             w[row["bucket"]] -= int(row["g"]) // m
-    _QC_CACHE[key] = (w, n, feats, labels)
+    memo_put(_QC_CACHE, key, (w, n, feats, labels))
     return w, n, feats, labels
 
 
@@ -1298,11 +1287,21 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale shape: the LM scoring frame is shared plan-for-plan with
     lm_bigram_score (two corpus count aggregates with map-side
-    partials, pre-aggregated model join); the rank window partitions
-    by lang — at 100 TB a per-language full sort is the cost, and the
-    documented swap-in is the two-phase distributed rank of
-    feature_binning applied per language group, trading one collect of
-    O(partitions) counts for the single-task sort."""
+    partials, pre-aggregated model join); the per-language rank is the
+    TWO-PHASE distributed rank of token_budget_trim applied per
+    language group — never `row_number() OVER (PARTITION BY lang ...)`,
+    which at 5 language values sorts each language's entire corpus in
+    ONE task. Phase 1: range-repartition on (lang, lp_micro DESC,
+    doc_id) so partitions tile each language's total order, then
+    collect ONE (pid, lang, count) row per partition-language slice —
+    O(partitions × |langs|) scalars — and fold them into exclusive
+    per-slice rank offsets plus per-language totals on the driver.
+    Phase 2: each partition windows ONLY within itself (partitionBy
+    pid, lang) and adds its offset; the offset/total frame is a
+    broadcast of a few hundred rows. The result is identical for any
+    range-boundary placement because (lang, lp_micro DESC, doc_id) is
+    a strict total order. At 100 TB every task sorts ~1/numPartitions
+    of one language — no single-task funnel anywhere."""
     from cuttlefish_spark.operators.text import lm_scored
 
     d = load_table(spark, sf_dir, "documents")
@@ -1315,14 +1314,40 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from pyspark.sql import Window
 
-    w = Window.partitionBy("lang").orderBy(F.desc("lp_micro"), "doc_id")
-    wc = Window.partitionBy("lang")
-    ranked = dd.select(
+    nparts = spark.sparkContext.defaultParallelism
+    part = (
+        dd.repartitionByRange(
+            nparts, F.col("lang"), F.desc("lp_micro"), F.col("doc_id")
+        )
+        .withColumn("pid", F.spark_partition_id())
+        # One shuffle feeds two jobs (slice counts, then the windowed
+        # pass) — checkpoint so the scan+shuffle runs once.
+        .localCheckpoint()
+    )
+    slices = sorted(
+        (r["pid"], r["lang"], r["cnt"])
+        for r in part.groupBy("pid", "lang")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    rows = []
+    for pid, lang, cnt in slices:  # pid ascending = rank order per lang
+        rows.append((pid, lang, totals.get(lang, 0)))
+        totals[lang] = totals.get(lang, 0) + cnt
+    off_df = spark.createDataFrame(
+        [(p, lg, o, totals[lg]) for p, lg, o in rows],
+        "pid int, lang string, off bigint, n bigint",
+    )
+    w = Window.partitionBy("pid", "lang").orderBy(
+        F.desc("lp_micro"), "doc_id"
+    )
+    ranked = part.join(F.broadcast(off_df), ["pid", "lang"]).select(
         "lang",
         "n_bigrams",
         "lp_micro",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+        (F.row_number().over(w) + F.col("off")).alias("rn"),
+        "n",
     )
     bucket = (
         F.when(F.col("rn") <= F.expr("(n + 2) div 3"), F.lit("head"))
@@ -1599,7 +1624,11 @@ def curation_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     stages, the production shape where each stage persists its
     survivor manifest; at 100 TB the checkpoint becomes a parquet
     write and every stage remains a hash-partitioned aggregate or
-    broadcast-joined filter — no windows, no Python, no driver state.
+    equi-joined filter — no windows, no Python, no driver state. The
+    per-host count join carries no broadcast hint: at web scale the
+    host dimension (~1e8 rows, url_host_profile's own sizing) is far
+    beyond broadcast, and AQE picks broadcast on its own at test scale
+    where the aggregate is tiny.
     All funnel counts are int64; final_share is one IEEE division of
     identical integers."""
     canon = _url_canon(spark, sf_dir).localCheckpoint(eager=True)
@@ -1642,7 +1671,7 @@ def curation_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         % _FUNNEL_CAP_M
     )
     s3 = (
-        s2.join(F.broadcast(hagg), "host")
+        s2.join(hagg, "host")
         .crossJoin(F.broadcast(tot))
         .filter(h2 * F.col("n_host") < F.col("cap_docs") * F.lit(_FUNNEL_CAP_M))
     )

@@ -1197,15 +1197,9 @@ _PCA_CACHE: dict[tuple, tuple] = {}
 def _pca_iterate(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
     """_PCA_T fixed-point power-iteration rounds; returns (v, ns) with
     v the 64 int64 fixed-point coefficients and ns = sum(v^2) exact."""
-    import os
+    from cuttlefish_spark.io import memo_key, memo_put
 
-    path = os.path.join(sf_dir, "embeddings.parquet")
-    try:
-        st = os.stat(path)
-        key = (os.path.realpath(path), st.st_mtime_ns, st.st_size)
-    except OSError:
-        key = (sf_dir, 0, 0)
-    key = (spark.sparkContext.applicationId,) + key
+    key = memo_key(spark, sf_dir, "embeddings")
     if key in _PCA_CACHE:
         return _PCA_CACHE[key]
 
@@ -1236,7 +1230,7 @@ def _pca_iterate(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
         d0 = max(1, m >> 20)
         v = [s.get(j, 0) // d0 for j in range(_PCA_D)]
     ns = sum(val * val for val in v)
-    _PCA_CACHE[key] = (v, ns)
+    memo_put(_PCA_CACHE, key, (v, ns))
     return v, ns
 
 

@@ -87,3 +87,38 @@ def global_ordered_windows(df: DataFrame) -> list[str]:
         if " ASC" in first_arg or " DESC" in first_arg:
             flagged.append(m.group(0)[:120])
     return flagged
+
+
+def low_card_ordered_windows(
+    df: DataFrame, low_card: frozenset[str] = frozenset({"lang"})
+) -> list[str]:
+    """windowspecdefinition occurrences that are ORDERED and whose
+    partition columns are ALL drawn from a known low-cardinality key
+    set (default: `lang`, a 5-value column) — the same single-task
+    funnel as a global ordered window, just split 5 ways. A window
+    co-partitioned with a high-cardinality column (e.g. pid, lang) is
+    fine and not flagged.
+
+    Same detection surface as global_ordered_windows: the analyzed
+    plan's windowspecdefinition argument list is (partitionCols...,
+    orderCols ASC|DESC..., frame); partition columns are the args
+    before the first direction-carrying arg, named `col#id`."""
+    import re
+
+    plan = df._jdf.queryExecution().analyzed().toString()
+    flagged = []
+    for m in re.finditer(
+        r"windowspecdefinition\(([^()]*(?:\([^()]*\))?[^()]*)", plan
+    ):
+        part_names = []
+        ordered = False
+        for arg in m.group(1).split(","):
+            if " ASC" in arg or " DESC" in arg:
+                ordered = True
+                break
+            nm = re.match(r"\s*(\w+)#\d+", arg)
+            if nm:
+                part_names.append(nm.group(1))
+        if ordered and part_names and set(part_names) <= low_card:
+            flagged.append(m.group(0)[:120])
+    return flagged

@@ -24,11 +24,12 @@ def test_oracle_match(spark, sf_dir, name):
     compare(spark_pdf, oracle_pdf, name)
 
 
-@pytest.mark.parametrize("name", ROWS_ONLY_NAMES)
-def test_rows_only_runs(spark, sf_dir, name):
-    df = SPECS[name].fn(spark, sf_dir)
-    assert len(df.schema.fields) > 0
-    assert df.count() >= 0
+def test_every_query_has_an_oracle():
+    """All declared queries carry a DuckDB oracle — the rows-only
+    (weaker, count-and-schema-only) tier is empty and must stay so: a
+    new query landing without an oracle fails here, not silently in
+    the driver's weaker check."""
+    assert ROWS_ONLY_NAMES == []
 
 
 @pytest.mark.parametrize("name", ORACLE_NAMES)

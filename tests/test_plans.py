@@ -256,6 +256,25 @@ def test_no_global_ordered_windows(spark, sf_dir):
     assert not offenders, f"global ordered windows: {offenders}"
 
 
+def test_no_lang_only_ordered_windows(spark, sf_dir):
+    """No query may contain an ORDERED window partitioned ONLY by
+    `lang` (a 5-value key) — at 100× each language's entire corpus
+    would sort in ONE task, the same funnel as a global window split 5
+    ways. ccnet_perplexity_buckets' two-phase rank (partitionBy pid,
+    lang) is the sanctioned shape. No exemptions: every lang-keyed
+    query in the surface either windows a bounded per-language
+    aggregate under a wider partition spec or uses the two-phase
+    rank."""
+    from cuttlefish_spark.plans.checks import low_card_ordered_windows
+
+    offenders = {}
+    for name, spec in SPECS.items():
+        flagged = low_card_ordered_windows(spec.fn(spark, sf_dir))
+        if flagged:
+            offenders[name] = flagged[0]
+    assert not offenders, f"lang-only ordered windows: {offenders}"
+
+
 def test_weighted_sampling_builds_without_driver_jobs(spark, sf_dir):
     """weighted_sampling must be ONE lazy DAG: building the frame may
     not run any Spark job (the old plan ran a separate d.count() for
