@@ -28,6 +28,14 @@ from cuttlefish_spark.session import get_spark  # noqa: E402
 
 
 def main() -> None:
+    # --median3 [names...]: noise-diagnosis mode — run each named query
+    # (default: all) THREE times and report the median instead of
+    # min-of-2, the statistic to quote when adjudicating whether a
+    # cross-round per-query swing is host noise or a plan regression
+    # (min-of-2 still absorbs one slow run; median-of-3 needs two).
+    argv = sys.argv[1:]
+    median3 = "--median3" in argv
+    only = [a for a in argv if not a.startswith("--")]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("cuttlefish-bench")
@@ -74,20 +82,34 @@ def main() -> None:
     # reported as cold_total_sec for the record.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
-    for name in sorted(specs):
+    names = [n for n in sorted(specs) if not only or n in only]
+    n_runs = 3 if median3 else 2
+    for name in names:
         runs = []
-        for _ in range(2):
+        for _ in range(n_runs):
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
-        timings[name] = round(min(runs), 3)
+        timings[name] = round(sorted(runs)[1] if median3 else min(runs), 3)
         # Cache hygiene: the dedup/LSH queries persist signature tables
         # internally; dropping them between queries keeps each timing a
         # function of ITS plan, not of a neighbor's leftover cache
         # pressure (executor memory eviction churn showed up as 3-4x
         # noise on queries that happened to run after the dedup block).
         spark.catalog.clearCache()
+
+    # Host-speed reference: a fixed pure-CPU JVM aggregation (no IO, no
+    # Python, no shuffle) whose cost depends ONLY on available cycles.
+    # Cross-round per-query swings divide by this to separate "the host
+    # is slower/busier today" from "the plan regressed" (r7's 0.5-6x
+    # same-code swings were unadjudicable without it).
+    ref_runs = []
+    for _ in range(2):  # min-of-2: one co-tenant spike can't skew the reference
+        t0 = time.perf_counter()
+        spark.range(500_000_000).selectExpr("sum(id % 7)").collect()
+        ref_runs.append(time.perf_counter() - t0)
+    host_ref = round(min(ref_runs), 3)
 
     # Reference-parity microbenchmark (BASELINE.md): the Layer-A
     # normalize-and-account pipeline over `events`, reported as rows/s.
@@ -102,21 +124,23 @@ def main() -> None:
 
     total = round(sum(timings.values()), 3)
     out = {
-        "metric": "queryset_wall_clock",
+        "metric": "queryset_wall_clock_median3" if median3 else "queryset_wall_clock",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "normalize_events_rows_per_sec": normalize_rps,
+        "host_ref_sec": host_ref,
     }
     # The driver's BENCH_r{N}.json keeps only the tail of stdout, which
     # truncates the per-query map (r6 VERDICT item 6: 74/176 survived).
     # Persist the FULL per-query record (min-of-2 AND cold) to a file so
     # cross-round regression diffs cover the whole surface; each round's
     # copy is committed as BENCH_FULL_r{N}.json.
-    with open(Path(REPO) / "BENCH_FULL.json", "w") as f:
-        json.dump({**out, "queries_cold": cold}, f, indent=1, sort_keys=True)
+    if not median3 and not only:  # don't clobber the full record from a subset run
+        with open(Path(REPO) / "BENCH_FULL.json", "w") as f:
+            json.dump({**out, "queries_cold": cold}, f, indent=1, sort_keys=True)
     print(json.dumps(out))
 
 
