@@ -446,6 +446,89 @@ def ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_NJ_TOPK = 3
+_NJ_TOPK_MIN = 0.5
+
+
+@query(
+    "ngram_jaccard_topk",
+    layer="C",
+    oracle=f"""
+    WITH sig AS ({_TOKSIG_SQL}),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (a.band1 = b.band1 OR a.band2 = b.band2)
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b, CAST(i AS DOUBLE) / (na + nb - i) AS jaccard
+        FROM (
+            SELECT c.doc_a, c.doc_b,
+                   len(list_intersect(sa.hw, sb.hw)) AS i,
+                   len(sa.hw) AS na, len(sb.hw) AS nb
+            FROM cand c
+            JOIN sig sa ON sa.doc_id = c.doc_a
+            JOIN sig sb ON sb.doc_id = c.doc_b
+        ) WHERE CAST(i AS DOUBLE) / (na + nb - i) >= {_NJ_TOPK_MIN}
+    ),
+    sym AS (
+        SELECT doc_a AS doc_id, doc_b AS partner_id, jaccard FROM pairs
+        UNION ALL
+        SELECT doc_b AS doc_id, doc_a AS partner_id, jaccard FROM pairs
+    )
+    SELECT doc_id, partner_id, jaccard, rnk FROM (
+        SELECT doc_id, partner_id, jaccard,
+               row_number() OVER (PARTITION BY doc_id
+                                  ORDER BY jaccard DESC, partner_id) AS rnk
+        FROM sym
+    ) WHERE rnk <= {_NJ_TOPK}
+    """,
+)
+def ngram_jaccard_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BOUNDED near-dup partner lists: each document's top-{_NJ_TOPK}
+    most-similar neighbors (exact token-set Jaccard >= {_NJ_TOPK_MIN},
+    ties broken by partner id) over the same banded MinHash candidates
+    as ngram_jaccard. This is the output contract a 100 TB *consumer*
+    of near-dup evidence should take: ngram_jaccard's exhaustive pair
+    dump is O(dups^2) rows at the output (87M true pairs at sf1,
+    vol_exp 1.97 — semantics-bound, PLANS.md Notes), correct for an
+    audit/oracle but unusable as a downstream manifest; the top-k form
+    caps the output at k rows per document while the candidate-side
+    cost is identical (same band joins, same length prune, same
+    single-intersect Jaccard).
+
+    The rank window partitions by doc_id — corpus-cardinality key, so
+    no task ever sees more than one document's candidate partners
+    (bounded by that doc's band-collision fan-out, not the corpus).
+    Jaccard doubles are IEEE divisions of identical integers in both
+    engines, so the (jaccard DESC, partner_id) order — and therefore
+    the emitted row set — is engine-identical."""
+    from pyspark.sql import Window
+
+    cand = _token_band_candidates(spark, sf_dir, min_jaccard=_NJ_TOPK_MIN)
+    pairs = (
+        cand.select("doc_a", "doc_b", _hashed_jaccard().alias("jaccard"))
+        .filter(F.col("jaccard") >= _NJ_TOPK_MIN)
+    )
+    sym = pairs.select(
+        F.col("doc_a").alias("doc_id"),
+        F.col("doc_b").alias("partner_id"),
+        "jaccard",
+    ).unionByName(
+        pairs.select(
+            F.col("doc_b").alias("doc_id"),
+            F.col("doc_a").alias("partner_id"),
+            "jaccard",
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.desc("jaccard"), "partner_id")
+    return (
+        sym.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= _NJ_TOPK)
+    )
+
+
 _CLUSTER_EDGE_SQL = f"""
         SELECT c.doc_a, c.doc_b
         FROM (SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b

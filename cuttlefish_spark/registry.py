@@ -35,6 +35,7 @@ _OPERATOR_MODULES = [
     "cuttlefish_spark.operators.scale",
     "cuttlefish_spark.operators.text",
     "cuttlefish_spark.operators.curation",
+    "cuttlefish_spark.operators.unigram",
     "cuttlefish_spark.operators.dedup",
     "cuttlefish_spark.operators.similarity",
     "cuttlefish_spark.operators.multimodal",

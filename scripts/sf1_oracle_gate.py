@@ -127,9 +127,41 @@ GATE_QUERIES = [
     "embedding_pca_power",
     "embedding_abtt_projection",
     "host_pagerank",
+    # r8 growth (r7 VERDICT item 4), stalest-first: the r4-era
+    # embedding family value-compared over the 20k-vector sf1 table
+    "embedding_kmeans",
+    "embedding_centroids",
+    "embedding_quantize",
+    "embedding_cosine_topk",
+    "ann_ivf_topk",
+    "ivf_recall_audit",
+    "negative_sampling",
+    "embedding_array_stats",
+    # the streaming eight against 10x input (1M-row events: 10x state
+    # store volume; drained stream == batch SQL at scale)
+    "streaming_tumbling_hourly",
+    "streaming_sessionize",
+    "streaming_dedup",
+    "streaming_interval_join",
+    "streaming_running_totals",
+    "streaming_hopping_halfhour",
+    "streaming_left_interval_join",
+    "streaming_restart_dedup",
+    # r4-era text/dedup stalest cohort
+    "exact_dedup_docs",
+    "doc_fingerprint",
+    "token_count_bpe",
+    "sequence_packing",
+    # r8 additions: unigram ladder, real-PPM multimodal pair, bounded
+    # near-dup manifests (subset — pair-volume-bound like ngram_jaccard)
+    "unigram_train",
+    "unigram_token_stats",
+    "multimodal_decode",
+    "multimodal_resize",
+    "ngram_jaccard_topk",
 ]
 
-SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard"}
+SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard", "ngram_jaccard_topk"}
 
 EVENTS_N = 1_000_000
 EVENTS_USERS = 15_000

@@ -169,3 +169,33 @@ def test_token_bucket_header_backoff():
     n = len(sleeps)
     tb.acquire()
     assert len(sleeps) == n  # plenty remaining -> no backoff
+
+
+def test_ppm_decoder_roundtrip_and_guard():
+    """_decode_ppm genuinely parses the format: round-trips the
+    synthesized payload (dims + every pixel byte), rejects non-PPM
+    magics with NotImplementedError (the absent-codec guard), and
+    survives pixel bytes that collide with whitespace (the header
+    parser must consume exactly one separator after maxval)."""
+    import numpy as np
+    import pytest as _pytest
+
+    from cuttlefish_spark.operators.multimodal import (
+        _decode_ppm,
+        _ppm_dims,
+        _ppm_payload,
+    )
+
+    for doc_id in (0, 1, 5, 7, 12, 254, 255, 256):
+        w, h, px = _decode_ppm(_ppm_payload(doc_id))
+        assert (w, h) == _ppm_dims(doc_id)
+        expect = (doc_id * 7 + np.arange(w * h * 3)) % 256
+        assert (px.reshape(-1) == expect).all()
+    # doc_id=38: first pixel byte is 0x0A (38*7 % 256 == 10) — the
+    # whitespace-collision case a split(None)-style parser corrupts
+    w, h, px = _decode_ppm(_ppm_payload(38))
+    assert px.reshape(-1)[0] == 10
+    with _pytest.raises(NotImplementedError):
+        _decode_ppm(b"\xff\xd8\xff\xe0 jpeg bytes")
+    with _pytest.raises(NotImplementedError):
+        _decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
