@@ -122,9 +122,10 @@ def memo_put(cache: dict, key: tuple, value) -> None:
     stale = [k for k in cache if k[:2] == key[:2] and k[2:4] != key[2:4]]
     for k in stale:
         for item in _flat(cache.pop(k)):
-            if isinstance(item, DataFrame):
+            unpersist = getattr(item, "unpersist", None)
+            if callable(unpersist):
                 try:
-                    item.unpersist()
+                    unpersist()
                 except Exception:  # session already gone — nothing pinned
                     pass
     cache[key] = value

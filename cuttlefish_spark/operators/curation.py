@@ -1974,3 +1974,161 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias("rank"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# dsir_importance — DSIR importance-weighted data selection (Xie 2023)
+# ---------------------------------------------------------------------------
+
+_DSIR_B = 128  # hashed bigram feature buckets
+
+_DSIR_SQL = rf"""
+    WITH lbl AS MATERIALIZED (
+        SELECT doc_id, keep FROM ({_GOPHER_SQL})
+    ),
+    toks AS MATERIALIZED (
+        SELECT doc_id, source,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    bg AS MATERIALIZED (
+        SELECT doc_id, source,
+               CAST('0x' || substr(md5('dsir:' || w[CAST(i AS INT)] || '_'
+                                        || w[CAST(i AS INT) + 1]), 1, 15)
+                    AS BIGINT) % {_DSIR_B} AS bucket
+        FROM (SELECT doc_id, source, w,
+                     unnest(CASE WHEN len(w) < 2 THEN []::BIGINT[]
+                            ELSE generate_series(1, len(w) - 1) END) AS i
+              FROM toks)
+    ),
+    pc AS MATERIALIZED (
+        SELECT doc_id, source, bucket, CAST(count(*) AS BIGINT) AS cnt
+        FROM bg GROUP BY doc_id, source, bucket
+    ),
+    tb AS MATERIALIZED (
+        SELECT bucket,
+               CAST(sum(CASE WHEN l.keep THEN cnt ELSE 0 END) AS BIGINT) AS t_b,
+               CAST(sum(cnt) AS BIGINT) AS r_b
+        FROM pc JOIN lbl l USING (doc_id)
+        GROUP BY bucket
+    ),
+    tot AS (
+        SELECT CAST(sum(t_b) + {_DSIR_B} AS BIGINT) AS t2,
+               CAST(sum(r_b) + {_DSIR_B} AS BIGINT) AS r2
+        FROM tb
+    ),
+    lr AS MATERIALIZED (
+        SELECT bucket,
+               CAST(length(bin(CAST((t_b + 1) * r2 AS BIGINT)))
+                    - length(bin(CAST((r_b + 1) * t2 AS BIGINT)))
+                    AS BIGINT) AS lr
+        FROM tb, tot
+    ),
+    sc AS MATERIALIZED (
+        SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS n_bigrams,
+               CAST(sum(p.cnt * lr.lr) AS BIGINT) AS importance
+        FROM pc p JOIN lr USING (bucket)
+        GROUP BY p.doc_id
+    )
+    SELECT d.doc_id, d.source,
+           coalesce(s.n_bigrams, 0) AS n_bigrams,
+           coalesce(s.importance, 0) AS importance,
+           coalesce(s.importance, 0) >= 0 AS keep
+    FROM documents d LEFT JOIN sc s USING (doc_id)
+"""
+
+
+@query("dsir_importance", layer="C", oracle=_DSIR_SQL)
+def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR — Data Selection via Importance Resampling (Xie et al.
+    2023, the standard method for steering a raw crawl toward a target
+    domain): estimate hashed-n-gram language models of the TARGET
+    (here: the Gopher-rule-passing subset, the same proxy-target trick
+    the quality classifier trains on) and the RAW corpus, then score
+    every document by its importance log-ratio sum_f n_f(x) *
+    log(p_target(f)/p_raw(f)) over hashed bigram features, and keep
+    docs whose importance clears the threshold (>= 0; real DSIR
+    resamples with Gumbel noise — the deterministic gate is the
+    engine's declared variant, the scoring is the paper's).
+
+    Fixed-point discipline: features are hashed word bigrams into
+    {_DSIR_B} buckets (hash60 % {_DSIR_B}, the portable md5 recipe);
+    each bucket's log-ratio is the BIT-RESOLUTION integer log2,
+    lr[b] = bits((t_b+1) * R') - bits((r_b+1) * T') with bits(x) =
+    length(bin(x)) — exactly floor-log2 of the add-one-smoothed
+    probability ratio, the same integer-log surrogate as the unigram
+    trainer's costs — so the whole query is int64 end to end, no IEEE
+    op anywhere. Docs with <2 tokens carry importance 0 and pass (the
+    unscoreable-docs convention of ccnet_perplexity_buckets).
+
+    Scale shape: one narrow bigram explode -> a {_DSIR_B}-key count
+    aggregate (map-side combine, constant-size shuffle) -> the lr
+    table is {_DSIR_B} rows by construction and broadcast-joins back
+    to the per-doc counts -> one doc-key aggregate. No window, no
+    Python, no collect; at 100 TB this is two scan-bound passes and a
+    constant-width model join — the cheapest data-selection rung in
+    the ladder (the trained classifier costs 24 fixed-point steps;
+    DSIR costs two corpus counts)."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    toks = d.select("doc_id", "source", tokens(F.col("text")).alias("w"))
+    bucket = (
+        hash60(F.concat(F.lit("dsir:"), F.col("sh"))) % _DSIR_B
+    ).alias("bucket")
+    pc = (
+        toks.select(
+            "doc_id",
+            "source",
+            F.explode(word_shingles(F.col("w"), k=2, sep="_")).alias("sh"),
+        )
+        .select("doc_id", "source", bucket)
+        .groupBy("doc_id", "source", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        # Read by both the bucket-model aggregate and the per-doc scorer
+        # — checkpoint so the corpus explode+count runs ONCE (at scale:
+        # the persisted feature manifest between the two passes).
+        .localCheckpoint(eager=True)
+    )
+    lbl = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    tb = (
+        pc.join(lbl, "doc_id")
+        .groupBy("bucket")
+        .agg(
+            F.sum(F.when(F.col("keep"), F.col("cnt")).otherwise(0))
+            .cast("long")
+            .alias("t_b"),
+            F.sum("cnt").cast("long").alias("r_b"),
+        )
+    )
+    tot = tb.agg(
+        (F.sum("t_b") + F.lit(_DSIR_B)).cast("long").alias("t2"),
+        (F.sum("r_b") + F.lit(_DSIR_B)).cast("long").alias("r2"),
+    )
+    bits = lambda c: F.length(F.bin(c))  # noqa: E731
+    lr = tb.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        (
+            bits((F.col("t_b") + 1) * F.col("r2"))
+            - bits((F.col("r_b") + 1) * F.col("t2"))
+        ).cast("long").alias("lr"),
+    )
+    sc = (
+        pc.join(F.broadcast(lr), "bucket")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("cnt").cast("long").alias("n_bigrams"),
+            F.sum(F.col("cnt") * F.col("lr")).cast("long").alias("importance"),
+        )
+    )
+    return (
+        d.select("doc_id", "source")
+        .join(sc, "doc_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.coalesce("n_bigrams", F.lit(0)).cast("long").alias("n_bigrams"),
+            F.coalesce("importance", F.lit(0)).cast("long").alias("importance"),
+            (F.coalesce("importance", F.lit(0)) >= 0).alias("keep"),
+        )
+    )

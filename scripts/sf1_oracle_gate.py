@@ -159,6 +159,7 @@ GATE_QUERIES = [
     "multimodal_decode",
     "multimodal_resize",
     "ngram_jaccard_topk",
+    "dsir_importance",
 ]
 
 SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard", "ngram_jaccard_topk"}

@@ -199,3 +199,32 @@ def test_ppm_decoder_roundtrip_and_guard():
         _decode_ppm(b"\xff\xd8\xff\xe0 jpeg bytes")
     with _pytest.raises(NotImplementedError):
         _decode_ppm(b"P6\n2 2\n65535\n" + b"\x00" * 24)
+
+
+def test_memo_put_evicts_superseded_corpus_entries():
+    """memo_put keeps at most one corpus identity per (session, path):
+    inserting a key with a changed (mtime, size) evicts the superseded
+    entry and unpersists DataFrames inside its value; entries for other
+    paths or other sessions — and same-identity keys with different
+    extras (BPE depth) — survive."""
+    from cuttlefish_spark.io import memo_put
+
+    class FakeDF:
+        def __init__(self):
+            self.unpersisted = False
+
+        def unpersist(self):
+            self.unpersisted = True
+
+    cache: dict = {}
+    old_df = FakeDF()
+    memo_put(cache, ("app", "/p/docs", 100, 5), ("w", old_df))
+    memo_put(cache, ("app", "/p/docs", 100, 5, 8), "depth8")  # extra key
+    memo_put(cache, ("app", "/p/other", 100, 5), "other-path")
+    # same path, new mtime -> both /p/docs entries evicted, df unpersisted
+    memo_put(cache, ("app", "/p/docs", 200, 6), "fresh")
+    assert old_df.unpersisted
+    assert ("app", "/p/docs", 100, 5) not in cache
+    assert ("app", "/p/docs", 100, 5, 8) not in cache
+    assert cache[("app", "/p/docs", 200, 6)] == "fresh"
+    assert cache[("app", "/p/other", 100, 5)] == "other-path"
