@@ -1661,3 +1661,83 @@ def adaptive_length_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(keep, F.col("n_chars"))).cast("long").alias("kept_chars"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# c4_line_filter — C4's line-level cleaning rules (Raffel et al. 2020)
+# ---------------------------------------------------------------------------
+
+_C4_MIN_LINE_WORDS = 5  # C4: retain lines with >= 5 words
+_C4_MIN_KEPT_LINES = 3  # C4: drop pages with < 3 retained sentences/lines
+
+_C4_SQL = rf"""
+    WITH l AS (
+        SELECT doc_id, source,
+               contains(lower(text), 'lorem ipsum') AS has_lorem,
+               contains(text, '{{') AS has_brace,
+               regexp_split_to_array(text, '\n') AS lines
+        FROM documents
+    ),
+    k AS (
+        SELECT doc_id, source, has_lorem, has_brace,
+               CAST(len(lines) AS BIGINT) AS n_lines,
+               list_filter(lines, x ->
+                   regexp_matches(rtrim(x), '[.!?"]$')
+                   AND len(regexp_split_to_array(trim(x), '\s+'))
+                           >= {_C4_MIN_LINE_WORDS}
+                   AND trim(x) != '') AS kept
+        FROM l
+    )
+    SELECT doc_id, source, n_lines,
+           CAST(len(kept) AS BIGINT) AS n_kept_lines,
+           CAST(coalesce(list_sum(list_transform(kept, x -> length(trim(x)))),
+                         0) AS BIGINT) AS kept_chars,
+           (len(kept) >= {_C4_MIN_KEPT_LINES}
+            AND NOT has_lorem AND NOT has_brace) AS page_keep
+    FROM k
+"""
+
+
+@query("c4_line_filter", layer="C", oracle=_C4_SQL)
+def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """C4's line-level cleaning pass (Raffel et al. 2020 §2.2, the
+    rules behind the most-used public pretraining corpus): per LINE,
+    retain only lines that end in terminal punctuation ('.', '!', '?',
+    '\"'), carry at least {_C4_MIN_LINE_WORDS} words, and are
+    non-blank; per PAGE, keep only documents with at least
+    {_C4_MIN_KEPT_LINES} retained lines and no 'lorem ipsum' /
+    curly-brace contamination (the placeholder-text and leaked-code
+    tells). Emits the per-document funnel numbers a pipeline owner
+    tracks: total lines, retained lines, retained char volume, and the
+    page verdict. Complements gopher_quality_rules (document-level
+    statistics) exactly as the two coexist in production stacks —
+    C4's scalpel before Gopher's gate.
+
+    Everything is counts, booleans, and exact char sums — no float
+    exists anywhere, so cross-engine hashing is trivial. Plan: ONE
+    narrow projection per document (split + filter + aggregate all
+    inside JVM lambda expressions, no explode — the line fan-out never
+    materializes as rows), zero shuffles, scan-bound at any scale."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    lines = F.split(F.col("text"), "\n")
+    is_kept = lambda x: (  # noqa: E731
+        F.rtrim(x).rlike('[.!?"]$')
+        & (F.size(tokens(x, lowercase=False)) >= _C4_MIN_LINE_WORDS)
+        & (F.trim(x) != "")
+    )
+    kept = F.filter(lines, is_kept)
+    kept_chars = F.aggregate(
+        kept, F.lit(0).cast("long"), lambda acc, x: acc + F.length(F.trim(x))
+    )
+    return d.select(
+        "doc_id",
+        "source",
+        F.size(lines).cast("long").alias("n_lines"),
+        F.size(kept).cast("long").alias("n_kept_lines"),
+        kept_chars.alias("kept_chars"),
+        (
+            (F.size(kept) >= _C4_MIN_KEPT_LINES)
+            & ~F.lower(F.col("text")).contains("lorem ipsum")
+            & ~F.col("text").contains("{")
+        ).alias("page_keep"),
+    )

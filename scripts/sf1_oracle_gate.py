@@ -160,6 +160,7 @@ GATE_QUERIES = [
     "multimodal_resize",
     "ngram_jaccard_topk",
     "dsir_importance",
+    "c4_line_filter",
 ]
 
 SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard", "ngram_jaccard_topk"}
