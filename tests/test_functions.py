@@ -228,3 +228,61 @@ def test_memo_put_evicts_superseded_corpus_entries():
     assert ("app", "/p/docs", 100, 5, 8) not in cache
     assert cache[("app", "/p/docs", 200, 6)] == "fresh"
     assert cache[("app", "/p/other", 100, 5)] == "other-path"
+
+
+# --- unigram Viterbi DP (operators/unigram.py) ----------------------
+
+
+def _brute_force_viterbi(word: str, cost: dict) -> tuple[int, str]:
+    """Reference: enumerate EVERY segmentation into known pieces of
+    length 1..4 and take the (cost, seg-string) lexicographic min —
+    the semantics the DP fold claims."""
+    best: list[tuple[int, str] | None] = [None] * (len(word) + 1)
+    # exhaustive DFS, no memo: word <= 8 chars keeps it trivial
+    results: list[tuple[int, str]] = []
+
+    def rec(pos: int, acc_cost: int, pieces: list[str]) -> None:
+        if pos == len(word):
+            results.append((acc_cost, " ".join(pieces)))
+            return
+        for L in range(1, 5):
+            piece = word[pos : pos + L]
+            if len(piece) == L and piece in cost:
+                rec(pos + L, acc_cost + cost[piece], pieces + [piece])
+
+    rec(0, 0, [])
+    assert results, f"unsegmentable word {word!r}"
+    return min(results)
+
+
+@settings(max_examples=12, deadline=None, suppress_health_check=list(HealthCheck))
+@given(st.data())
+def test_unigram_viterbi_matches_brute_force(spark, data):
+    """The F.aggregate Viterbi fold returns the SAME segmentation as
+    exhaustive enumeration under (cost, seg) lexicographic order —
+    including tie-breaks, the part a hash match at one corpus can't
+    fully pin."""
+    from pyspark.sql import Row
+
+    from cuttlefish_spark.operators.unigram import _ug_seg_col
+
+    alphabet = "ab"
+    words = [
+        "".join(data.draw(st.sampled_from(alphabet)) for _ in range(
+            data.draw(st.integers(min_value=1, max_value=8))))
+        for _ in range(4)
+    ]
+    # vocab: all single chars (reachability invariant) + random pieces
+    pieces = {c: data.draw(st.integers(min_value=1, max_value=9)) for c in alphabet}
+    for _ in range(data.draw(st.integers(min_value=0, max_value=6))):
+        L = data.draw(st.integers(min_value=2, max_value=4))
+        p = "".join(data.draw(st.sampled_from(alphabet)) for _ in range(L))
+        pieces[p] = data.draw(st.integers(min_value=1, max_value=9))
+
+    df = spark.createDataFrame([Row(word=w) for w in words])
+    got = {
+        r["word"]: r["seg"]
+        for r in df.select("word", _ug_seg_col(pieces).alias("seg")).collect()
+    }
+    for w in words:
+        assert got[w] == _brute_force_viterbi(w, pieces)[1], (w, pieces)
