@@ -597,7 +597,16 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank /
     cume_dist) per event_type, ordered by value with event_id as the
     deterministic tiebreak. One shuffle on event_type; all three
-    functions share the single sorted window pass."""
+    functions share the single sorted window pass.
+
+    Scale caveat (the declared exemption in
+    test_no_low_card_ordered_windows): this query DEMONSTRATES the
+    built-in analytic-function surface over the canonical event_type
+    grouping — event_type is a ~5-value key, so at 100 TB each type's
+    stream sorts in one task. A pipeline op needing per-group
+    distribution stats at scale takes the two-phase rank of
+    adaptive_length_cutoff instead (percent_rank/cume_dist are
+    (rn-1)/(n-1) and rn_max/n over the distributed rank)."""
     ev = load_table(spark, sf_dir, "events")
     w = Window.partitionBy("event_type").orderBy("value", "event_id")
     return ev.select(
@@ -1653,7 +1662,13 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     window_distribution (ntile/percent_rank/cume_dist) and window_rank
     (top-k row_number). One shuffle; all three functions share the
     sorted pass. row_number carries its own deterministic event_id
-    tiebreak — rank/dense_rank are tie-stable by definition."""
+    tiebreak — rank/dense_rank are tie-stable by definition.
+
+    Scale caveat (the declared exemption in
+    test_no_low_card_ordered_windows): a function-surface demo over
+    the ~5-value event_type key — at 100 TB a per-group sort funnels
+    one type per task; pipeline ops take the two-phase distributed
+    rank (adaptive_length_cutoff) instead."""
     register_views(spark, sf_dir, ["events"])
     return spark.sql(_RANKING_SQL)
 

@@ -631,24 +631,50 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     window fill (n_tokens vs {PACK_WINDOW}) is the padding-waste metric
     packing exists to minimize.
 
-    Packing is PER SOURCE (Window.partitionBy(source).orderBy(doc_id)):
-    each source packs independently, so the running-sum — the one
-    inherently sequential step — parallelizes across sources and no
-    global sort exists in the plan. At 100 TB the partition key becomes
-    (source, shard_id) so each shard packs a bounded token mass in
-    memory via the same running-sum; deterministic doc order keeps
-    packed batches reproducible across reruns, which is what makes
-    training runs resumable. One shuffle (the window partition), one
-    aggregation.
+    Packing is PER SOURCE and the running-sum — the one inherently
+    sequential step — is the TWO-PHASE distributed prefix sum
+    (token_budget_trim's discipline applied per group, the same shape
+    ccnet_perplexity_buckets and adaptive_length_cutoff use for per-
+    group ranks): range-repartition on (source, doc_id) so partitions
+    tile each source's total order, collect ONE (pid, source,
+    token-subtotal) row per slice, fold those into exclusive offsets
+    on the driver, then window ONLY within (pid, source) and add the
+    offset. No source ever sorts in a single task — at ~20 source
+    values a plain `PARTITION BY source` window would funnel each
+    source's entire corpus through one task at 100 TB. Deterministic
+    doc order keeps packed batches reproducible across reruns, which
+    is what makes training runs resumable.
     """
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tokens(F.col("text")))
-    w = Window.partitionBy("source").orderBy("doc_id").rowsBetween(
+    dd = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    nparts = spark.sparkContext.defaultParallelism
+    part = (
+        dd.repartitionByRange(nparts, "source", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    slices = sorted(
+        (r["pid"], r["source"], r["sub"])
+        for r in part.groupBy("pid", "source")
+        .agg(F.sum("n_tok").alias("sub"))
+        .collect()
+    )
+    offsets: dict[str, int] = {}
+    rows = []
+    for pid, src, sub in slices:  # pid ascending = doc order per source
+        rows.append((pid, src, offsets.get(src, 0)))
+        offsets[src] = offsets.get(src, 0) + int(sub or 0)
+    off_df = spark.createDataFrame(
+        rows, "pid int, source string, off bigint"
+    )
+    w = Window.partitionBy("pid", "source").orderBy("doc_id").rowsBetween(
         Window.unboundedPreceding, Window.currentRow
     )
-    c = d.select(
-        "doc_id", "source", n_tok.alias("n_tok")
-    ).withColumn("cum_before", F.sum("n_tok").over(w) - F.col("n_tok"))
+    c = part.join(F.broadcast(off_df), ["pid", "source"]).withColumn(
+        "cum_before",
+        F.sum("n_tok").over(w) - F.col("n_tok") + F.col("off"),
+    )
     return (
         c.groupBy(
             "source",
@@ -1634,20 +1660,44 @@ def adaptive_length_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     STATISTIC — an actual data row selected by integer rank over the
     total order (n_chars, doc_id) — not an interpolated percentile, so
     there is no float boundary anywhere; every value in the output is
-    a BIGINT both engines compute identically. Plan: ONE shuffle on
-    source feeds the rank window, the running count, and the final
-    per-source aggregate (all three share the partitioning — Catalyst
-    plans a single exchange). At 100 TB a full per-group sort is the
-    cost; the swap-in is the two-phase rank of token_budget_trim
-    (text.py) or an approx-quantile threshold, trading exactness the
-    moment group sizes exceed a task."""
+    a BIGINT both engines compute identically. The per-source rank is
+    the TWO-PHASE distributed rank (the ccnet_perplexity_buckets /
+    token_budget_trim discipline) — never `row_number() OVER
+    (PARTITION BY source ...)`, which at ~20 source values sorts each
+    source's entire corpus in ONE task: range-repartition on (source,
+    n_chars, doc_id), collect O(partitions x |sources|) slice counts,
+    broadcast exclusive offsets + per-source totals, window within
+    (pid, source). Identical output for any range-boundary placement
+    because (source, n_chars, doc_id) is a strict total order."""
     d = load_table(spark, sf_dir, "documents")
-    w = Window.partitionBy("source").orderBy("n_chars", "doc_id")
-    wc = Window.partitionBy("source")
-    ranked = d.select("source", "doc_id", "n_chars").select(
-        "source", "n_chars",
-        F.row_number().over(w).alias("rn"),
-        F.count(F.lit(1)).over(wc).alias("n"),
+    dd = d.select("source", "doc_id", "n_chars")
+    nparts = spark.sparkContext.defaultParallelism
+    part = (
+        dd.repartitionByRange(nparts, "source", "n_chars", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    slices = sorted(
+        (r["pid"], r["source"], r["cnt"])
+        for r in part.groupBy("pid", "source")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .collect()
+    )
+    totals: dict[str, int] = {}
+    rows = []
+    for pid, src, cnt in slices:  # pid ascending = rank order per source
+        rows.append((pid, src, totals.get(src, 0)))
+        totals[src] = totals.get(src, 0) + cnt
+    off_df = spark.createDataFrame(
+        [(p, s, o, totals[s]) for p, s, o in rows],
+        "pid int, source string, off bigint, n bigint",
+    )
+    w = Window.partitionBy("pid", "source").orderBy("n_chars", "doc_id")
+    ranked = part.join(F.broadcast(off_df), ["pid", "source"]).select(
+        "source",
+        "n_chars",
+        (F.row_number().over(w) + F.col("off")).alias("rn"),
+        "n",
     ).withColumn("kth", F.ceil(F.lit(_CUTOFF_Q) * F.col("n")).cast("long"))
     keep = F.col("rn") >= F.col("kth")
     return (
