@@ -530,3 +530,125 @@ def unigram_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_single_pieces",
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# tokenizer_compare — BPE vs unigram head-to-head (the ladder capstone)
+# ---------------------------------------------------------------------------
+
+
+def _tokenizer_compare_oracle() -> str:
+    """Both trainers' full oracle chains composed in ONE query: the
+    8-merge BPE unroll (curation._bpe_ctes) and the two-round unigram
+    hard-EM unroll (this module's chain + a final dp3 segmentation),
+    joined per source. CTE namespaces are disjoint by construction
+    (seq/p/b/x/a{i} vs words/seeds/vocab/dp*)."""
+    from cuttlefish_spark.operators.curation import _BPE_MERGES, _bpe_ctes
+
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_ctes(_BPE_MERGES))
+        + ",\n    "
+        + _UG_CHAIN_SQL
+        + ",\n    "
+        + _ug_dp_sql("vocab2", "dp3")
+        + f""",
+    bpev AS (
+        SELECT word, CAST(len(syms) AS BIGINT) AS n_bpe
+        FROM seq{_BPE_MERGES}
+    ),
+    ugv AS (
+        SELECT word, CAST(len(string_split(seg, ' ')) AS BIGINT) AS n_ug
+        FROM dp3
+    ),
+    src AS (
+        SELECT source, word, CAST(count(*) AS BIGINT) AS c
+        FROM (SELECT source,
+                     unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                            END) AS word
+              FROM documents)
+        WHERE length(word) BETWEEN 1 AND {_UG_MAXLEN}
+        GROUP BY source, word
+    )
+    SELECT s.source,
+           CAST(sum(s.c) AS BIGINT) AS n_words,
+           CAST(sum(s.c * b.n_bpe) AS BIGINT) AS bpe_tokens,
+           CAST(sum(s.c * u.n_ug) AS BIGINT) AS unigram_pieces,
+           CAST(floor(CAST(sum(s.c * b.n_bpe) * 1000000 AS DOUBLE)
+                      / sum(s.c)) AS BIGINT) AS bpe_fert_micro,
+           CAST(floor(CAST(sum(s.c * u.n_ug) * 1000000 AS DOUBLE)
+                      / sum(s.c)) AS BIGINT) AS unigram_fert_micro,
+           CASE WHEN sum(s.c * b.n_bpe) < sum(s.c * u.n_ug) THEN 'bpe'
+                WHEN sum(s.c * b.n_bpe) > sum(s.c * u.n_ug) THEN 'unigram'
+                ELSE 'tie' END AS winner
+    FROM src s
+    JOIN bpev b USING (word)
+    JOIN ugv u USING (word)
+    GROUP BY s.source
+"""
+    )
+
+
+@query("tokenizer_compare", layer="C", oracle=_tokenizer_compare_oracle())
+def tokenizer_compare(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The tokenizer ladder's CAPSTONE: train BOTH tokenizers on the
+    corpus — 8-merge BPE (curation._bpe_train) and two-round unigram
+    hard-EM (this module) — encode the same per-source token streams
+    with each, and report the head-to-head fertility table with a
+    per-source winner (fewer emitted units = better compression =
+    lower training cost per document). This is THE comparison a
+    tokenizer owner runs before committing a vocabulary to a
+    pretraining run, and it composes two independently hash-verified
+    training loops in one plan, so the hash match here verifies their
+    INTERACTION (the curation_funnel_e2e principle applied to the
+    tokenizer ladder).
+
+    Apples-to-apples contract: the comparison restricts to words of
+    <= {_UG_MAXLEN} chars (the unigram trainer's declared cap; BPE has
+    no cap, so its vocabulary is re-restricted at the join). All
+    emitted values are int64 counts and one floored IEEE division of
+    exact products (the fixed-point fertility recipe); the winner is
+    an integer comparison. Both trained models are memoized per
+    (session, corpus), so this query costs two O(vocabulary)
+    encodes + one per-source aggregate when the trainers already ran."""
+    from cuttlefish_spark.operators.curation import _BPE_MERGES, _bpe_train
+
+    _, seq = _bpe_train(spark, sf_dir, _BPE_MERGES)
+    bpev = seq.select("word", F.size("syms").cast("long").alias("n_bpe"))
+    _, cost2 = _ug_model(spark, sf_dir)
+    words = _ug_words(spark, sf_dir)
+    ugv = words.select(
+        "word",
+        F.size(F.split(_ug_seg_col(cost2), " ")).cast("long").alias("n_ug"),
+    )
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    src = (
+        d.select("source", F.explode(tokens(F.col("text"))).alias("word"))
+        .filter(F.length("word").between(1, _UG_MAXLEN))
+        .groupBy("source", "word")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    j = src.join(bpev, "word").join(ugv, "word")
+    agg = j.groupBy("source").agg(
+        F.sum("c").cast("long").alias("n_words"),
+        F.sum(F.col("c") * F.col("n_bpe")).cast("long").alias("bpe_tokens"),
+        F.sum(F.col("c") * F.col("n_ug")).cast("long").alias("unigram_pieces"),
+    )
+    fert = lambda c: F.floor(  # noqa: E731
+        (c * F.lit(1_000_000)).cast("double") / F.col("n_words")
+    ).cast("long")
+    winner = (
+        F.when(F.col("bpe_tokens") < F.col("unigram_pieces"), F.lit("bpe"))
+        .when(F.col("bpe_tokens") > F.col("unigram_pieces"), F.lit("unigram"))
+        .otherwise(F.lit("tie"))
+    )
+    return agg.select(
+        "source",
+        "n_words",
+        "bpe_tokens",
+        "unigram_pieces",
+        fert(F.col("bpe_tokens")).alias("bpe_fert_micro"),
+        fert(F.col("unigram_pieces")).alias("unigram_fert_micro"),
+        winner.alias("winner"),
+    )

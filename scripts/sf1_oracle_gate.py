@@ -161,6 +161,10 @@ GATE_QUERIES = [
     "ngram_jaccard_topk",
     "dsir_importance",
     "c4_line_filter",
+    # r8 two-phase rewrites (plan changed; value-compare the new shape)
+    "adaptive_length_cutoff",
+    "sequence_packing",
+    "tokenizer_compare",
 ]
 
 SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard", "ngram_jaccard_topk"}
