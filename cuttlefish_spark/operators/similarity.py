@@ -1011,6 +1011,11 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("rn", F.row_number().over(w_assign))
         .filter(F.col("rn") == 1)
         .drop("rn", "centroid_sim")
+        # Read by the probe list, the exact arm, and the IVF cell arm —
+        # checkpoint so the assignment crossJoin+argmax runs ONCE. This
+        # is exactly the materialized cluster-assignment manifest a real
+        # IVF index persists at build time.
+        .localCheckpoint(eager=True)
     )
     probes = F.broadcast(
         assigned.filter(F.col("vec_id") < _RECALL_PROBES).select(
