@@ -212,9 +212,16 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
     layer="B",
     oracle="""
     SELECT user_id,
-           max_by(event_type, value) AS top_value_type,
+           arg_max(event_type,
+                   lpad(CAST(CAST(round(value * 100) AS BIGINT) AS VARCHAR),
+                        10, '0')
+                   || '|' || lpad(CAST(event_id AS VARCHAR), 14, '0'))
+               AS top_value_type,
            CAST(max(value) AS DOUBLE) AS max_value,
-           min_by(event_id, ts) AS first_event_id,
+           arg_min(event_id,
+                   lpad(CAST(epoch_us(ts) AS VARCHAR), 16, '0')
+                   || '|' || lpad(CAST(event_id AS VARCHAR), 14, '0'))
+               AS first_event_id,
            CAST(min(ts) AS TIMESTAMP) AS first_ts
     FROM events
     GROUP BY user_id
@@ -223,12 +230,34 @@ def window_lag_delta(spark: SparkSession, sf_dir: str) -> DataFrame:
 def agg_minmax_by(spark: SparkSession, sf_dir: str) -> DataFrame:
     """max_by/min_by: per-user argmax aggregation (event type of the
     highest-value event; id of the earliest event) — single shuffle
-    with partial aggregation."""
+    with partial aggregation.
+
+    The argmax keys are STRICT TOTAL ORDERS: a bare max_by(x, value)
+    is under-determined on value ties — both engines pick an arbitrary
+    row, and the sf1 gate wild-caught exactly that (11 of 15,000 users
+    had two events sharing the max value, Spark and DuckDB choosing
+    different types). Neither engine's argmax takes a composite key
+    (DuckDB 1.0 arg_max is scalar-keyed), so the (value, event_id) /
+    (ts, event_id) orders are ENCODED as fixed-width strings —
+    zero-padded cents (exact: value is generated at 2 decimals, so
+    round(value*100) is the same int64 in both engines) / epoch-micros
+    concatenated with the zero-padded unique event_id, the same
+    encoded-total-order trick as the unigram DP state."""
     ev = load_table(spark, sf_dir, "events")
+    vk = F.concat(
+        F.lpad(F.round(F.col("value") * 100).cast("long").cast("string"), 10, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 14, "0"),
+    )
+    tk = F.concat(
+        F.lpad(F.unix_micros("ts").cast("string"), 16, "0"),
+        F.lit("|"),
+        F.lpad(F.col("event_id").cast("string"), 14, "0"),
+    )
     return ev.groupBy("user_id").agg(
-        F.max_by("event_type", "value").alias("top_value_type"),
+        F.max_by("event_type", vk).alias("top_value_type"),
         F.max("value").alias("max_value"),
-        F.min_by("event_id", "ts").alias("first_event_id"),
+        F.min_by("event_id", tk).alias("first_event_id"),
         F.min("ts").alias("first_ts"),
     )
 

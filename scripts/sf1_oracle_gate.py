@@ -165,6 +165,52 @@ GATE_QUERIES = [
     "adaptive_length_cutoff",
     "sequence_packing",
     "tokenizer_compare",
+    # r8 second wave: the behavioral/window family over 1M-row events —
+    # float-bearing windows (ewma, time-weighted, interpolation) are
+    # where cross-engine drift classes live, previously gated <= sf0.01
+    "funnel_steps",
+    "cohort_retention",
+    "scd2_collapse",
+    "transition_matrix",
+    "time_weighted_avg",
+    "ewma_trailing",
+    "locf_impute",
+    "rolling_median",
+    "resample_interpolate",
+    "sessionize",
+    "session_window_native",
+    "tumbling_window",
+    "hopping_window",
+    "window_first_last",
+    "window_range_frame",
+    "ranking_functions",
+    "window_distribution",
+    # aggregate family over the 6M-row star schema
+    "grouping_sets_agg",
+    "time_rollup",
+    "skew_salted_agg",
+    "incremental_rollup",
+    "agg_minmax_by",
+    "agg_percentiles",
+    "agg_stats",
+    "conditional_agg",
+    "histogram_bins",
+    "agg_cube",
+    "agg_groupby",
+    "agg_rollup",
+    "profile_table",
+    # join family over the 6M-row star schema
+    "fk_integrity_audit",
+    "range_join_bucketed",
+    "skew_salted_join",
+    "full_outer_join",
+    "outer_join_agg",
+    "asof_join",
+    "broadcast_join",
+    "hash_join",
+    "semi_anti_join",
+    "correlated_subquery",
+    "subquery_semantics",
 ]
 
 SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard", "ngram_jaccard_topk"}
