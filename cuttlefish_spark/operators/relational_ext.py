@@ -2056,9 +2056,11 @@ def snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 _PATH_SQL = """
     WITH flagged AS (
         SELECT user_id, ts, event_id, event_type,
-               CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id
-                                            ORDER BY ts, event_id)
-                         <= INTERVAL 30 MINUTE
+               CASE WHEN epoch_us(CAST(ts AS TIMESTAMP))
+                         - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+                               OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id)
+                         <= 1800000000
                     THEN 0 ELSE 1 END AS new_session
         FROM events
     ),
@@ -2099,13 +2101,21 @@ def path_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
     shuffle — two exchanges total at any scale. Spark states the
     ordered string_agg as sorted-struct collect + array_join (the
     string_agg_ordered pattern); the oracle uses DuckDB's native
-    string_agg(... ORDER BY)."""
+    string_agg(... ORDER BY).
+
+    The session gap compares at MICROSECOND precision on both sides
+    (unix_micros vs epoch_us): the original cast-to-long gap compared
+    second-TRUNCATED timestamps against the oracle's exact interval,
+    and the sf1 gate wild-caught the boundary class — gaps whose
+    floored-second difference straddles 1800 s differently from their
+    true microsecond difference flipped 17 session splits at 1M
+    events (invisible at the driver's 100k-row scale)."""
     ev = load_table(spark, sf_dir, "events")
     w_order = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    gap = F.col("ts").cast("long") - F.lag(F.col("ts").cast("long")).over(w_order)
+    gap = F.unix_micros("ts") - F.lag(F.unix_micros("ts")).over(w_order)
     flagged = ev.withColumn(
         "new_session",
-        F.when(gap <= 30 * 60, F.lit(0)).otherwise(F.lit(1)),
+        F.when(gap <= 1_800_000_000, F.lit(0)).otherwise(F.lit(1)),
     )
     sessions = flagged.withColumn(
         "session_no",

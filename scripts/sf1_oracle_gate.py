@@ -211,9 +211,84 @@ GATE_QUERIES = [
     "semi_anti_join",
     "correlated_subquery",
     "subquery_semantics",
+    # r8 third wave: the remainder of the declared surface, so every
+    # sf-scalable query carries an sf1 value-compare. Excluded, with
+    # reasons: ingest_normalize / ingest_datasource / markdown_html
+    # (golden fixture replay — input is the committed 8-row fixtures at
+    # every sf, so the sf0.01 driver check already IS the maximal
+    # check); minhash_accuracy runs on the 15k subset (pair-volume
+    # bound by the degenerate hot band, like ngram_jaccard).
+    "anomaly_zscore",
+    "array_functions",
+    "bitwise_functions",
+    "cdc_merge",
+    "class_balance",
+    "countmin_heavy_hitters",
+    "dataset_split",
+    "datetime_functions",
+    "dedup_lastwrite",
+    "dispatch_union",
+    "distinct_approx",
+    "distinct_exact",
+    "doc_chunking",
+    "error_split",
+    "feature_binning",
+    "filter_pushdown",
+    "hash_sample",
+    "json_functions",
+    "keyed_output_counts",
+    "lang_id",
+    "leakage_safe_split",
+    "linear_regression",
+    "map_functions",
+    "minhash_accuracy",
+    "mixture_plan",
+    "multimodal_audio_features",
+    "multimodal_framesample",
+    "multimodal_meta",
+    "nest_events_per_key",
+    "nested_json_extract",
+    "path_analysis",
+    "pattern_profile",
+    "percentile_sketch",
+    "pii_redact",
+    "pivot_counts",
+    "prefix_dedup",
+    "quality_filter_funnel",
+    "quality_score",
+    "recursive_date_spine",
+    "repetition_ratio",
+    "scan_project",
+    "set_ops",
+    "sketch_union",
+    "skew_profile",
+    "snapshot_diff",
+    "source_overlap_matrix",
+    "stratified_sample",
+    "string_agg_ordered",
+    "string_functions",
+    "target_encode",
+    "text_stats",
+    "token_budget_trim",
+    "topk_orders",
+    "training_shuffle",
+    "try_functions",
+    "ts_normalize",
+    "udaf_geomean",
+    "udtf_ngrams",
+    "unpivot_melt",
+    "videos_normalize",
+    "vocab_topk",
+    "weighted_sampling",
+    "zorder_layout",
 ]
 
-SUBSET_QUERIES = {"dedup_clusters", "ngram_jaccard", "ngram_jaccard_topk"}
+SUBSET_QUERIES = {
+    "dedup_clusters",
+    "ngram_jaccard",
+    "ngram_jaccard_topk",
+    "minhash_accuracy",
+}
 
 EVENTS_N = 1_000_000
 EVENTS_USERS = 15_000
