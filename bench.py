@@ -41,6 +41,9 @@ def main() -> None:
     spark = get_spark("cuttlefish-bench")
     spark.sparkContext.setLogLevel("ERROR")
     specs = load_all()
+    unknown = [n for n in only if n not in specs]
+    if unknown:
+        sys.exit(f"unknown query names (typo?): {unknown}")
 
     # Warmup: JVM/codegen, parquet footers, AND the Python-UDF worker
     # pool — at production scale these per-session fixed costs amortize

@@ -1324,12 +1324,15 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         # pass) — checkpoint so the scan+shuffle runs once.
         .localCheckpoint()
     )
-    slices = sorted(
+    raw = [
         (r["pid"], r["lang"], r["cnt"])
         for r in part.groupBy("pid", "lang")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
-    )
+    ]
+    # NULL lang: sort TypeError + silent drop in the offset join.
+    assert all(lg is not None for _, lg, _v in raw), "NULL lang key"
+    slices = sorted(raw)
     totals: dict[str, int] = {}
     rows = []
     for pid, lang, cnt in slices:  # pid ascending = rank order per lang
@@ -2019,12 +2022,29 @@ _DSIR_SQL = rf"""
                CAST(sum(r_b) + {_DSIR_B} AS BIGINT) AS r2
         FROM tb
     ),
-    lr AS MATERIALIZED (
+    prods AS (
+        -- HUGEINT products: (t_b+1)*r2 overflows int64 once corpus
+        -- bigram counts pass ~3e9 in the same bucket; int128 is exact
+        -- to 2^126 (Spark side mirrors with DECIMAL(38,0)).
         SELECT bucket,
-               CAST(length(bin(CAST((t_b + 1) * r2 AS BIGINT)))
-                    - length(bin(CAST((r_b + 1) * t2 AS BIGINT)))
-                    AS BIGINT) AS lr
+               CAST(t_b + 1 AS HUGEINT) * r2 AS tp,
+               CAST(r_b + 1 AS HUGEINT) * t2 AS rp
         FROM tb, tot
+    ),
+    lr AS MATERIALIZED (
+        -- bits(x) split at 2^62: len(bin(x)) needs a BIGINT, and
+        -- bits(x) = 62 + bits(x >> 62) exactly when x >= 2^62.
+        SELECT bucket,
+               CAST((CASE WHEN tp < 4611686018427387904
+                          THEN length(bin(CAST(tp AS BIGINT)))
+                          ELSE 62 + length(bin(CAST(
+                               tp // 4611686018427387904 AS BIGINT))) END)
+                  - (CASE WHEN rp < 4611686018427387904
+                          THEN length(bin(CAST(rp AS BIGINT)))
+                          ELSE 62 + length(bin(CAST(
+                               rp // 4611686018427387904 AS BIGINT))) END)
+                    AS BIGINT) AS lr
+        FROM prods
     ),
     sc AS MATERIALIZED (
         SELECT p.doc_id, CAST(sum(p.cnt) AS BIGINT) AS n_bigrams,
@@ -2059,8 +2079,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     lr[b] = bits((t_b+1) * R') - bits((r_b+1) * T') with bits(x) =
     length(bin(x)) — exactly floor-log2 of the add-one-smoothed
     probability ratio, the same integer-log surrogate as the unigram
-    trainer's costs — so the whole query is int64 end to end, no IEEE
-    op anywhere. Docs with <2 tokens carry importance 0 and pass (the
+    trainer's costs — so the whole query is exact integer end to end,
+    no IEEE op anywhere. The products are widened to int128
+    (DECIMAL(38,0) / HUGEINT: int64 would wrap once corpus bigram
+    counts pass ~3e9 in one bucket) and bits() splits at 2^62 so the
+    engines' 64-bit bin() always applies — exact to 2^124 products,
+    i.e. bucket counts to ~2^60 ≈ 1.2e18 bigrams, 10x past a 100 TB
+    corpus. Docs with <2 tokens carry importance 0 and pass (the
     unscoreable-docs convention of ccnet_perplexity_buckets).
 
     Scale shape: one narrow bigram explode -> a {_DSIR_B}-key count
@@ -2105,13 +2130,31 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("t_b") + F.lit(_DSIR_B)).cast("long").alias("t2"),
         (F.sum("r_b") + F.lit(_DSIR_B)).cast("long").alias("r2"),
     )
-    bits = lambda c: F.length(F.bin(c))  # noqa: E731
-    lr = tb.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        (
-            bits((F.col("t_b") + 1) * F.col("r2"))
-            - bits((F.col("r_b") + 1) * F.col("t2"))
-        ).cast("long").alias("lr"),
+    # DECIMAL(19,0) x DECIMAL(19,0) -> DECIMAL(38,0): exact to ~8.5e37
+    # (int64 products would wrap past ~3e9-count buckets); bits(x)
+    # splits at 2^62 so bin() always sees a BIGINT — value-identical
+    # to the plain int64 form wherever that form doesn't overflow.
+    prod = lambda a, b: (  # noqa: E731
+        a.cast("decimal(19,0)") * b.cast("decimal(19,0)")
+    )
+    bits = lambda name: F.when(  # noqa: E731
+        F.col(name) < F.lit(1 << 62),
+        F.length(F.bin(F.col(name).cast("long"))),
+    ).otherwise(
+        F.lit(62)
+        + F.length(F.bin(F.expr(f"CAST({name} div {1 << 62} AS BIGINT)")))
+    )
+    lr = (
+        tb.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            prod(F.col("t_b") + 1, F.col("r2")).alias("tp"),
+            prod(F.col("r_b") + 1, F.col("t2")).alias("rp"),
+        )
+        .select(
+            "bucket",
+            (bits("tp") - bits("rp")).cast("long").alias("lr"),
+        )
     )
     sc = (
         pc.join(F.broadcast(lr), "bucket")

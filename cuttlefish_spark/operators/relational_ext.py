@@ -20,6 +20,7 @@ from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import dec_sum, hash60, tokens
 from cuttlefish_spark.io import load_table, register_views, spread
+from cuttlefish_spark.operators.twophase import two_phase_rank
 from cuttlefish_spark.registry import query
 
 EVENT_TYPES = ["click", "error", "purchase", "signup", "view"]
@@ -625,25 +626,52 @@ def anomaly_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
 def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Distribution window functions (ntile / percent_rank /
     cume_dist) per event_type, ordered by value with event_id as the
-    deterministic tiebreak. One shuffle on event_type; all three
-    functions share the single sorted window pass.
+    deterministic tiebreak — computed as CLOSED FORMS over the
+    two-phase distributed rank, never as `OVER (PARTITION BY
+    event_type ORDER BY ...)`: event_type is a ~5-value key, so the
+    single-window form sorts each type's entire corpus in ONE task at
+    100 TB (the funnel test_no_low_card_ordered_windows forbids).
 
-    Scale caveat (the declared exemption in
-    test_no_low_card_ordered_windows): this query DEMONSTRATES the
-    built-in analytic-function surface over the canonical event_type
-    grouping — event_type is a ~5-value key, so at 100 TB each type's
-    stream sorts in one task. A pipeline op needing per-group
-    distribution stats at scale takes the two-phase rank of
-    adaptive_length_cutoff instead (percent_rank/cume_dist are
-    (rn-1)/(n-1) and rn_max/n over the distributed rank)."""
+    With rn = the exact global per-type rank under the strict total
+    order (value, event_id) (so rank == row_number: no order ties) and
+    n = the type's total, every emitted function is pure arithmetic:
+      - ntile(4): SQL's big-buckets-first rule — q = n div 4,
+        r = n mod 4, the first r buckets carry q+1 rows. Integer-exact
+        in both engines (when q = 0 the first branch covers all rows,
+        so the div-by-zero branch is never taken).
+      - percent_rank = (rn-1)/(n-1), cume_dist = rn/n — the same two
+        integer operands Spark's built-ins divide, so the IEEE
+        quotients (and their round-6) are bit-identical to the
+        windowed originals.
+    Cost: one range shuffle + an O(partitions x 5) offset collect +
+    one equi-join per band — every task sorts ~1/numPartitions of one
+    type."""
     ev = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("event_type").orderBy("value", "event_id")
-    return ev.select(
+    ranked = two_phase_rank(
+        spark,
+        ev.select("event_id", "event_type", "value"),
+        "event_type",
+        [F.col("value"), F.col("event_id")],
+    )
+    q = F.expr("n div 4")
+    r = F.col("n") % 4
+    big = r * (q + 1)  # rows covered by the q+1-sized leading buckets
+    quartile = (
+        F.when(F.col("rn") <= big, F.expr("(rn - 1) div (n div 4 + 1) + 1"))
+        .otherwise(r + F.expr("(rn - 1 - (n % 4) * (n div 4 + 1)) div (n div 4)") + 1)
+        .cast("int")
+    )
+    pct = F.when(
+        F.col("n") > 1,
+        (F.col("rn") - 1).cast("double") / (F.col("n") - 1).cast("double"),
+    ).otherwise(F.lit(0.0))
+    cume = F.col("rn").cast("double") / F.col("n").cast("double")
+    return ranked.select(
         "event_id",
         "event_type",
-        F.ntile(4).over(w).alias("quartile"),
-        F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 6).alias("cume"),
+        quartile.alias("quartile"),
+        F.round(pct, 6).alias("pct_rank"),
+        F.round(cume, 6).alias("cume"),
     )
 
 
@@ -1687,19 +1715,57 @@ def ranking_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     dense_rank (gapless), row_number (tie-broken) over banded values —
     the three give different answers exactly when ties exist, which is
     what this pins (banding value into deciles manufactures heavy
-    ties). Completes the window-function matrix next to
-    window_distribution (ntile/percent_rank/cume_dist) and window_rank
-    (top-k row_number). One shuffle; all three functions share the
-    sorted pass. row_number carries its own deterministic event_id
-    tiebreak — rank/dense_rank are tie-stable by definition.
+    ties). Computed scale-safe: NO `OVER (PARTITION BY event_type)`
+    anywhere (a ~5-value key would sort each type's whole corpus in
+    one task at 100 TB — the test_no_low_card_ordered_windows funnel).
 
-    Scale caveat (the declared exemption in
-    test_no_low_card_ordered_windows): a function-surface demo over
-    the ~5-value event_type key — at 100 TB a per-group sort funnels
-    one type per task; pipeline ops take the two-phase distributed
-    rank (adaptive_length_cutoff) instead."""
-    register_views(spark, sf_dir, ["events"])
-    return spark.sql(_RANKING_SQL)
+    Derivation from the two-phase distributed rank rn over the strict
+    total order (value_band DESC, event_id) within event_type:
+      - row_number = rn itself (the order already carries the
+        event_id tiebreak).
+      - rank = min(rn) of the row's (event_type, value_band) tie
+        group — rank() points every tied row at the group's first
+        position. One tiny aggregate (O(types x bands) rows) joined
+        back; broadcast because bands = distinct floor(value/10).
+      - dense_rank = the band's own 1-based position among the type's
+        distinct bands (DESC) — the SAME two-phase rank applied to the
+        band aggregate (O(bands) rows, but the plan guard judges
+        shapes, not sizes — so it gets the sanctioned shape too).
+    All BIGINT end-to-end; cost is one range shuffle over events + two
+    O(bands) broadcasts."""
+    ev = load_table(spark, sf_dir, "events")
+    banded = ev.select(
+        "event_id",
+        "event_type",
+        F.floor(F.col("value") / 10).cast("long").alias("value_band"),
+    )
+    ranked = two_phase_rank(
+        spark,
+        banded,
+        "event_type",
+        [F.desc("value_band"), F.col("event_id")],
+    ).withColumnRenamed("rn", "row_n")
+    bands = ranked.groupBy("event_type", "value_band").agg(
+        F.min("row_n").alias("rnk")
+    )
+    dense = two_phase_rank(
+        spark, bands, "event_type", [F.desc("value_band")]
+    ).select(
+        "event_type",
+        "value_band",
+        "rnk",
+        F.col("rn").alias("drnk"),
+    )
+    return ranked.join(
+        F.broadcast(dense), ["event_type", "value_band"]
+    ).select(
+        "event_id",
+        "event_type",
+        "value_band",
+        "rnk",
+        "drnk",
+        F.col("row_n").alias("rn"),
+    )
 
 
 def _rolling_sql(median_fn: str) -> str:

@@ -654,12 +654,16 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    slices = sorted(
+    raw = [
         (r["pid"], r["source"], r["sub"])
         for r in part.groupBy("pid", "source")
         .agg(F.sum("n_tok").alias("sub"))
         .collect()
-    )
+    ]
+    # NULL source would TypeError the sort and be dropped by the
+    # offset equi-join — fail loudly (current corpora never emit one).
+    assert all(s is not None for _, s, _v in raw), "NULL source key"
+    slices = sorted(raw)
     offsets: dict[str, int] = {}
     rows = []
     for pid, src, sub in slices:  # pid ascending = doc order per source
@@ -1677,12 +1681,15 @@ def adaptive_length_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("pid", F.spark_partition_id())
         .localCheckpoint()
     )
-    slices = sorted(
+    raw = [
         (r["pid"], r["source"], r["cnt"])
         for r in part.groupBy("pid", "source")
         .agg(F.count(F.lit(1)).alias("cnt"))
         .collect()
-    )
+    ]
+    # NULL source: sort TypeError + silent drop in the offset join.
+    assert all(s is not None for _, s, _v in raw), "NULL source key"
+    slices = sorted(raw)
     totals: dict[str, int] = {}
     rows = []
     for pid, src, cnt in slices:  # pid ascending = rank order per source

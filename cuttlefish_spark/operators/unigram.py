@@ -52,13 +52,13 @@ _UG_V = 120  # multi-char seed vocabulary cap (all single chars always kept)
 # Shared SQL fragments (DuckDB oracle)
 # ---------------------------------------------------------------------------
 
-_UG_WORDS_SQL = r"""words AS MATERIALIZED (
+_UG_WORDS_SQL = rf"""words AS MATERIALIZED (
         SELECT word, CAST(count(*) AS BIGINT) AS freq
         FROM (SELECT unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
                      ELSE regexp_split_to_array(trim(lower(text)), '\s+')
                      END) AS word
               FROM documents)
-        WHERE length(word) BETWEEN 1 AND 16
+        WHERE length(word) BETWEEN 1 AND {_UG_MAXLEN}
         GROUP BY word
     )"""
 
@@ -210,7 +210,7 @@ _UG_STATS_SQL = f"""
                             ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
                             END) AS word
               FROM documents)
-        WHERE length(word) BETWEEN 1 AND 16
+        WHERE length(word) BETWEEN 1 AND {_UG_MAXLEN}
         GROUP BY source, word
     ),
     segw AS (

@@ -161,9 +161,9 @@ GATE_QUERIES = [
     "ngram_jaccard_topk",
     "dsir_importance",
     "c4_line_filter",
-    # r8 two-phase rewrites (plan changed; value-compare the new shape)
+    # r8 two-phase rewrites (plan changed; value-compare the new shape;
+    # sequence_packing already gated in the r4 cohort above)
     "adaptive_length_cutoff",
-    "sequence_packing",
     "tokenizer_compare",
     # r8 second wave: the behavioral/window family over 1M-row events —
     # float-bearing windows (ewma, time-weighted, interpolation) are
@@ -425,7 +425,7 @@ def main() -> int:
         except (OSError, ValueError):
             report = {}
     n_fail = 0
-    for name in only or GATE_QUERIES:
+    for name in dict.fromkeys(only or GATE_QUERIES):
         spec = specs[name]
         sf_dir = SUBSET if name in SUBSET_QUERIES else SF1
         row: dict = {"scale": "sf0.3-subset" if name in SUBSET_QUERIES else "sf1"}

@@ -267,17 +267,16 @@ def test_no_low_card_ordered_windows(spark, sf_dir):
     task, the same funnel as a global window split a handful of ways.
     The two-phase distributed rank/prefix-sum (partitionBy pid, key —
     ccnet_perplexity_buckets, adaptive_length_cutoff,
-    sequence_packing) is the sanctioned shape.
+    sequence_packing, operators/twophase.py) is the sanctioned shape.
 
-    Exempt: window_distribution and ranking_functions, whose DECLARED
-    purpose is demonstrating the built-in analytic-function surface
-    (rank/dense_rank/percent_rank/cume_dist/ntile) over the canonical
-    event_type grouping — the reference semantics, not a pipeline op;
-    their docstrings carry the scale caveat."""
+    NO exemptions: the last two holdouts (window_distribution,
+    ranking_functions) were converted in r9 to closed forms over the
+    two-phase rank — every analytic function they emit is pure
+    arithmetic on (rank, per-group total)."""
     from cuttlefish_spark.plans.checks import low_card_ordered_windows
 
     low_card = frozenset({"lang", "source", "event_type", "label"})
-    exempt = {"window_distribution", "ranking_functions"}
+    exempt: set[str] = set()
     offenders = {}
     for name, spec in SPECS.items():
         if name in exempt:
