@@ -406,6 +406,154 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_MP_NPROBES = [1, 2, 4]  # the recall-vs-cost sweep points
+
+_MP_COS_A = (
+    "list_dot_product(a.v, pr.p) / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(pr.p, pr.p)))"
+)
+
+_MP_ORACLE = f"""
+    WITH vecs AS MATERIALIZED (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    cents AS (
+        SELECT vec_id AS centroid_id, v AS c FROM vecs
+        WHERE vec_id < {N_CENTROIDS}
+    ),
+    assigned AS MATERIALIZED (
+        SELECT vec_id, label, v, centroid_id FROM (
+            SELECT vecs.vec_id, vecs.label, vecs.v, cents.centroid_id,
+                   row_number() OVER (
+                       PARTITION BY vecs.vec_id
+                       ORDER BY list_dot_product(v, c)
+                                / (sqrt(list_dot_product(v, v))
+                                   * sqrt(list_dot_product(c, c))) DESC,
+                                centroid_id) AS rn
+            FROM vecs CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    probe AS (SELECT v AS p FROM vecs WHERE vec_id = 0),
+    cc AS (
+        SELECT centroid_id,
+               list_dot_product(c, p) / (sqrt(list_dot_product(c, c))
+                   * sqrt(list_dot_product(p, p))) AS ccos
+        FROM cents CROSS JOIN probe
+    ),
+    cr AS (
+        SELECT a.centroid_id,
+               1 + count(b.centroid_id) AS crn
+        FROM cc a LEFT JOIN cc b
+          ON b.ccos > a.ccos
+             OR (b.ccos = a.ccos AND b.centroid_id < a.centroid_id)
+        GROUP BY a.centroid_id
+    ),
+    cand AS MATERIALIZED (
+        SELECT a.vec_id, a.label, a.v, cr.crn
+        FROM assigned a JOIN cr USING (centroid_id)
+        WHERE a.vec_id <> 0
+    )
+    {" UNION ALL ".join(
+        f'''SELECT * FROM (
+        SELECT CAST({p} AS BIGINT) AS nprobe, a.vec_id, a.label,
+               round({_MP_COS_A}, 6) AS cosine
+        FROM cand a CROSS JOIN (SELECT p FROM probe) pr
+        WHERE a.crn <= {p}
+        ORDER BY cosine DESC, a.vec_id
+        LIMIT 10)''' for p in _MP_NPROBES)}
+"""
+
+
+@query("ann_ivf_multiprobe", layer="C", oracle=_MP_ORACLE)
+def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe IVF top-10 — the recall-vs-cost KNOB ann_ivf_topk's
+    nprobe=1 point lacks: rank all {N_CENTROIDS} coarse centroids by
+    similarity to the probe vector and, for each nprobe in
+    {_MP_NPROBES}, search the union of the nprobe nearest cells. One
+    result table tagged by nprobe shows exactly what widening the
+    probe set buys (ivf_recall_audit quantifies the recall side at
+    sweep granularity).
+
+    Determinism: centroid rank crn is a SELF-JOIN COUNT over the
+    {N_CENTROIDS}-row centroid table (1 + #centroids strictly better
+    under (ccos DESC, centroid_id)) — NOT a global ordered window,
+    which the plan guard forbids regardless of input size. Per-nprobe
+    top-10 is three TakeOrderedAndProject branches unioned — Spark's
+    distributed top-k, no per-group sort funnel. Cosines are raw
+    sequential folds, bit-identical to DuckDB's list_dot_product.
+
+    Scale shape: assignment is the one-off index build (checkpointed =
+    the persisted manifest); each branch partition-prunes to nprobe
+    cells, i.e. reads nprobe/{N_CENTROIDS} of the corpus; the centroid
+    table and probe ride as broadcasts. The sweep costs the sum of its
+    branch scans — the number the recall curve is weighed against."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    cents = F.broadcast(
+        vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
+        )
+    )
+    w = Window.partitionBy("vec_id").orderBy(
+        F.col("centroid_sim").desc(), F.col("centroid_id")
+    )
+    assigned = (
+        vecs.crossJoin(cents)
+        .select(
+            "vec_id",
+            "label",
+            "v",
+            "centroid_id",
+            cosine_sim(F.col("v"), F.col("c")).alias("centroid_sim"),
+        )
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn", "centroid_sim")
+        # Read by all three nprobe branches — the persisted IVF index.
+        .localCheckpoint(eager=True)
+    )
+    probe = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
+    )
+    cc = cents.crossJoin(probe).select(
+        "centroid_id", cosine_sim(F.col("c"), F.col("p")).alias("ccos")
+    )
+    a, b = cc.alias("a"), cc.alias("b")
+    better = (F.col("b.ccos") > F.col("a.ccos")) | (
+        (F.col("b.ccos") == F.col("a.ccos"))
+        & (F.col("b.centroid_id") < F.col("a.centroid_id"))
+    )
+    cr = F.broadcast(
+        a.join(b, better, "left")
+        .groupBy(F.col("a.centroid_id").alias("centroid_id"))
+        .agg((F.count(F.col("b.centroid_id")) + 1).alias("crn"))
+    )
+    cand = (
+        assigned.join(cr, "centroid_id")
+        .filter(F.col("vec_id") != 0)
+        .crossJoin(probe)
+    )
+    cos = F.round(cosine_sim(F.col("v"), F.col("p")), 6)
+    branches = [
+        cand.filter(F.col("crn") <= p)
+        .select(
+            F.lit(p).cast("long").alias("nprobe"),
+            "vec_id",
+            "label",
+            cos.alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id"))
+        .limit(10)
+        for p in _MP_NPROBES
+    ]
+    out = branches[0]
+    for br in branches[1:]:
+        out = out.unionByName(br)
+    return out
+
+
 @query(
     "embedding_centroids",
     layer="C",
@@ -929,67 +1077,96 @@ _RECALL_ORACLE = f"""
             WHERE vecs.vec_id <> pr.probe_id
         ) WHERE rn <= {_RECALL_K}
     ),
+    pc AS (
+        SELECT pr.probe_id, c.centroid_id,
+               list_dot_product(c.c, pr.p)
+                   / (sqrt(list_dot_product(c.c, c.c))
+                      * sqrt(list_dot_product(pr.p, pr.p))) AS ccos
+        FROM cents c CROSS JOIN probes pr
+    ),
+    pcr AS (
+        SELECT a.probe_id, a.centroid_id, 1 + count(b.centroid_id) AS crn
+        FROM pc a LEFT JOIN pc b
+          ON a.probe_id = b.probe_id
+             AND (b.ccos > a.ccos
+                  OR (b.ccos = a.ccos AND b.centroid_id < a.centroid_id))
+        GROUP BY a.probe_id, a.centroid_id
+    ),
+    np AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (2), (4)) AS t(nprobe)),
+    cand AS MATERIALIZED (
+        SELECT pr.probe_id, np.nprobe, a.vec_id, a.v, pr.p
+        FROM assigned a
+        JOIN pcr ON a.centroid_id = pcr.centroid_id
+        JOIN probes pr ON pr.probe_id = pcr.probe_id
+        CROSS JOIN np
+        WHERE pcr.crn <= np.nprobe AND a.vec_id <> pr.probe_id
+    ),
     ivf AS (
-        SELECT probe_id, vec_id FROM (
-            SELECT pr.probe_id, a.vec_id,
+        SELECT probe_id, nprobe, vec_id FROM (
+            SELECT probe_id, nprobe, vec_id,
                    row_number() OVER (
-                       PARTITION BY pr.probe_id
-                       ORDER BY list_dot_product(a.v, pr.p)
-                                / (sqrt(list_dot_product(a.v, a.v))
-                                   * sqrt(list_dot_product(pr.p, pr.p))) DESC,
-                                a.vec_id) AS rn
-            FROM assigned a JOIN probes pr
-              ON a.centroid_id = pr.probe_centroid
-            WHERE a.vec_id <> pr.probe_id
+                       PARTITION BY probe_id, nprobe
+                       ORDER BY list_dot_product(v, p)
+                                / (sqrt(list_dot_product(v, v))
+                                   * sqrt(list_dot_product(p, p))) DESC,
+                                vec_id) AS rn
+            FROM cand
         ) WHERE rn <= {_RECALL_K}
     ),
-    cell AS (
-        SELECT pr.probe_id, CAST(count(*) AS BIGINT) AS cell_size
-        FROM assigned a JOIN probes pr
-          ON a.centroid_id = pr.probe_centroid
-        WHERE a.vec_id <> pr.probe_id
-        GROUP BY pr.probe_id
+    csize AS (
+        SELECT probe_id, nprobe, CAST(count(*) AS BIGINT) AS cand_size
+        FROM cand GROUP BY probe_id, nprobe
     ),
     hits AS (
-        SELECT e.probe_id, CAST(count(*) AS BIGINT) AS n_hits
+        SELECT i.probe_id, i.nprobe, CAST(count(*) AS BIGINT) AS n_hits
         FROM exact e JOIN ivf i
           ON e.probe_id = i.probe_id AND e.vec_id = i.vec_id
-        GROUP BY e.probe_id
-    )
-    SELECT pr.probe_id,
-           COALESCE(c.cell_size, 0) AS cell_size,
+        GROUP BY i.probe_id, i.nprobe
+    ),
+    tot AS (SELECT CAST(count(*) AS BIGINT) AS n_corpus FROM vecs)
+    SELECT pr.probe_id, np.nprobe,
+           COALESCE(c.cand_size, 0) AS cand_size,
            COALESCE(h.n_hits, 0) AS n_hits,
-           COALESCE(h.n_hits, 0) * 1.0 / {_RECALL_K} AS recall_at_{_RECALL_K}
+           COALESCE(h.n_hits, 0) * 1.0 / {_RECALL_K} AS recall_at_{_RECALL_K},
+           COALESCE(c.cand_size, 0) * 1.0 / (t.n_corpus - 1) AS probed_frac
     FROM probes pr
-    LEFT JOIN cell c USING (probe_id)
-    LEFT JOIN hits h USING (probe_id)
+    CROSS JOIN np
+    LEFT JOIN csize c ON c.probe_id = pr.probe_id AND c.nprobe = np.nprobe
+    LEFT JOIN hits h ON h.probe_id = pr.probe_id AND h.nprobe = np.nprobe
+    CROSS JOIN tot t
 """
 
 
 @query("ivf_recall_audit", layer="C", oracle=_RECALL_ORACLE)
 def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@{_RECALL_K} audit OF the IVF ANN path — "measure, don't
+    """Recall-vs-cost SWEEP of the IVF ANN path — "measure, don't
     guess" applied to approximate search exactly as minhash_accuracy
     applies it to the MinHash estimator: for {_RECALL_PROBES} probe
-    vectors, compare the nprobe=1 IVF candidate top-{_RECALL_K}
-    (ann_ivf_topk's cell-pruned search) against the brute-force exact
-    top-{_RECALL_K}, and report per-probe cell size, hit count, and
-    recall. This is the table that decides nprobe/K before trusting
-    the 1/{N_CENTROIDS} scan saving at 100 TB — a recall cliff here
-    means more probes or more centroids, measured instead of assumed.
+    vectors and EACH nprobe in {_MP_NPROBES} (the multi-probe knob of
+    ann_ivf_multiprobe), compare the IVF candidate top-{_RECALL_K}
+    from the nprobe nearest cells against the brute-force exact
+    top-{_RECALL_K}, reporting candidate-set size, hit count,
+    recall@{_RECALL_K}, AND probed_frac = cand_size/(N-1) — the
+    fraction of the corpus the probe actually scanned. The (recall,
+    probed_frac) pairs per nprobe ARE the curve that justifies an
+    nprobe choice at 100 TB: widening 1 -> 2 -> 4 cells buys recall at
+    a measured, not assumed, scan cost.
 
     Both arms are deterministic and stated identically in the oracle:
     ranking uses RAW sequential-fold cosines (bit-identical to
     DuckDB's list_dot_product chain — no rounding needed) with vec_id
-    tie-break, and recall is an integer quotient emitted via division
-    only. Scale shape: ground truth is brute force over PROBES x N
+    tie-break; per-probe centroid rank crn is a SELF-JOIN COUNT over
+    the {_RECALL_PROBES}x{N_CENTROIDS}-row probe-centroid table (no
+    ordered window); recall and probed_frac are quotients of identical
+    integers. Scale shape: ground truth is brute force over PROBES x N
     (P is small and fixed — the audit samples, it never all-pairs),
-    IVF arm reads one cell per probe, centroids/probes ride as
-    broadcasts, and the hit count is an equi-join on (probe, vec).
-    The report is LEFT-JOINED FROM THE PROBE LIST: a probe whose cell
-    holds no other vectors still gets a row (cell_size=0, recall=0) —
-    deriving rows from the cell-members aggregate would silently drop
-    exactly the recall-0 worst cases the audit exists to surface."""
+    the IVF arm reads nprobe cells per probe, centroid ranks and
+    nprobe values ride as broadcasts, and the hit count is an
+    equi-join on (probe, vec). The report is LEFT-JOINED FROM THE
+    PROBES x NPROBE grid: a probe whose cells hold no other vectors
+    still gets its rows (cand_size=0, recall=0) — deriving rows from
+    the candidate aggregate would silently drop exactly the recall-0
+    worst cases the audit exists to surface."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     cents = F.broadcast(
@@ -1020,7 +1197,6 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     probes = F.broadcast(
         assigned.filter(F.col("vec_id") < _RECALL_PROBES).select(
             F.col("vec_id").alias("probe_id"),
-            F.col("centroid_id").alias("probe_centroid"),
             F.col("v").alias("p"),
         )
     )
@@ -1035,32 +1211,78 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rn") <= _RECALL_K)
         .select("probe_id", "vec_id")
     )
-    cell_members = assigned.join(
-        probes, assigned.centroid_id == probes.probe_centroid
-    ).filter(F.col("vec_id") != F.col("probe_id"))
+    # Per-probe centroid ranking crn: self-join count over the
+    # PROBES x CENTROIDS table (80 rows) — never an ordered window.
+    pc = cents.crossJoin(probes).select(
+        "probe_id",
+        "centroid_id",
+        cosine_sim(F.col("c"), F.col("p")).alias("ccos"),
+    )
+    a, b = pc.alias("a"), pc.alias("b")
+    better = (F.col("a.probe_id") == F.col("b.probe_id")) & (
+        (F.col("b.ccos") > F.col("a.ccos"))
+        | (
+            (F.col("b.ccos") == F.col("a.ccos"))
+            & (F.col("b.centroid_id") < F.col("a.centroid_id"))
+        )
+    )
+    pcr = F.broadcast(
+        a.join(b, better, "left")
+        .groupBy(
+            F.col("a.probe_id").alias("probe_id"),
+            F.col("a.centroid_id").alias("centroid_id"),
+        )
+        .agg((F.count(F.col("b.centroid_id")) + 1).alias("crn"))
+    )
+    np_df = F.broadcast(
+        spark.createDataFrame([(p,) for p in _MP_NPROBES], "nprobe long")
+    )
+    cand = (
+        assigned.join(pcr, "centroid_id")
+        .join(probes.select("probe_id", "p"), "probe_id")
+        .crossJoin(np_df)
+        .filter(
+            (F.col("crn") <= F.col("nprobe"))
+            & (F.col("vec_id") != F.col("probe_id"))
+        )
+        .select("probe_id", "nprobe", "vec_id", "v", "p")
+    )
+    w_rank_np = Window.partitionBy("probe_id", "nprobe").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
     ivf = (
-        cell_members.select("probe_id", "vec_id", cos)
-        .withColumn("rn", F.row_number().over(w_rank))
+        cand.select("probe_id", "nprobe", "vec_id", cos)
+        .withColumn("rn", F.row_number().over(w_rank_np))
         .filter(F.col("rn") <= _RECALL_K)
-        .select("probe_id", "vec_id")
+        .select("probe_id", "nprobe", "vec_id")
     )
-    cell = cell_members.groupBy("probe_id").agg(
-        F.count(F.lit(1)).alias("cell_size")
+    csize = cand.groupBy("probe_id", "nprobe").agg(
+        F.count(F.lit(1)).alias("cand_size")
     )
-    hits = exact.join(ivf, ["probe_id", "vec_id"]).groupBy("probe_id").agg(
-        F.count(F.lit(1)).alias("n_hits")
+    hits = (
+        exact.join(ivf, ["probe_id", "vec_id"])
+        .groupBy("probe_id", "nprobe")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
     )
+    tot = F.broadcast(vecs.agg(F.count(F.lit(1)).alias("n_corpus")))
     return (
         probes.select("probe_id")
-        .join(cell, "probe_id", "left")
-        .join(hits, "probe_id", "left")
+        .crossJoin(np_df)
+        .join(csize, ["probe_id", "nprobe"], "left")
+        .join(hits, ["probe_id", "nprobe"], "left")
+        .crossJoin(tot)
         .select(
             "probe_id",
-            F.coalesce(F.col("cell_size"), F.lit(0)).alias("cell_size"),
+            "nprobe",
+            F.coalesce(F.col("cand_size"), F.lit(0)).alias("cand_size"),
             F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
             (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_RECALL_K))).alias(
                 f"recall_at_{_RECALL_K}"
             ),
+            (
+                F.coalesce(F.col("cand_size"), F.lit(0))
+                / (F.col("n_corpus") - 1)
+            ).alias("probed_frac"),
         )
     )
 

@@ -134,6 +134,7 @@ GATE_QUERIES = [
     "embedding_quantize",
     "embedding_cosine_topk",
     "ann_ivf_topk",
+    "ann_ivf_multiprobe",
     "ivf_recall_audit",
     "negative_sampling",
     "embedding_array_stats",

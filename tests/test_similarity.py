@@ -50,8 +50,11 @@ def test_pair_emitters_nonzero(spark, sf_dir):
 def test_ivf_recall_audit_misses_cross_cell_neighbor(spark, tmp_path):
     """Probe 0's exact top-10 contains a vector that IVF's nprobe=1
     search cannot see (it sits in a different cell), so recall@10 must
-    be exactly cell_hits/10 — pinning that the audit actually measures
-    the cell-pruning loss, not just the cell contents."""
+    be exactly cell_hits/10 at nprobe=1 — and the SWEEP must show the
+    gain: at nprobe=2 the second-nearest cell (cell 1, holding the
+    cross-cell neighbor) enters the candidate set and recall rises.
+    Pins that the audit measures the cell-pruning loss AND the
+    multi-probe recovery, not just cell contents."""
     from cuttlefish_spark.registry import load_all
 
     def vec(**kv):
@@ -75,20 +78,29 @@ def test_ivf_recall_audit_misses_cross_cell_neighbor(spark, tmp_path):
 
     out = (
         load_all()["ivf_recall_audit"].fn(spark, sf_dir)
-        .toPandas().set_index("probe_id").sort_index()
+        .toPandas().set_index(["probe_id", "nprobe"]).sort_index()
     )
-    # cell 0 holds exactly the six near members (probe itself excluded)
-    assert out.loc[0, "cell_size"] == 6
-    # exact top-10 = {8..13, 14, 1, 2, 3}; IVF sees only {8..13}
-    assert out.loc[0, "n_hits"] == 6
-    assert out.loc[0, "recall_at_10"] == 0.6
-    # every probe reports a row, even those alone in their cell:
-    # probes 2..7 are centroids whose cells hold nothing else, the
-    # recall-0 worst case the audit must surface, not drop
-    assert len(out) == 10
-    assert out.loc[2, "cell_size"] == 0
-    assert out.loc[2, "n_hits"] == 0
-    assert out.loc[2, "recall_at_10"] == 0.0
+    # 10 probes x 3 nprobe sweep points, no dropped grid rows
+    assert len(out) == 30
+    # nprobe=1: cell 0 holds exactly the six near members (probe
+    # itself excluded); exact top-10 = {8..13, 14, 1, 2, 3}
+    assert out.loc[(0, 1), "cand_size"] == 6
+    assert out.loc[(0, 1), "n_hits"] == 6
+    assert out.loc[(0, 1), "recall_at_10"] == 0.6
+    # nprobe=2 adds cell 1 = {centroid 1, vec 14} -> both are exact
+    # top-10 members: the sweep shows the multi-probe recall gain
+    assert out.loc[(0, 2), "cand_size"] == 8
+    assert out.loc[(0, 2), "n_hits"] == 8
+    assert out.loc[(0, 2), "recall_at_10"] == 0.8
+    # nprobe=4 adds cells 2,3 (centroids 2,3) -> full recall
+    assert out.loc[(0, 4), "cand_size"] == 10
+    assert out.loc[(0, 4), "recall_at_10"] == 1.0
+    # probed_frac reports the measured scan cost (corpus N-1 = 14)
+    assert out.loc[(0, 1), "probed_frac"] == 6 / 14
+    # probes alone in their cell still report their recall-0 rows
+    assert out.loc[(2, 1), "cand_size"] == 0
+    assert out.loc[(2, 1), "n_hits"] == 0
+    assert out.loc[(2, 1), "recall_at_10"] == 0.0
 
 
 def test_editdist_second_pass_catches_early_edit(spark, tmp_path):
