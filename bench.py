@@ -126,6 +126,12 @@ def main() -> None:
     normalize_rps = round(ev_rows / (time.perf_counter() - t0), 1)
 
     total = round(sum(timings.values()), 3)
+    # Host-normalized units (r8 VERDICT item 5, applied automatically):
+    # each query's steady time in multiples of host_ref_sec. Cross-round
+    # comparisons quote THESE — a query whose hostnorm ratio is stable
+    # while its wall-clock doubled ran on a slower/busier host, not a
+    # regressed plan.
+    hostnorm = {n: round(t / host_ref, 2) for n, t in timings.items()}
     out = {
         "metric": "queryset_wall_clock_median3" if median3 else "queryset_wall_clock",
         "value": total,
@@ -135,15 +141,21 @@ def main() -> None:
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "normalize_events_rows_per_sec": normalize_rps,
         "host_ref_sec": host_ref,
+        "total_hostnorm": round(total / host_ref, 1),
     }
     # The driver's BENCH_r{N}.json keeps only the tail of stdout, which
     # truncates the per-query map (r6 VERDICT item 6: 74/176 survived).
-    # Persist the FULL per-query record (min-of-2 AND cold) to a file so
-    # cross-round regression diffs cover the whole surface; each round's
-    # copy is committed as BENCH_FULL_r{N}.json.
+    # Persist the FULL per-query record (min-of-2, cold, AND hostnorm)
+    # to a file so cross-round regression diffs cover the whole surface;
+    # each round's copy is committed as BENCH_FULL_r{N}.json.
     if not median3 and not only:  # don't clobber the full record from a subset run
         with open(Path(REPO) / "BENCH_FULL.json", "w") as f:
-            json.dump({**out, "queries_cold": cold}, f, indent=1, sort_keys=True)
+            json.dump(
+                {**out, "queries_cold": cold, "queries_hostnorm": hostnorm},
+                f,
+                indent=1,
+                sort_keys=True,
+            )
     print(json.dumps(out))
 
 

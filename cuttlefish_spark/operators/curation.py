@@ -20,7 +20,14 @@ from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
 from cuttlefish_spark.io import load_table, spread
-from cuttlefish_spark.operators.text import _LM_SCORED_CTES, STOPWORDS, _sql_list
+from cuttlefish_spark.operators.dedup import _mh_sql, _NORM_SQL, _SHINGLES_SQL
+from cuttlefish_spark.operators.scale import _SHUFFLE_SHARDS
+from cuttlefish_spark.operators.text import (
+    _LM_SCORED_CTES,
+    PACK_WINDOW,
+    STOPWORDS,
+    _sql_list,
+)
 from cuttlefish_spark.registry import query
 
 # ---------------------------------------------------------------------------
@@ -840,14 +847,11 @@ def _qc_feature_sql() -> str:
 """
 
 
-def _qc_oracle(n_steps: int, final: str) -> str:
-    """Unrolled n-step fixed-point logistic-regression training in pure
-    SQL — every cross-row reduction is an int64 SUM (order-independent
-    by construction), the hard-sigmoid is shift/clip integer math, and
-    the weight update's floor-division is spelled with the pmod
-    identity because DuckDB `//` truncates while the Spark driver's
-    Python `//` floors. `final` selects either the scored corpus or the
-    trained weight vector from the same training CTE chain."""
+def _qc_ctes(n_steps: int) -> list[str]:
+    """The CTE chain of the classifier oracles (lbl/nn/ft/w0..w{n}/
+    s*/p*/g*): returned as a list so composed pipelines
+    (pretrain_data_e2e) can embed the trained scorer inside a larger
+    WITH without re-stating the training."""
     D, S = _QC_D, _QC_SCALE
     ctes = [
         f"lbl AS MATERIALIZED (SELECT doc_id, CAST(keep AS INT) AS y "
@@ -885,7 +889,18 @@ def _qc_oracle(n_steps: int, final: str) -> str:
                          END AS w
             FROM w{t} w CROSS JOIN nn
             LEFT JOIN g{t} g ON g.bucket = w.bucket)""")
-    return "WITH " + ",\n    ".join(ctes) + f"\n    {final}"
+    return ctes
+
+
+def _qc_oracle(n_steps: int, final: str) -> str:
+    """Unrolled n-step fixed-point logistic-regression training in pure
+    SQL — every cross-row reduction is an int64 SUM (order-independent
+    by construction), the hard-sigmoid is shift/clip integer math, and
+    the weight update's floor-division is spelled with the pmod
+    identity because DuckDB `//` truncates while the Spark driver's
+    Python `//` floors. `final` selects either the scored corpus or the
+    trained weight vector from the same training CTE chain."""
+    return "WITH " + ",\n    ".join(_qc_ctes(n_steps)) + f"\n    {final}"
 
 
 def _qc_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -2174,4 +2189,417 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("importance", F.lit(0)).cast("long").alias("importance"),
             (F.coalesce("importance", F.lit(0)) >= 0).alias("keep"),
         )
+    )
+
+
+# ---------------------------------------------------------------------------
+# pretrain_data_e2e — the full public pretraining-data recipe as ONE plan
+# ---------------------------------------------------------------------------
+
+_E2E_NEAR_J = 0.5  # near-dup Jaccard threshold (minhash_shingles' bar)
+
+_E2E_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
+
+
+def _e2e_oracle() -> str:
+    """The capstone oracle: every stage restates its standalone
+    operator's exact SQL (URL canon = _UDC_CTES, classifier = the full
+    _qc_ctes training chain incl. the Gopher labels it distills from,
+    near-dup = _SHINGLES_SQL/_mh_sql bands, C4 = _C4_SQL, temperature
+    = the integer h^2 keep-test, packing/shuffle = their window
+    formulations), chained through survivor manifests st1..st7. CTE
+    names avoid the qc chain's lbl/nn/ft/w*/s*/p*/g* namespace."""
+    h60_doc = _E2E_H60.format(x="CAST(st6.doc_id AS VARCHAR)")
+    h60_shuf = _E2E_H60.format(x="'shuf:' || CAST(doc_id AS VARCHAR)")
+    qc_chain = ",\n    ".join(_qc_ctes(_QC_T))
+    return f"""
+    WITH {_UDC_CTES},
+    {qc_chain},
+    u_agg AS (
+        SELECT canonical_url, CAST(max(n_chars) AS BIGINT) AS kept_chars
+        FROM canon GROUP BY canonical_url
+    ),
+    u_surv AS (
+        SELECT c.canonical_url, CAST(min(c.doc_id) AS BIGINT) AS doc_id
+        FROM canon c JOIN u_agg a ON c.canonical_url = a.canonical_url
+                                 AND c.n_chars = a.kept_chars
+        GROUP BY c.canonical_url
+    ),
+    st1 AS MATERIALIZED (
+        SELECT c.doc_id, c.source
+        FROM canon c JOIN u_surv u ON c.doc_id = u.doc_id
+    ),
+    eh AS MATERIALIZED (
+        SELECT d.doc_id, md5({_NORM_SQL}) AS ch
+        FROM documents d JOIN st1 USING (doc_id)
+    ),
+    st2 AS MATERIALIZED (
+        SELECT e.doc_id, st1.source
+        FROM eh e
+        JOIN (SELECT ch, min(doc_id) AS kd FROM eh GROUP BY ch) k
+          ON e.ch = k.ch AND e.doc_id = k.kd
+        JOIN st1 ON st1.doc_id = e.doc_id
+    ),
+    nsh AS (
+        SELECT t.doc_id, t.sh FROM ({_SHINGLES_SQL}) t JOIN st2 USING (doc_id)
+    ),
+    nsig AS MATERIALIZED (
+        SELECT doc_id, sh,
+               {_mh_sql(1)} || {_mh_sql(9)} AS band1,
+               {_mh_sql(17)} || {_mh_sql(25)} AS band2
+        FROM (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS h
+              FROM nsh)
+    ),
+    npair AS (
+        SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
+        FROM nsig a JOIN nsig b
+          ON a.doc_id < b.doc_id
+         AND (a.band1 = b.band1 OR a.band2 = b.band2)
+    ),
+    ndrop AS (
+        SELECT DISTINCT pr.db AS doc_id
+        FROM npair pr
+        JOIN nsig sa ON sa.doc_id = pr.da
+        JOIN nsig sb ON sb.doc_id = pr.db
+        WHERE CAST(len(list_intersect(sa.sh, sb.sh)) AS DOUBLE)
+              / len(list_distinct(sa.sh || sb.sh)) >= {_E2E_NEAR_J}
+    ),
+    st3 AS MATERIALIZED (
+        SELECT st2.* FROM st2 LEFT JOIN ndrop USING (doc_id)
+        WHERE ndrop.doc_id IS NULL
+    ),
+    c4k AS (
+        SELECT doc_id FROM documents
+        WHERE NOT contains(lower(text), 'lorem ipsum')
+          AND NOT contains(text, '{{')
+    ),
+    st4 AS (SELECT st3.* FROM st3 JOIN c4k USING (doc_id)),
+    st5 AS (SELECT st4.* FROM st4 JOIN lbl USING (doc_id) WHERE lbl.y = 1),
+    st6 AS MATERIALIZED (
+        SELECT st5.* FROM st5 JOIN p{_QC_T} USING (doc_id)
+        WHERE p{_QC_T}.score > 0
+    ),
+    tcnt AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs
+        FROM st6 GROUP BY source
+    ),
+    tmx AS (SELECT max(n_docs) AS n_max FROM tcnt),
+    st7 AS MATERIALIZED (
+        SELECT doc_id, source FROM (
+            SELECT st6.doc_id, st6.source,
+                   {h60_doc} % {_TEMP_M} AS hq, t.n_docs, m.n_max
+            FROM st6 JOIN tcnt t USING (source) CROSS JOIN tmx m
+        ) WHERE hq * hq * n_max < {_TEMP_M * _TEMP_M} * n_docs
+    ),
+    ptok AS (
+        SELECT s.doc_id, s.source,
+               CASE WHEN length(trim(d.text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(d.text)),
+                                                   '\\s+'))
+               END AS n_tok
+        FROM st7 s JOIN documents d USING (doc_id)
+    ),
+    pcum AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS cb
+        FROM ptok
+    ),
+    pk AS (
+        SELECT source,
+               CAST(count(DISTINCT cb // {PACK_WINDOW}) AS BIGINT)
+                   AS packed_windows,
+               CAST(sum(n_tok) AS BIGINT) AS final_tokens
+        FROM pcum GROUP BY source
+    ),
+    shh AS (
+        SELECT doc_id, source, {h60_shuf} AS hv FROM st7
+    ),
+    spos AS (
+        SELECT source,
+               CAST(row_number() OVER (
+                   PARTITION BY hv % {_SHUFFLE_SHARDS}
+                   ORDER BY hv, doc_id) AS BIGINT) AS pos
+        FROM shh
+    ),
+    shp AS (
+        SELECT source, CAST(sum(pos) AS BIGINT) AS shuffle_possum
+        FROM spos GROUP BY source
+    ),
+    e2e_base AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_raw
+        FROM documents GROUP BY source
+    ),
+    cnt1 AS (SELECT source, count(*) AS n_url_kept FROM st1 GROUP BY source),
+    cnt2 AS (SELECT source, count(*) AS n_exact_kept FROM st2 GROUP BY source),
+    cnt3 AS (SELECT source, count(*) AS n_neardup_kept FROM st3 GROUP BY source),
+    cnt4 AS (SELECT source, count(*) AS n_c4_kept FROM st4 GROUP BY source),
+    cnt5 AS (SELECT source, count(*) AS n_gopher_kept FROM st5 GROUP BY source),
+    cnt6 AS (SELECT source, count(*) AS n_clf_kept FROM st6 GROUP BY source),
+    cnt7 AS (SELECT source, count(*) AS n_mix_kept FROM st7 GROUP BY source)
+    SELECT b.source, b.n_raw,
+           CAST(coalesce(cnt1.n_url_kept, 0) AS BIGINT) AS n_url_kept,
+           CAST(coalesce(cnt2.n_exact_kept, 0) AS BIGINT) AS n_exact_kept,
+           CAST(coalesce(cnt3.n_neardup_kept, 0) AS BIGINT) AS n_neardup_kept,
+           CAST(coalesce(cnt4.n_c4_kept, 0) AS BIGINT) AS n_c4_kept,
+           CAST(coalesce(cnt5.n_gopher_kept, 0) AS BIGINT) AS n_gopher_kept,
+           CAST(coalesce(cnt6.n_clf_kept, 0) AS BIGINT) AS n_clf_kept,
+           CAST(coalesce(cnt7.n_mix_kept, 0) AS BIGINT) AS n_mix_kept,
+           CAST(coalesce(pk.packed_windows, 0) AS BIGINT) AS packed_windows,
+           CAST(coalesce(pk.final_tokens, 0) AS BIGINT) AS final_tokens,
+           CAST(coalesce(shp.shuffle_possum, 0) AS BIGINT) AS shuffle_possum
+    FROM e2e_base b
+    LEFT JOIN cnt1 USING (source)
+    LEFT JOIN cnt2 USING (source)
+    LEFT JOIN cnt3 USING (source)
+    LEFT JOIN cnt4 USING (source)
+    LEFT JOIN cnt5 USING (source)
+    LEFT JOIN cnt6 USING (source)
+    LEFT JOIN cnt7 USING (source)
+    LEFT JOIN pk USING (source)
+    LEFT JOIN shp USING (source)
+    """
+
+
+@query("pretrain_data_e2e", layer="C", oracle=_e2e_oracle())
+def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The pretraining-data CAPSTONE — the full public curation recipe
+    (C4 / Gopher / RefinedWeb / DCLM lineage) chained as ONE plan with
+    per-stage survivor manifests and per-source attrition accounting,
+    the join-graph/stage-composition stress no single query exercises
+    (the LLM-pipeline analogue of TPC-H Q8):
+
+      raw -> (1) URL dedup (canonicalize, keep longest per target —
+      url_dedup_canonical's survivor argmax) -> (2) exact dedup among
+      survivors (min doc_id per normalized-content md5 —
+      exact_dedup_docs' rule) -> (3) near-dup keep-list (MinHash band
+      candidates + exact Jaccard >= {_E2E_NEAR_J}, drop the larger id
+      of each verified pair — minhash_shingles' candidate pipeline as
+      a bounded manifest) -> (4) C4 page rules (lorem-ipsum /
+      curly-brace; the LINE-level rule is verified standalone by
+      c4_line_filter but is vacuous on this single-line synthetic
+      corpus, so the capstone carries C4's page-rule subset) ->
+      (5) Gopher rule gate -> (6) TRAINED classifier threshold (the
+      24-step fixed-point model of quality_classifier_ngram, trained
+      once on the full corpus, score > 0) -> (7) temperature mixture
+      (alpha=0.5 integer h^2 keep-test of temperature_sampling over
+      the SURVIVOR counts) -> (8) sequence packing (per-source
+      two-phase prefix sum into {PACK_WINDOW}-token windows) ->
+      (9) training shuffle (salted-hash shard + within-shard rank,
+      emitted as the per-source position checksum).
+
+    Output: one row per source — n_raw and the seven post-stage
+    survivor counts, plus packed_windows / final_tokens (stage 8) and
+    shuffle_possum (stage 9). Every number is int64; every stage
+    restates its standalone operator's exact arithmetic, so the
+    standalone hash-verifications transfer and this query verifies
+    their INTERACTION (stage order, manifest joins, survivor-dependent
+    statistics like the temperature counts).
+
+    Scale shape: the corpus is scanned once per stage-feature (hash,
+    shingles, rules — each a pruned column scan joined to the previous
+    narrow manifest); manifests (doc_id, source) are localCheckpointed
+    between stages — at 100 TB each becomes a parquet write, the
+    production form. The near-dup stage runs bands on stage-2
+    SURVIVORS (post-URL/exact collapse), the order that makes the
+    expensive stage cheapest — the whole point of running dedup
+    early. No low-card ordered window anywhere: packing uses the
+    two-phase prefix sum; the shuffle window partitions by the
+    uniform hash shard (production sizes S ~ 10x executors)."""
+    from pyspark.sql import Window
+
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+
+    # Stage 1: URL dedup survivors.
+    canon = _url_canon(spark, sf_dir).localCheckpoint(eager=True)
+    u_agg = canon.groupBy("canonical_url").agg(
+        F.max("n_chars").cast("long").alias("kc")
+    )
+    mx = u_agg.select(F.col("canonical_url").alias("cu"), "kc")
+    u_surv = (
+        canon.join(
+            mx,
+            (canon["canonical_url"] == mx["cu"]) & (canon["n_chars"] == mx["kc"]),
+        )
+        .groupBy("canonical_url")
+        .agg(F.min("doc_id").alias("doc_id"))
+        .select("doc_id")
+    )
+    st1 = (
+        canon.join(u_surv, "doc_id")
+        .select("doc_id", "source")
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 2: exact dedup among survivors (min doc_id per content md5).
+    norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+    eh = (
+        d.select("doc_id", F.md5(norm).alias("ch"))
+        .join(st1, "doc_id")
+        .localCheckpoint(eager=True)
+    )
+    ek = (
+        eh.groupBy("ch")
+        .agg(F.min("doc_id").alias("kd"))
+        .select(F.col("ch").alias("ch2"), "kd")
+    )
+    st2 = (
+        eh.join(
+            ek, (F.col("ch") == F.col("ch2")) & (F.col("doc_id") == F.col("kd"))
+        )
+        .select("doc_id", "source")
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 3: near-dup keep-list via MinHash bands on stage-2 survivors.
+    sh = F.array_distinct(word_shingles(tokens(F.col("text")), k=3))
+    nsh = d.select("doc_id", sh.alias("sh")).join(st2.select("doc_id"), "doc_id")
+
+    def mh(start: int):
+        return F.array_min(
+            F.transform(F.col("h"), lambda x: F.substring(x, start, 8))
+        )
+
+    nsig = (
+        nsh.withColumn("h", F.transform(F.col("sh"), F.md5))
+        .select(
+            "doc_id",
+            "sh",
+            F.concat(mh(1), mh(9)).alias("band1"),
+            F.concat(mh(17), mh(25)).alias("band2"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    pairs = None
+    for band in ["band1", "band2"]:
+        a = nsig.select(F.col("doc_id").alias("da"), F.col(band).alias("k"))
+        b = nsig.select(F.col("doc_id").alias("db"), F.col(band).alias("k"))
+        c = a.join(b, "k").filter(F.col("da") < F.col("db")).select("da", "db")
+        pairs = c if pairs is None else pairs.unionByName(c)
+    pairs = pairs.distinct()
+    sa = nsig.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
+    sb = nsig.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
+    jac = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(
+        F.array_union("sha", "shb")
+    )
+    ndrop = (
+        pairs.join(sa, "da")
+        .join(sb, "db")
+        .filter(jac >= _E2E_NEAR_J)
+        .select(F.col("db").alias("doc_id"))
+        .distinct()
+    )
+    st3 = st2.join(ndrop, "doc_id", "left_anti").localCheckpoint(eager=True)
+
+    # Stage 4: C4 page rules (line rule vacuous on this corpus — see above).
+    c4k = d.filter(
+        (~F.lower(F.col("text")).contains("lorem ipsum"))
+        & (~F.col("text").contains("{"))
+    ).select("doc_id")
+    st4 = st3.join(c4k, "doc_id").localCheckpoint(eager=True)
+
+    # Stage 5: Gopher rule gate.
+    q = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
+    st5 = (
+        st4.join(q, "doc_id")
+        .filter(F.col("keep"))
+        .drop("keep")
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 6: trained classifier threshold (model memoized per corpus).
+    w, _n, feats, labels = _qc_train(spark, sf_dir)
+    predicted = _qc_score(spark, feats, labels, w).filter(
+        F.col("score") > 0
+    ).select("doc_id")
+    st6 = st5.join(predicted, "doc_id").localCheckpoint(eager=True)
+
+    # Stage 7: temperature mixture over SURVIVOR counts (alpha = 0.5).
+    tcnt = st6.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
+    tmx = tcnt.agg(F.max("n_docs").alias("n_max"))
+    hq = hash60(F.col("doc_id").cast("string")) % _TEMP_M
+    st7 = (
+        st6.join(F.broadcast(tcnt), "source")
+        .crossJoin(F.broadcast(tmx))
+        .filter(
+            hq * hq * F.col("n_max") < F.lit(_TEMP_M * _TEMP_M) * F.col("n_docs")
+        )
+        .select("doc_id", "source")
+        .localCheckpoint(eager=True)
+    )
+
+    # Stage 8: sequence packing — per-source TWO-PHASE prefix sum.
+    ptok = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok")).join(
+        st7, "doc_id"
+    )
+    nparts = spark.sparkContext.defaultParallelism
+    part = (
+        ptok.repartitionByRange(nparts, "source", "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    raw = [
+        (r["pid"], r["source"], r["sub"])
+        for r in part.groupBy("pid", "source")
+        .agg(F.sum("n_tok").alias("sub"))
+        .collect()
+    ]
+    assert all(s is not None for _, s, _v in raw), "NULL source key"
+    offsets: dict[str, int] = {}
+    rows = []
+    for pid, src, sub in sorted(raw):
+        rows.append((pid, src, offsets.get(src, 0)))
+        offsets[src] = offsets.get(src, 0) + int(sub or 0)
+    off_df = spark.createDataFrame(rows, "pid int, source string, off bigint")
+    w_c = Window.partitionBy("pid", "source").orderBy("doc_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    pcum = part.join(F.broadcast(off_df), ["pid", "source"]).withColumn(
+        "cb", F.sum("n_tok").over(w_c) - F.col("n_tok") + F.col("off")
+    )
+    pk = pcum.groupBy("source").agg(
+        F.countDistinct(F.expr(f"cb div {PACK_WINDOW}")).alias("packed_windows"),
+        F.sum("n_tok").cast("long").alias("final_tokens"),
+    )
+
+    # Stage 9: training shuffle — salted shard hash + within-shard rank.
+    hv = hash60(F.concat(F.lit("shuf:"), F.col("doc_id").cast("string")))
+    shh = st7.select(
+        "doc_id", "source", hv.alias("hv")
+    ).withColumn("shard", F.col("hv") % _SHUFFLE_SHARDS)
+    w_s = Window.partitionBy("shard").orderBy("hv", "doc_id")
+    shp = (
+        shh.select("source", F.row_number().over(w_s).cast("long").alias("pos"))
+        .groupBy("source")
+        .agg(F.sum("pos").cast("long").alias("shuffle_possum"))
+    )
+
+    # Funnel assembly: one row per raw source, zeros where extinct.
+    out = d.groupBy("source").agg(F.count(F.lit(1)).alias("n_raw"))
+    stage_counts = [
+        (st1, "n_url_kept"),
+        (st2, "n_exact_kept"),
+        (st3, "n_neardup_kept"),
+        (st4, "n_c4_kept"),
+        (st5, "n_gopher_kept"),
+        (st6, "n_clf_kept"),
+        (st7, "n_mix_kept"),
+    ]
+    for frame, cname in stage_counts:
+        out = out.join(
+            frame.groupBy("source").agg(F.count(F.lit(1)).alias(cname)),
+            "source",
+            "left",
+        )
+    out = out.join(pk, "source", "left").join(shp, "source", "left")
+    z = F.lit(0).cast("long")
+    final_cols = [c for _, c in stage_counts] + [
+        "packed_windows",
+        "final_tokens",
+        "shuffle_possum",
+    ]
+    return out.select(
+        "source",
+        "n_raw",
+        *[F.coalesce(F.col(c), z).alias(c) for c in final_cols],
     )

@@ -384,3 +384,66 @@ def dispatch_replay(spark: SparkSession, chapters=None) -> DataFrame:
     for f in frames[1:]:
         out = out.unionByName(f)
     return out
+
+
+def dispatch_replay_bulk(spark: SparkSession, chapters) -> DataFrame:
+    """SCALED replay: fetch + normalize ONCE per DISTINCT (adapter,
+    service, organization) proto, then fan the chapter ids out
+    declaratively through a broadcast join — the plan stays O(protos)
+    no matter how long the work-list grows. dispatch_replay's
+    frame-per-chapter union is the right shape for the reference's
+    36-row config; at a 10k-chapter work-list the PLANNER (10k union
+    branches) — not the data — becomes the bottleneck, and collapsing
+    identical fetches is exactly what a production replay/cache layer
+    does. Results are identical to dispatch_replay row-for-row."""
+    seen: set[str] = set()
+    protos: list[tuple] = []
+    assign_rows = []
+    for chapter_id, _title, adapter, service_id, organization in chapters:
+        pk = f"{adapter}|{service_id}|{organization}"
+        assign_rows.append((chapter_id, pk))
+        if pk not in seen:
+            seen.add(pk)
+            protos.append((pk, adapter, service_id, organization))
+    assign = spark.createDataFrame(
+        assign_rows, "chapter_id string, pk string"
+    )
+    proto_schema = T.StructType(
+        [T.StructField("pk", T.StringType())]
+        + [f for f in CANONICAL_SCHEMA.fields if f.name != "chapter_id"]
+        + [
+            T.StructField("status", T.StringType()),
+            T.StructField("error", T.StringType()),
+        ]
+    )
+    cols = [f.name for f in proto_schema.fields]
+    frames: list[DataFrame] = []
+    err_rows: list[dict] = []
+    for pk, adapter, service_id, organization in protos:
+        normalizer = NORMALIZERS.get(adapter)
+        if normalizer is None:
+            err_rows.append(
+                {"pk": pk, "status": "ERROR",
+                 "error": f"No adapter found: {adapter}"}
+            )
+            continue
+        raw = _replay_raw(spark, adapter, service_id, organization)
+        if raw is None:
+            err_rows.append(
+                {"pk": pk, "status": "ERROR",
+                 "error": f"fetch failed for {service_id}"}
+            )
+            continue
+        frames.append(
+            normalizer(raw)
+            .withColumn("pk", F.lit(pk))
+            .withColumn("status", F.lit("OK"))
+            .withColumn("error", F.lit(None).cast("string"))
+            .select(cols)
+        )
+    if err_rows:
+        frames.append(spark.createDataFrame(err_rows, proto_schema).select(cols))
+    proto_df = frames[0]
+    for f in frames[1:]:
+        proto_df = proto_df.unionByName(f)
+    return assign.join(F.broadcast(proto_df), "pk").drop("pk")

@@ -171,3 +171,32 @@ EVENTBRITE_RAW = {
         ],
     }
 }
+
+
+def synth_chapters(n: int) -> list[tuple]:
+    """An n-chapter work-list cycling the four golden protos — the
+    scaled-fixture corpus behind the ingest throughput/oracle gate
+    (scripts/sf1_oracle_gate.py): chapter i re-fetches proto
+    CHAPTERS[i % 4] under the fresh id c{i:05d}, so the expected
+    output is the golden table fanned out by a pure formula."""
+    out = []
+    for i in range(n):
+        _cid, title, adapter, sid, org = CHAPTERS[i % len(CHAPTERS)]
+        out.append((f"c{i:05d}", title, adapter, sid, org))
+    return out
+
+
+def write_chapters_json(n: int, path: str) -> None:
+    """Materialize synth_chapters(n) in the chapters.json work-list
+    format the ChapterReplayDataSource's `chapters_path` option reads
+    (the reference's config table, api-runner.rkt:171-178)."""
+    import json
+
+    doc = {}
+    for cid, title, adapter, sid, org in synth_chapters(n):
+        ds: dict = {"adapter": adapter, "id": sid}
+        if org is not None:
+            ds["organization"] = org
+        doc[cid] = {"title": title, "dataService": ds}
+    with open(path, "w", encoding="utf-8") as fh:
+        json.dump(doc, fh)

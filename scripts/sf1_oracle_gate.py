@@ -123,6 +123,7 @@ GATE_QUERIES = [
     "ccnet_perplexity_buckets",
     "url_dedup_canonical",
     "curation_funnel_e2e",
+    "pretrain_data_e2e",
     "bpe_fertility_by_source",
     "embedding_pca_power",
     "embedding_abtt_projection",
@@ -148,6 +149,11 @@ GATE_QUERIES = [
     "streaming_hopping_halfhour",
     "streaming_left_interval_join",
     "streaming_restart_dedup",
+    # scaled-fixture gates (r9): the three golden-fixture queries,
+    # value-compared at 10k chapters / 1000x markdown via SCALED_FIXTURE
+    "ingest_normalize",
+    "ingest_datasource",
+    "markdown_html",
     # r4-era text/dedup stalest cohort
     "exact_dedup_docs",
     "doc_fingerprint",
@@ -291,6 +297,110 @@ SUBSET_QUERIES = {
     "minhash_accuracy",
 }
 
+# --- scaled-fixture gates (r8 VERDICT item 7) -------------------------
+# The three golden-fixture queries have no sf1 corpus by design; their
+# scaled twins fan the SAME golden protos out by a pure formula — 10k
+# chapters cycling the four adapters (one DataSource partition per
+# chapter), 1000x the markdown corpus — so the expected output is the
+# golden table joined to the formula, and the gate value-compares it
+# like any other query.
+
+FIXTURE_N_CHAPTERS = 10_000
+FIXTURE_MD_REPS = 1_000
+
+
+def _scaled_ingest_normalize(spark):
+    from cuttlefish_spark.operators.ingest import _flat_canonical
+    from cuttlefish_spark.sources.adapters import dispatch_replay_bulk
+    from cuttlefish_spark.sources.fixtures import synth_chapters
+
+    return _flat_canonical(
+        dispatch_replay_bulk(spark, synth_chapters(FIXTURE_N_CHAPTERS))
+    )
+
+
+def _scaled_ingest_datasource(spark):
+    import tempfile
+
+    from cuttlefish_spark.operators.ingest import (
+        _flat_canonical,
+        datasource_canonical,
+    )
+    from cuttlefish_spark.sources.fixtures import write_chapters_json
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chapters10k"), "chapters.json")
+    write_chapters_json(FIXTURE_N_CHAPTERS, path)
+    return _flat_canonical(datasource_canonical(spark, chapters_path=path))
+
+
+def _scaled_markdown_html(spark):
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.functions.markdown import (
+        MD_FIXTURE,
+        markdown_to_html_minimal,
+    )
+
+    base = spark.createDataFrame(MD_FIXTURE, "doc_id long, text string")
+    reps = spark.range(FIXTURE_MD_REPS).select(F.col("id").alias("rep"))
+    docs = base.crossJoin(reps).select(
+        (F.col("doc_id") + 12 * F.col("rep")).alias("doc_id"), "text"
+    )
+    html = markdown_to_html_minimal(F.col("text"))
+    return docs.select(
+        "doc_id",
+        F.md5(F.encode(html, "UTF-8")).alias("html_md5"),
+        F.length(html).cast("long").alias("n_html_chars"),
+    )
+
+
+def _scaled_ingest_oracle() -> str:
+    from cuttlefish_spark.operators.ingest import _INGEST_GOLDEN_SQL
+
+    return f"""
+    WITH ch AS (
+        SELECT 'c' || lpad(CAST(i AS VARCHAR), 5, '0') AS chapter_id,
+               CASE i % 4 WHEN 0 THEN 'newyork' WHEN 1 THEN 'stlouis'
+                          WHEN 2 THEN 'london' ELSE 'atlantis' END AS proto
+        FROM (SELECT unnest(range(0, {FIXTURE_N_CHAPTERS})) AS i)
+    ),
+    g AS ({_INGEST_GOLDEN_SQL})
+    SELECT ch.chapter_id, g.event_id, g.url, g.time, g.utc_offset, g.title,
+           g.description, g.venue_city, g.venue_postal, g.venue_lon,
+           g.venue_lat, g.n_photos, g.status, g.error
+    FROM ch JOIN g ON g.chapter_id = ch.proto
+    """
+
+
+def _scaled_md_oracle() -> str:
+    from cuttlefish_spark.operators.ingest import _MD_GOLDEN_SQL
+
+    return f"""
+    WITH g AS ({_MD_GOLDEN_SQL}),
+    r AS (SELECT unnest(range(0, {FIXTURE_MD_REPS})) AS rep)
+    SELECT g.doc_id + 12 * r.rep AS doc_id, g.html_md5, g.n_html_chars
+    FROM g CROSS JOIN r
+    """
+
+
+SCALED_FIXTURE = {
+    "ingest_normalize": (
+        _scaled_ingest_normalize,
+        _scaled_ingest_oracle,
+        f"fixture-{FIXTURE_N_CHAPTERS}-chapters (bulk-replay twin)",
+    ),
+    "ingest_datasource": (
+        _scaled_ingest_datasource,
+        _scaled_ingest_oracle,
+        f"fixture-{FIXTURE_N_CHAPTERS}-chapters (DataSource, 1 partition/chapter)",
+    ),
+    "markdown_html": (
+        _scaled_markdown_html,
+        _scaled_md_oracle,
+        f"fixture-x{FIXTURE_MD_REPS} ({12 * FIXTURE_MD_REPS} docs)",
+    ),
+}
+
 EVENTS_N = 1_000_000
 EVENTS_USERS = 15_000
 SEED = 43
@@ -427,17 +537,27 @@ def main() -> int:
             report = {}
     n_fail = 0
     for name in dict.fromkeys(only or GATE_QUERIES):
-        spec = specs[name]
+        scaled = SCALED_FIXTURE.get(name)
+        if scaled is None:
+            spec = specs[name]
         sf_dir = SUBSET if name in SUBSET_QUERIES else SF1
-        row: dict = {"scale": "sf0.3-subset" if name in SUBSET_QUERIES else "sf1"}
+        row: dict = {
+            "scale": scaled[2]
+            if scaled
+            else ("sf0.3-subset" if name in SUBSET_QUERIES else "sf1")
+        }
         try:
             t0 = time.monotonic()
-            got = spec.fn(spark, sf_dir).toPandas()
+            got = (
+                scaled[0](spark) if scaled else spec.fn(spark, sf_dir)
+            ).toPandas()
             row["spark_sec"] = round(time.monotonic() - t0, 2)
             t0 = time.monotonic()
             if name == "dedup_clusters":
                 want = dedup_clusters_oracle(sf_dir)
                 row["oracle"] = "edge-SQL + union-find closure"
+            elif scaled:
+                want = run_oracle(scaled[1](), sf_dir, pragmas=PRAGMAS)
             else:
                 want = run_oracle(spec.oracle, sf_dir, pragmas=PRAGMAS)
             row["oracle_sec"] = round(time.monotonic() - t0, 2)

@@ -282,3 +282,39 @@ def test_host_pagerank_semantics(spark, sf_dir):
             assert r["rank_fixed"] > teleport, r
         else:
             assert r["rank_fixed"] == teleport, r
+
+
+def test_pretrain_e2e_funnel_monotone(spark, sf_dir):
+    """The capstone's per-source funnel must be monotone non-increasing
+    across all seven gates, and the packing/shuffle stats must be
+    consistent with the final survivor set (windows exist exactly when
+    tokens exist; the shuffle position-sum covers every final doc)."""
+    from cuttlefish_spark.registry import load_all
+
+    rows = load_all()["pretrain_data_e2e"].fn(spark, sf_dir).collect()
+    assert rows, "empty funnel output"
+    chain = [
+        "n_raw",
+        "n_url_kept",
+        "n_exact_kept",
+        "n_neardup_kept",
+        "n_c4_kept",
+        "n_gopher_kept",
+        "n_clf_kept",
+        "n_mix_kept",
+    ]
+    total_final = sum(r["n_mix_kept"] for r in rows)
+    total_pos = sum(r["shuffle_possum"] for r in rows)
+    for r in rows:
+        vals = [r[c] for c in chain]
+        assert all(
+            a >= b for a, b in zip(vals, vals[1:])
+        ), f"non-monotone funnel for {r['source']}: {vals}"
+        assert (r["packed_windows"] > 0) == (r["final_tokens"] > 0), r
+        # every mixed-in doc contributes >= PACK-able tokens downstream
+        assert (r["n_mix_kept"] > 0) == (r["final_tokens"] > 0), r
+    # shuffle positions are a permutation 1..k within each shard, so the
+    # global position-sum equals the sum over shards of k_s*(k_s+1)/2 —
+    # bounded by the unsharded worst case and at least the sharded best;
+    # cheap sanity: every final doc got exactly one position.
+    assert total_pos >= total_final, (total_pos, total_final)
