@@ -79,6 +79,19 @@ def _driver_verdicts() -> dict[str, tuple[bool, int]]:
     return verdicts
 
 
+# Queries whose SEMANTICS or SCHEMA changed since their latest
+# committed green verdict (the verdict hash no longer describes the
+# current query) — forced into the driver window right after the
+# never-checked tier. Update per round; clear entries once a later
+# CORRECTNESS_r*.json re-verifies them (they then rotate as greens).
+_RECHECK = [
+    "ivf_recall_audit",  # r9: nprobe sweep — new output schema
+    "window_distribution",  # r9: two-phase closed-form rewrite
+    "ranking_functions",  # r9: two-phase closed-form rewrite
+    "dsir_importance",  # r9: int128 product widening
+]
+
+
 def _ordered_specs():
     specs = load_all()
     verdicts = _driver_verdicts()
@@ -94,13 +107,16 @@ def _ordered_specs():
         for n in names
         if n not in verdicts or (verdicts[n][2] and specs[n].oracle is not None)
     ]
-    pending = set(failed) | set(never_checked)
+    recheck = [
+        n for n in _RECHECK if n in names and n not in set(failed) | set(never_checked)
+    ]
+    pending = set(failed) | set(never_checked) | set(recheck)
     # Stalest green first; ties broken by registry order for stability.
     green = sorted(
         (n for n in names if n in verdicts and verdicts[n][0] and n not in pending),
         key=lambda n: (verdicts[n][1], names.index(n)),
     )
-    order = failed + never_checked + green
+    order = failed + never_checked + recheck + green
     return {name: specs[name] for name in order}
 
 

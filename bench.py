@@ -125,6 +125,25 @@ def main() -> None:
     ).save()
     normalize_rps = round(ev_rows / (time.perf_counter() - t0), 1)
 
+    # Chapter-fetch DataSource throughput (reference A4-A5 fan-out
+    # parity): a 1000-chapter synthesized work-list, ONE input
+    # partition per chapter — the per-task Python DataSource overhead
+    # is the honest cost of scheduler-owned fan-out; the 10k-chapter
+    # oracle-checked run lives in SF1_ORACLE.json.
+    import tempfile
+
+    from cuttlefish_spark.operators.ingest import datasource_canonical
+    from cuttlefish_spark.sources.fixtures import write_chapters_json
+
+    ch_n = 1000
+    ch_path = os.path.join(tempfile.mkdtemp(prefix="benchch"), "chapters.json")
+    write_chapters_json(ch_n, ch_path)
+    t0 = time.perf_counter()
+    datasource_canonical(spark, chapters_path=ch_path).write.format(
+        "noop"
+    ).mode("overwrite").save()
+    chapter_fetch_cps = round(ch_n / (time.perf_counter() - t0), 1)
+
     total = round(sum(timings.values()), 3)
     # Host-normalized units (r8 VERDICT item 5, applied automatically):
     # each query's steady time in multiples of host_ref_sec. Cross-round
@@ -140,6 +159,7 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "normalize_events_rows_per_sec": normalize_rps,
+        "chapter_fetch_chapters_per_sec": chapter_fetch_cps,
         "host_ref_sec": host_ref,
         "total_hostnorm": round(total / host_ref, 1),
     }

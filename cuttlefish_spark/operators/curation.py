@@ -2603,3 +2603,243 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_raw",
         *[F.coalesce(F.col(c), z).alias(c) for c in final_cols],
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_train_merges_batched — batched compatible-merge selection
+# ---------------------------------------------------------------------------
+
+_BPE_B_ROUNDS = 4  # driver sync points
+_BPE_B_M = 4       # max merges learned per round
+_BPE_B_CAND = 32   # candidate pool ranked per round (both engines cap here)
+
+
+def _bpe_batched_ctes(n_rounds: int) -> list[str]:
+    """CTE chain of the batched-BPE oracle: per round, rank the top
+    {_BPE_B_CAND} pairs by (cnt DESC, l, r), select the
+    DOMINANCE-COMPATIBLE subset (a candidate is selected iff NO
+    higher-ranked candidate's symbol set {l, r, l||r} intersects its
+    own — including the MERGED strings, which is what makes a single
+    left-to-right application pass chain-free), cap at {_BPE_B_M}, and
+    apply ALL selected pairs in ONE run-parity window pass (legal
+    because selected pairs are symbol-disjoint: a match run can only
+    ever be one pair repeating)."""
+    ctes = [
+        f"""seq0 AS MATERIALIZED (
+        SELECT word, freq,
+               list_transform(generate_series(1, length(word)),
+                              i -> substr(word, i, 1)) AS syms
+        FROM ({_WORDS_SQL})
+    )"""
+    ]
+    for i in range(n_rounds):
+        ctes.append(f"""p{i} AS MATERIALIZED (
+        SELECT l, r, CAST(sum(freq) AS BIGINT) AS cnt
+        FROM (
+            SELECT freq, syms[j] AS l, syms[j + 1] AS r
+            FROM (
+                SELECT freq, syms,
+                       unnest(generate_series(1, len(syms) - 1)) AS j
+                FROM seq{i} WHERE len(syms) >= 2
+            )
+        ) GROUP BY l, r
+    )""")
+        ctes.append(f"""c{i} AS MATERIALIZED (
+        SELECT l, r, cnt, row_number() OVER (ORDER BY cnt DESC, l, r) AS rk
+        FROM p{i} ORDER BY cnt DESC, l, r LIMIT {_BPE_B_CAND}
+    )""")
+        ctes.append(f"""b{i} AS MATERIALIZED (
+        SELECT l, r, cnt, rk FROM c{i} q
+        WHERE NOT EXISTS (
+            SELECT 1 FROM c{i} p
+            WHERE p.rk < q.rk
+              AND (p.l IN (q.l, q.r, q.l || q.r)
+                   OR p.r IN (q.l, q.r, q.l || q.r)
+                   OR p.l || p.r IN (q.l, q.r, q.l || q.r))
+        )
+        ORDER BY rk LIMIT {_BPE_B_M}
+    )""")
+        ctes.append(f"""x{i} AS MATERIALIZED (
+        SELECT t.word, t.freq, t.j, t.sym,
+               b.l IS NOT NULL AS m, b.r AS br
+        FROM (
+            SELECT word, freq, syms, j, syms[j] AS sym,
+                   CASE WHEN j < len(syms) THEN syms[j + 1] END AS nxt
+            FROM (
+                SELECT word, freq, syms,
+                       unnest(generate_series(1, len(syms))) AS j
+                FROM seq{i}
+            )
+        ) t
+        LEFT JOIN b{i} b ON t.sym = b.l AND t.nxt = b.r
+    )""")
+        ctes.append(f"""a{i} AS MATERIALIZED (
+        SELECT word, j,
+               row_number() OVER (PARTITION BY word, grp ORDER BY j) % 2 = 1
+                   AS active
+        FROM (
+            SELECT word, j,
+                   j - row_number() OVER (PARTITION BY word ORDER BY j) AS grp
+            FROM x{i} WHERE m
+        )
+    )""")
+        ctes.append(f"""seq{i + 1} AS MATERIALIZED (
+        SELECT x.word, x.freq,
+               list(CASE WHEN coalesce(a.active, FALSE)
+                         THEN x.sym || x.br ELSE x.sym END
+                    ORDER BY x.j) AS syms
+        FROM x{i} x
+        LEFT JOIN a{i} a ON a.word = x.word AND a.j = x.j
+        LEFT JOIN a{i} c ON c.word = x.word AND c.j = x.j - 1 AND c.active
+        WHERE c.j IS NULL
+        GROUP BY x.word, x.freq
+    )""")
+    return ctes
+
+
+def _bpe_batched_oracle(n_rounds: int) -> str:
+    steps = "\n        UNION ALL\n".join(
+        f"        SELECT {i + 1} AS round,"
+        f" CAST(row_number() OVER (ORDER BY rk) AS BIGINT) AS sel_rank,"
+        f" l AS left_sym, r AS right_sym, l || r AS merged,"
+        f" cnt AS pair_count FROM b{i}"
+        for i in range(n_rounds)
+    )
+    return (
+        "WITH " + ",\n    ".join(_bpe_batched_ctes(n_rounds))
+        + f"\n    SELECT * FROM (\n{steps}\n    ) ORDER BY round, sel_rank"
+    )
+
+
+def _bpe_dominance_batch(cand: list[tuple]) -> list[tuple]:
+    """Driver-side twin of the oracle's b{i}: cand is the ranked
+    top-{_BPE_B_CAND} [(l, r, cnt), ...]; a candidate survives iff no
+    HIGHER-RANKED candidate's {l, r, l||r} intersects its own (the
+    1-hop dominance rule — a pure function of the ranked list, so both
+    engines state it identically; unlike greedy selection it does not
+    depend on which earlier candidates were themselves selected)."""
+    out = []
+    for qi, (ql, qr, qcnt) in enumerate(cand):
+        qset = {ql, qr, ql + qr}
+        ok = True
+        for pl, pr, _pc in cand[:qi]:
+            if {pl, pr, pl + pr} & qset:
+                ok = False
+                break
+        if ok:
+            out.append((ql, qr, qcnt))
+            if len(out) == _BPE_B_M:
+                break
+    return out
+
+
+@query(
+    "bpe_train_merges_batched",
+    layer="C",
+    oracle=_bpe_batched_oracle(_BPE_B_ROUNDS),
+)
+def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BATCHED BPE training — the scale path bpe_train_merges'
+    one-argmax-per-merge loop documents but doesn't take (a 32k-merge
+    production vocabulary wants ~thousands of driver syncs, not 32k):
+    per round, rank the top {_BPE_B_CAND} pairs by (count DESC, pair),
+    keep the dominance-compatible subset (no symbol OR merged-string
+    overlap with a higher-ranked candidate — the public batched-BPE
+    practice of applying independent merges together, stated with the
+    deterministic 1-hop rule both engines can express), cap at
+    {_BPE_B_M}, and apply the whole batch in ONE pass over the symbol
+    table. {_BPE_B_ROUNDS} rounds learn up to
+    {_BPE_B_ROUNDS * _BPE_B_M} merges with {_BPE_B_ROUNDS} driver
+    round-trips — the sync count drops M-fold at identical per-pass
+    cost, which is the entire scaling argument.
+
+    Chain-freedom is the correctness core (and why the rule covers
+    MERGED strings, not just components): with selected pairs'
+    {{l, r, l||r}} sets pairwise disjoint, a merge can never create a
+    symbol that participates in another selected pair, so Spark's
+    single left-to-right fold and the oracle's run-parity window over
+    the ORIGINAL sequence provably agree — the same two-algorithm
+    cross-check as bpe_train_merges, batched. Driver traffic is
+    O({_BPE_B_CAND}) rows per round (the bounded-model discipline).
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+    ).localCheckpoint(eager=True)
+
+    rows: list[tuple] = []
+    for rnd in range(1, _BPE_B_ROUNDS + 1):
+        pairs = (
+            seq.filter(F.size("syms") >= 2)
+            .select(
+                "freq",
+                F.explode(
+                    F.expr(
+                        "transform(sequence(1, size(syms) - 1),"
+                        " j -> struct(element_at(syms, j) AS l,"
+                        "             element_at(syms, j + 1) AS r))"
+                    )
+                ).alias("p"),
+            )
+            .select("freq", "p.l", "p.r")
+            .groupBy("l", "r")
+            .agg(F.sum("freq").alias("cnt"))
+        )
+        cand = [
+            (r["l"], r["r"], int(r["cnt"]))
+            for r in pairs.orderBy(F.desc("cnt"), "l", "r")
+            .limit(_BPE_B_CAND)
+            .collect()
+        ]
+        batch = _bpe_dominance_batch(cand)
+        if not batch:
+            break
+        for si, (l, r, cnt) in enumerate(batch, start=1):
+            rows.append((rnd, si, l, r, l + r, cnt))
+        merge_map = F.create_map(
+            *[
+                F.lit(v)
+                for l, r, _c in batch
+                for v in (l + "\x00" + r, l + r)
+            ]
+        )
+        def _fold_step(acc, x):
+            # NULL-safe lookup key: empty accumulator -> NULL prev ->
+            # NULL concat -> try_element_at returns NULL (no ANSI
+            # out-of-bounds error on element_at(empty, -1)). merge_map
+            # is captured by closure (a default arg would make
+            # F.aggregate see a 3-parameter lambda); the fold is applied
+            # before the next loop iteration rebinds it.
+            prev = F.when(F.size(acc) > 0, F.element_at(acc, -1))
+            merged = F.try_element_at(
+                merge_map, F.concat(prev, F.lit("\x00"), x)
+            )
+            return F.when(
+                merged.isNotNull(),
+                F.concat(F.slice(acc, 1, F.size(acc) - 1), F.array(merged)),
+            ).otherwise(F.concat(acc, F.array(x)))
+
+        seq = seq.select(
+            "word",
+            "freq",
+            F.aggregate(
+                F.col("syms"),
+                F.array().cast("array<string>"),
+                _fold_step,
+            ).alias("syms"),
+        ).localCheckpoint(eager=True)
+
+    return spark.createDataFrame(
+        rows,
+        "round int, sel_rank long, left_sym string, right_sym string,"
+        " merged string, pair_count long",
+    )

@@ -101,10 +101,13 @@ def datasource_canonical(
     spark: SparkSession,
     chapters_path: str | None = None,
     transport: str = "replay",
+    chapters_per_partition: int = 1,
 ) -> DataFrame:
-    """DataSource fetch -> canonical frame, parameterized by work-list
-    and transport — the reusable body behind ingest_datasource and the
-    end-to-end runner (run.run_pipeline)."""
+    """DataSource fetch -> canonical frame, parameterized by work-list,
+    transport, and task batching — the reusable body behind
+    ingest_datasource and the end-to-end runner (run.run_pipeline).
+    `chapters_per_partition` trades scheduler granularity for per-task
+    overhead (see ChapterReplayReader.partitions)."""
     from cuttlefish_spark.sources import adapters as ad
     from cuttlefish_spark.sources.datasource import register
 
@@ -114,7 +117,11 @@ def datasource_canonical(
     # the source (= re-fetches every API at scale). Caching the raw
     # fetch before fan-out is the scale-correct contract (the reference
     # likewise fetches once per chapter, api-runner.rkt:129-143).
-    reader = spark.read.format("cuttlefish_replay").option("transport", transport)
+    reader = (
+        spark.read.format("cuttlefish_replay")
+        .option("transport", transport)
+        .option("chapters_per_partition", chapters_per_partition)
+    )
     if chapters_path:
         reader = reader.option("chapters_path", chapters_path)
     raw = reader.load().localCheckpoint(eager=True)

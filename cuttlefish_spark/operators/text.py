@@ -1798,3 +1798,141 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
             & ~F.col("text").contains("{")
         ).alias("page_keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# bm25_topk — exact-integer BM25 retrieval scoring
+# ---------------------------------------------------------------------------
+
+_BM25_TERMS = ["dup", "join", "spark"]  # rare + common: idf spread
+_BM25_K = 20
+
+_BM25_SQL = rf"""
+    WITH toks AS MATERIALIZED (
+        SELECT doc_id,
+               unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                      ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                      END) AS w
+        FROM documents
+    ),
+    dl AS MATERIALIZED (
+        SELECT doc_id, CAST(count(*) AS BIGINT) AS dl
+        FROM toks GROUP BY doc_id
+    ),
+    tot AS (
+        SELECT (SELECT CAST(coalesce(sum(dl), 0) AS BIGINT) FROM dl) AS t,
+               (SELECT CAST(count(*) AS BIGINT) FROM documents) AS n
+    ),
+    qt AS (SELECT * FROM (VALUES {", ".join(f"('{t}')" for t in _BM25_TERMS)})
+               AS q(term)),
+    tf AS (
+        SELECT doc_id, w AS term, CAST(count(*) AS BIGINT) AS tf
+        FROM toks JOIN qt ON toks.w = qt.term
+        GROUP BY doc_id, w
+    ),
+    dfreq AS (
+        SELECT term, CAST(count(*) AS BIGINT) AS df
+        FROM (SELECT DISTINCT doc_id, term FROM tf)
+        GROUP BY term
+    ),
+    scored AS (
+        SELECT tf.doc_id, tf.term,
+               CAST(length(bin(CAST(2 * t.n + 2 AS BIGINT)))
+                  - length(bin(CAST(2 * d.df + 1 AS BIGINT))) AS BIGINT)
+                   AS idf_bits,
+               CAST((CAST(22000000 AS HUGEINT) * tf.tf * t.t)
+                    // (10 * t.t * tf.tf + 3 * t.t + 9 * l.dl * t.n)
+                    AS BIGINT) AS tf_micro
+        FROM tf
+        JOIN dfreq d USING (term)
+        JOIN dl l USING (doc_id)
+        CROSS JOIN tot t
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_terms_hit,
+           CAST(sum(idf_bits * tf_micro) AS BIGINT) AS score_micro
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY score_micro DESC, doc_id
+    LIMIT {_BM25_K}
+"""
+
+
+@query("bm25_topk", layer="C", oracle=_BM25_SQL)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-{_BM25_K} retrieval scoring (Robertson-Sparck Jones /
+    Okapi, k1 = 1.2, b = 0.75 — the lexical-retrieval baseline every
+    RAG/decontamination pipeline keeps next to its embedding index)
+    for the fixed query {_BM25_TERMS}, EXACT-INTEGER end to end:
+
+      - idf is the bit-resolution Lucene form floor-log2(1 +
+        (N - df + 1/2)/(df + 1/2)) computed as bits(2N+2) - bits(2df+1)
+        — the dsir_importance/unigram integer-log discipline; always
+        >= 0, rare terms dominate.
+      - the tf saturation term tf*(k1+1)/(tf + k1*(1 - b + b*dl/avgdl))
+        with k1 = 6/5, b = 3/4 and avgdl = T/N clears ALL denominators:
+        tf_micro = floor(22e6 * tf * T / (10*T*tf + 3*T + 9*dl*N)) —
+        one integer floor-division of identical operands in both
+        engines; the numerator rides int128 (HUGEINT / DECIMAL(38,0);
+        int64 would wrap past T*tf ~ 4e11) and the denominator's
+        ceiling T*tf < 9.2e17 covers a ~1e14-token corpus at tf 1e4,
+        documented like dsir's.
+      - score = sum(idf_bits * tf_micro) per doc: int64 sums only.
+
+    Plan: tokens explode -> broadcast semi-join on the 3-term query
+    list (the scan drops 28/31 of the exploded stream immediately) ->
+    (doc, term) count -> two tiny broadcast dims (df per term, the
+    2-value totals row) + a doc-length join -> TakeOrderedAndProject
+    top-{_BM25_K} (distributed heap, no global sort). At 100 TB the
+    inverted df/tf tables are the standard index-build aggregates —
+    everything shuffles on doc_id or term, nothing all-pairs."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    toks_df = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
+    dl = toks_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    # Two scalar totals: T from the token stream, N from the corpus
+    # (docs with zero tokens still count toward avgdl's denominator).
+    tot = F.broadcast(
+        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).crossJoin(
+            d.agg(F.count(F.lit(1)).alias("n"))
+        )
+    )
+    qt = F.broadcast(
+        spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
+    )
+    tf = (
+        toks_df.join(qt, toks_df["w"] == qt["term"])
+        .groupBy("doc_id", "term")
+        .agg(F.count(F.lit(1)).alias("tf"))
+        .localCheckpoint(eager=True)  # feeds dfreq AND the scorer
+    )
+    dfreq = F.broadcast(
+        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    )
+    scored = (
+        tf.join(dfreq, "term")
+        .join(dl, "doc_id")
+        .crossJoin(tot)
+        .select(
+            "doc_id",
+            (
+                F.length(F.bin(2 * F.col("n") + 2))
+                - F.length(F.bin(2 * F.col("df") + 1))
+            ).cast("long").alias("idf_bits"),
+            F.expr(
+                "CAST((CAST(22000000 AS DECIMAL(19,0))"
+                "      * CAST(tf AS DECIMAL(19,0)) * t)"
+                " div (10 * t * tf + 3 * t + 9 * dl * n) AS BIGINT)"
+            ).alias("tf_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_terms_hit"),
+            F.sum(F.col("idf_bits") * F.col("tf_micro"))
+            .cast("long")
+            .alias("score_micro"),
+        )
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_BM25_K)
+    )

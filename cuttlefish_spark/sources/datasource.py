@@ -41,8 +41,8 @@ RAW_FETCH_DDL = (
 
 
 class ChapterPartition(InputPartition):
-    def __init__(self, chapter: tuple):
-        self.chapter = chapter
+    def __init__(self, chapters: list[tuple]):
+        self.chapters = chapters
 
 
 class ChapterReplayReader(DataSourceReader):
@@ -50,9 +50,15 @@ class ChapterReplayReader(DataSourceReader):
         self.options = options
 
     def partitions(self) -> Sequence[ChapterPartition]:
-        # One work item per partition — the reference's chunk-list
-        # (chunk-list.rkt:6-18) balanced by count; Spark balances by
-        # task scheduling, which also absorbs per-key latency skew.
+        # Default: one work item per partition — the reference's
+        # chunk-list (chunk-list.rkt:6-18) balanced by count; Spark
+        # balances by task scheduling, which also absorbs per-key
+        # latency skew. `chapters_per_partition` (default 1) is the
+        # task-overhead amortization knob: a Python DataSource task
+        # costs ~0.5 core-seconds of setup (measured, PLANS.md Notes),
+        # so a 10k-item work-list of millisecond fetches wants batches;
+        # a work-list of slow HTTP fetches wants 1/partition so the
+        # scheduler owns retry/latency skew at item granularity.
         # `chapters_path` points at a chapters.json work-list (the
         # reference's config-driven table, api-runner.rkt:171-178);
         # without it the golden fixture chapters drive the replay.
@@ -60,21 +66,25 @@ class ChapterReplayReader(DataSourceReader):
         if path:
             with open(path, encoding="utf-8") as fh:
                 doc = json.load(fh)
-            return [
-                ChapterPartition(
-                    (
-                        cid,
-                        payload.get("title"),
-                        (payload.get("dataService") or {}).get("adapter"),
-                        (payload.get("dataService") or {}).get("id"),
-                        (payload.get("dataService") or {}).get("organization"),
-                    )
+            items = [
+                (
+                    cid,
+                    payload.get("title"),
+                    (payload.get("dataService") or {}).get("adapter"),
+                    (payload.get("dataService") or {}).get("id"),
+                    (payload.get("dataService") or {}).get("organization"),
                 )
                 for cid, payload in doc.items()
             ]
-        from cuttlefish_spark.sources import fixtures
+        else:
+            from cuttlefish_spark.sources import fixtures
 
-        return [ChapterPartition(c) for c in fixtures.CHAPTERS]
+            items = list(fixtures.CHAPTERS)
+        per = max(1, int(self.options.get("chapters_per_partition", 1)))
+        return [
+            ChapterPartition(items[i : i + per])
+            for i in range(0, len(items), per)
+        ]
 
     def read(self, partition: ChapterPartition) -> Iterator[tuple]:
         from cuttlefish_spark.sources.fetch import (
@@ -84,31 +94,36 @@ class ChapterReplayReader(DataSourceReader):
         )
         from cuttlefish_spark.sources.throttle import TokenBucket
 
-        chapter_id, _title, adapter, service_id, organization = partition.chapter
-        bucket = TokenBucket(rate_per_sec=float(self.options.get("rate_per_sec", 1000.0)))
-
-        if adapter not in ("meetup", "facebook", "eventbrite"):
-            bucket.acquire()
-            yield (chapter_id, adapter, service_id, None, "ERROR",
-                   f"No adapter found: {adapter}")
-            return
-        transport = (
-            http_transport
-            if self.options.get("transport", "replay") == "live"
-            else FixtureTransport()
+        # ONE bucket per task (the reference's adaptive throttle placed
+        # at scale, meetup.rkt:9-26) — batched chapters in a partition
+        # share it, exactly like a worker draining its channel.
+        bucket = TokenBucket(
+            rate_per_sec=float(self.options.get("rate_per_sec", 1000.0))
         )
-        events, error = fetch_events(
-            adapter,
-            service_id,
-            organization or service_id,
-            transport=transport,
-            bucket=bucket,
-        )
-        if error is not None:
-            yield (chapter_id, adapter, service_id, None, "ERROR", error)
-            return
-        for event in events:
-            yield (chapter_id, adapter, service_id, json.dumps(event), "OK", None)
+        live = self.options.get("transport", "replay") == "live"
+        for chapter in partition.chapters:
+            chapter_id, _title, adapter, service_id, organization = chapter
+            if adapter not in ("meetup", "facebook", "eventbrite"):
+                bucket.acquire()
+                yield (chapter_id, adapter, service_id, None, "ERROR",
+                       f"No adapter found: {adapter}")
+                continue
+            transport = http_transport if live else FixtureTransport()
+            events, error = fetch_events(
+                adapter,
+                service_id,
+                organization or service_id,
+                transport=transport,
+                bucket=bucket,
+            )
+            if error is not None:
+                yield (chapter_id, adapter, service_id, None, "ERROR", error)
+                continue
+            for event in events:
+                yield (
+                    chapter_id, adapter, service_id,
+                    json.dumps(event), "OK", None,
+                )
 
 
 class ChapterReplayDataSource(DataSource):

@@ -124,6 +124,7 @@ GATE_QUERIES = [
     "url_dedup_canonical",
     "curation_funnel_e2e",
     "pretrain_data_e2e",
+    "bpe_train_merges_batched",
     "bpe_fertility_by_source",
     "embedding_pca_power",
     "embedding_abtt_projection",
@@ -157,6 +158,7 @@ GATE_QUERIES = [
     # r4-era text/dedup stalest cohort
     "exact_dedup_docs",
     "doc_fingerprint",
+    "bm25_topk",
     "token_count_bpe",
     "sequence_packing",
     # r8 additions: unigram ladder, real-PPM multimodal pair, bounded
@@ -322,15 +324,13 @@ def _scaled_ingest_normalize(spark):
 def _scaled_ingest_datasource(spark):
     import tempfile
 
-    from cuttlefish_spark.operators.ingest import (
-        _flat_canonical,
-        datasource_canonical,
-    )
+    from cuttlefish_spark.operators.ingest import datasource_canonical
     from cuttlefish_spark.sources.fixtures import write_chapters_json
 
     path = os.path.join(tempfile.mkdtemp(prefix="chapters10k"), "chapters.json")
     write_chapters_json(FIXTURE_N_CHAPTERS, path)
-    return _flat_canonical(datasource_canonical(spark, chapters_path=path))
+    # datasource_canonical already emits the flat golden schema.
+    return datasource_canonical(spark, chapters_path=path)
 
 
 def _scaled_markdown_html(spark):

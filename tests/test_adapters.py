@@ -390,3 +390,54 @@ def test_run_pipeline_missing_chapters_raises(spark, tmp_path):
         run_pipeline(spark, config=config)
     audit = run_pipeline(spark, config=config, allow_fixture_chapters=True)
     assert audit.count() > 0
+
+
+def test_dispatch_replay_bulk_equivalence(spark):
+    """dispatch_replay_bulk must produce row-identical output to the
+    per-chapter dispatch_replay on the same work-list (the bulk form is
+    the O(protos)-plan twin the 10k-chapter gate runs), and must fan a
+    synthesized work-list out by pure formula."""
+    from cuttlefish_spark.operators.ingest import _flat_canonical
+    from cuttlefish_spark.sources.adapters import (
+        dispatch_replay,
+        dispatch_replay_bulk,
+    )
+    from cuttlefish_spark.sources.fixtures import CHAPTERS, synth_chapters
+
+    unit = _flat_canonical(dispatch_replay(spark)).toPandas()
+    bulk = _flat_canonical(dispatch_replay_bulk(spark, CHAPTERS)).toPandas()
+    key = sorted(unit.columns)
+    u = unit[key].sort_values(key).reset_index(drop=True).astype(str)
+    b = bulk[key].sort_values(key).reset_index(drop=True).astype(str)
+    assert u.equals(b), "bulk replay diverges from per-chapter replay"
+
+    n = 40  # 10 cycles of the 4 protos
+    fan = _flat_canonical(dispatch_replay_bulk(spark, synth_chapters(n))).toPandas()
+    # golden: 2 meetup + 2 facebook + 3 eventbrite + 1 error per cycle
+    assert len(fan) == (n // 4) * 8
+    assert fan["chapter_id"].nunique() == n
+    assert (fan[fan["status"] == "ERROR"]["error"] == "No adapter found: carrierpigeon").all()
+
+
+def test_datasource_chapter_batching_invariance(spark):
+    """`chapters_per_partition` must change ONLY the partitioning, not
+    the rows: the 4-chapter fixture work-list read at 1/partition and
+    batched into a single partition must produce identical canonical
+    output (and the expected partition counts)."""
+    from cuttlefish_spark.operators.ingest import datasource_canonical
+    from cuttlefish_spark.sources.datasource import ChapterReplayReader
+
+    one = datasource_canonical(spark).toPandas()
+    batched = datasource_canonical(spark, chapters_per_partition=7).toPandas()
+    key = sorted(one.columns)
+    a = one[key].sort_values(key).reset_index(drop=True).astype(str)
+    b = batched[key].sort_values(key).reset_index(drop=True).astype(str)
+    assert a.equals(b), "batched DataSource output diverges"
+
+    assert len(ChapterReplayReader({}).partitions()) == 4
+    assert len(
+        ChapterReplayReader({"chapters_per_partition": 7}).partitions()
+    ) == 1
+    assert len(
+        ChapterReplayReader({"chapters_per_partition": 3}).partitions()
+    ) == 2

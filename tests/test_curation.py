@@ -318,3 +318,65 @@ def test_pretrain_e2e_funnel_monotone(spark, sf_dir):
     # bounded by the unsharded worst case and at least the sharded best;
     # cheap sanity: every final doc got exactly one position.
     assert total_pos >= total_final, (total_pos, total_final)
+
+
+def test_bpe_batched_dominance_rule():
+    """The dominance batch rule must exclude BOTH chain hazards: a
+    candidate whose component equals a higher-ranked pair's MERGED
+    string (('ab','c') after ('a','b') -> 'ab' would chain-merge in a
+    single fold pass), and plain symbol sharing. Pure-function check
+    against the driver-side twin of the oracle's b{i}."""
+    from cuttlefish_spark.operators.curation import _bpe_dominance_batch
+
+    cand = [
+        ("a", "b", 100),   # rank 1 -> selected; S = {a, b, ab}
+        ("ab", "c", 90),   # component 'ab' == rank1's merged -> excluded
+        ("c", "d", 80),    # shares 'c' with rank-2 CANDIDATE -> excluded
+        #   (1-hop dominance blocks on any higher-ranked candidate,
+        #   selected or not — the selection-independent rule both
+        #   engines can state; greedy would have kept this one)
+        ("x", "a", 70),    # shares 'a' with rank1 -> excluded
+        ("e", "f", 60),    # disjoint from ALL higher candidates -> selected
+        ("g", "cd", 50),   # 'cd' == rank-3 candidate's merged -> excluded
+        ("h", "i", 40),    # selected
+        ("j", "k", 30),    # selected (4th, fills _BPE_B_M = 4)
+    ]
+    batch = _bpe_dominance_batch(cand)
+    assert batch == [
+        ("a", "b", 100),
+        ("e", "f", 60),
+        ("h", "i", 40),
+        ("j", "k", 30),
+    ]
+
+
+def test_bpe_batched_first_round_matches_sequential(spark, sf_dir):
+    """Round 1's top-ranked batched merge must equal sequential BPE's
+    first merge (both are the global pair-count argmax on the raw
+    char-split corpus), and every round's batch must be pairwise
+    disjoint across {l, r, l||r} — the invariant that makes the
+    one-pass application chain-free."""
+    from cuttlefish_spark.registry import load_all
+
+    specs = load_all()
+    batched = specs["bpe_train_merges_batched"].fn(spark, sf_dir).collect()
+    seq_first = (
+        specs["bpe_train_merges"].fn(spark, sf_dir)
+        .orderBy("step").limit(1).collect()[0]
+    )
+    first = [r for r in batched if r["round"] == 1 and r["sel_rank"] == 1][0]
+    assert (first["left_sym"], first["right_sym"]) == (
+        seq_first["left_sym"], seq_first["right_sym"],
+    )
+    from collections import defaultdict
+
+    by_round = defaultdict(list)
+    for r in batched:
+        by_round[r["round"]].append(r)
+    for rnd, rows in by_round.items():
+        sets = [
+            {r["left_sym"], r["right_sym"], r["merged"]} for r in rows
+        ]
+        for i in range(len(sets)):
+            for j in range(i + 1, len(sets)):
+                assert not (sets[i] & sets[j]), (rnd, sets[i], sets[j])
