@@ -129,20 +129,25 @@ def main() -> None:
     # parity): a 1000-chapter synthesized work-list, ONE input
     # partition per chapter — the per-task Python DataSource overhead
     # is the honest cost of scheduler-owned fan-out; the 10k-chapter
-    # oracle-checked run lives in SF1_ORACLE.json.
-    import tempfile
+    # oracle-checked run lives in SF1_ORACLE.json. Skipped in subset /
+    # --median3 diagnostic runs (~15 s of pure overhead there).
+    chapter_fetch_cps = None
+    if not only and not median3:
+        import shutil
+        import tempfile
 
-    from cuttlefish_spark.operators.ingest import datasource_canonical
-    from cuttlefish_spark.sources.fixtures import write_chapters_json
+        from cuttlefish_spark.operators.ingest import datasource_canonical
+        from cuttlefish_spark.sources.fixtures import write_chapters_json
 
-    ch_n = 1000
-    ch_path = os.path.join(tempfile.mkdtemp(prefix="benchch"), "chapters.json")
-    write_chapters_json(ch_n, ch_path)
-    t0 = time.perf_counter()
-    datasource_canonical(spark, chapters_path=ch_path).write.format(
-        "noop"
-    ).mode("overwrite").save()
-    chapter_fetch_cps = round(ch_n / (time.perf_counter() - t0), 1)
+        ch_n = 1000
+        ch_dir = tempfile.mkdtemp(prefix="benchch")
+        write_chapters_json(ch_n, os.path.join(ch_dir, "chapters.json"))
+        t0 = time.perf_counter()
+        datasource_canonical(
+            spark, chapters_path=os.path.join(ch_dir, "chapters.json")
+        ).write.format("noop").mode("overwrite").save()
+        chapter_fetch_cps = round(ch_n / (time.perf_counter() - t0), 1)
+        shutil.rmtree(ch_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
     # Host-normalized units (r8 VERDICT item 5, applied automatically):
@@ -159,7 +164,11 @@ def main() -> None:
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "normalize_events_rows_per_sec": normalize_rps,
-        "chapter_fetch_chapters_per_sec": chapter_fetch_cps,
+        **(
+            {"chapter_fetch_chapters_per_sec": chapter_fetch_cps}
+            if chapter_fetch_cps is not None
+            else {}
+        ),
         "host_ref_sec": host_ref,
         "total_hostnorm": round(total / host_ref, 1),
     }

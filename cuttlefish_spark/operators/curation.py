@@ -1327,46 +1327,11 @@ def ccnet_perplexity_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     dd = scored.join(d.select("doc_id", "lang"), "doc_id").select(
         "lang", "n_bigrams", "doc_id", lp_micro.alias("lp_micro")
     )
-    from pyspark.sql import Window
+    from cuttlefish_spark.operators.twophase import two_phase_rank
 
-    nparts = spark.sparkContext.defaultParallelism
-    part = (
-        dd.repartitionByRange(
-            nparts, F.col("lang"), F.desc("lp_micro"), F.col("doc_id")
-        )
-        .withColumn("pid", F.spark_partition_id())
-        # One shuffle feeds two jobs (slice counts, then the windowed
-        # pass) — checkpoint so the scan+shuffle runs once.
-        .localCheckpoint()
-    )
-    raw = [
-        (r["pid"], r["lang"], r["cnt"])
-        for r in part.groupBy("pid", "lang")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    ]
-    # NULL lang: sort TypeError + silent drop in the offset join.
-    assert all(lg is not None for _, lg, _v in raw), "NULL lang key"
-    slices = sorted(raw)
-    totals: dict[str, int] = {}
-    rows = []
-    for pid, lang, cnt in slices:  # pid ascending = rank order per lang
-        rows.append((pid, lang, totals.get(lang, 0)))
-        totals[lang] = totals.get(lang, 0) + cnt
-    off_df = spark.createDataFrame(
-        [(p, lg, o, totals[lg]) for p, lg, o in rows],
-        "pid int, lang string, off bigint, n bigint",
-    )
-    w = Window.partitionBy("pid", "lang").orderBy(
-        F.desc("lp_micro"), "doc_id"
-    )
-    ranked = part.join(F.broadcast(off_df), ["pid", "lang"]).select(
-        "lang",
-        "n_bigrams",
-        "lp_micro",
-        (F.row_number().over(w) + F.col("off")).alias("rn"),
-        "n",
-    )
+    ranked = two_phase_rank(
+        spark, dd, "lang", [F.desc("lp_micro"), F.col("doc_id")]
+    ).select("lang", "n_bigrams", "lp_micro", "rn", "n")
     bucket = (
         F.when(F.col("rn") <= F.expr("(n + 2) div 3"), F.lit("head"))
         .when(F.col("rn") <= F.expr("(2 * n + 2) div 3"), F.lit("middle"))
@@ -2528,35 +2493,16 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    # Stage 8: sequence packing — per-source TWO-PHASE prefix sum.
+    # Stage 8: sequence packing — per-source TWO-PHASE prefix sum
+    # (operators/twophase.py, the same helper sequence_packing uses).
+    from cuttlefish_spark.operators.twophase import two_phase_prefix_sum
+
     ptok = d.select("doc_id", F.size(tokens(F.col("text"))).alias("n_tok")).join(
         st7, "doc_id"
     )
-    nparts = spark.sparkContext.defaultParallelism
-    part = (
-        ptok.repartitionByRange(nparts, "source", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    raw = [
-        (r["pid"], r["source"], r["sub"])
-        for r in part.groupBy("pid", "source")
-        .agg(F.sum("n_tok").alias("sub"))
-        .collect()
-    ]
-    assert all(s is not None for _, s, _v in raw), "NULL source key"
-    offsets: dict[str, int] = {}
-    rows = []
-    for pid, src, sub in sorted(raw):
-        rows.append((pid, src, offsets.get(src, 0)))
-        offsets[src] = offsets.get(src, 0) + int(sub or 0)
-    off_df = spark.createDataFrame(rows, "pid int, source string, off bigint")
-    w_c = Window.partitionBy("pid", "source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    pcum = part.join(F.broadcast(off_df), ["pid", "source"]).withColumn(
-        "cb", F.sum("n_tok").over(w_c) - F.col("n_tok") + F.col("off")
-    )
+    pcum = two_phase_prefix_sum(
+        spark, ptok, "source", [F.col("doc_id")], "n_tok"
+    ).withColumn("cb", F.col("cum") - F.col("n_tok"))
     pk = pcum.groupBy("source").agg(
         F.countDistinct(F.expr(f"cb div {PACK_WINDOW}")).alias("packed_windows"),
         F.sum("n_tok").cast("long").alias("final_tokens"),

@@ -1092,7 +1092,8 @@ _RECALL_ORACLE = f"""
                   OR (b.ccos = a.ccos AND b.centroid_id < a.centroid_id))
         GROUP BY a.probe_id, a.centroid_id
     ),
-    np AS (SELECT * FROM (VALUES (CAST(1 AS BIGINT)), (2), (4)) AS t(nprobe)),
+    np AS (SELECT * FROM (VALUES {", ".join(
+        f"(CAST({p} AS BIGINT))" for p in _MP_NPROBES)}) AS t(nprobe)),
     cand AS MATERIALIZED (
         SELECT pr.probe_id, np.nprobe, a.vec_id, a.v, pr.p
         FROM assigned a
@@ -1540,4 +1541,146 @@ def embedding_abtt_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("proj_fixed").cast("double")
             / (F.sqrt(F.col("x2f").cast("double")) * sq_ns)
         ).alias("cos_top"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# mrl_truncation_audit — dimension-truncation recall (Matryoshka-style)
+# ---------------------------------------------------------------------------
+
+_MRL_KS = [8, 16, 32, 64]
+
+_MRL_COS_FULL = (
+    "list_dot_product(vecs.v, pr.p) / (sqrt(list_dot_product(vecs.v, vecs.v))"
+    " * sqrt(list_dot_product(pr.p, pr.p)))"
+)
+_MRL_COS_K = (
+    "list_dot_product(vecs.v[1:kk.k], pr.p[1:kk.k])"
+    " / (sqrt(list_dot_product(vecs.v[1:kk.k], vecs.v[1:kk.k]))"
+    " * sqrt(list_dot_product(pr.p[1:kk.k], pr.p[1:kk.k])))"
+)
+
+_MRL_ORACLE = f"""
+    WITH vecs AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    probes AS (
+        SELECT vec_id AS probe_id, v AS p FROM vecs
+        WHERE vec_id < {_RECALL_PROBES}
+    ),
+    kk AS (SELECT * FROM (VALUES {", ".join(
+        f"(CAST({k} AS BIGINT))" for k in _MRL_KS)}) AS t(k)),
+    full_top AS (
+        SELECT probe_id, vec_id FROM (
+            SELECT pr.probe_id, vecs.vec_id,
+                   row_number() OVER (
+                       PARTITION BY pr.probe_id
+                       ORDER BY {_MRL_COS_FULL} DESC, vecs.vec_id) AS rn
+            FROM vecs CROSS JOIN probes pr
+            WHERE vecs.vec_id <> pr.probe_id
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    trunc_top AS (
+        SELECT probe_id, k, vec_id FROM (
+            SELECT pr.probe_id, kk.k, vecs.vec_id,
+                   row_number() OVER (
+                       PARTITION BY pr.probe_id, kk.k
+                       ORDER BY {_MRL_COS_K} DESC, vecs.vec_id) AS rn
+            FROM vecs CROSS JOIN probes pr CROSS JOIN kk
+            WHERE vecs.vec_id <> pr.probe_id
+        ) WHERE rn <= {_RECALL_K}
+    ),
+    hits AS (
+        SELECT t.probe_id, t.k, CAST(count(*) AS BIGINT) AS n_hits
+        FROM trunc_top t
+        JOIN full_top f ON f.probe_id = t.probe_id AND f.vec_id = t.vec_id
+        GROUP BY t.probe_id, t.k
+    )
+    SELECT pr.probe_id, kk.k,
+           COALESCE(h.n_hits, 0) AS n_hits,
+           COALESCE(h.n_hits, 0) * 1.0 / {_RECALL_K} AS recall_at_{_RECALL_K}
+    FROM probes pr CROSS JOIN kk
+    LEFT JOIN hits h ON h.probe_id = pr.probe_id AND h.k = kk.k
+"""
+
+
+@query("mrl_truncation_audit", layer="C", oracle=_MRL_ORACLE)
+def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dimension-truncation recall audit (the Matryoshka/MRL question —
+    Kusupati et al. 2022: how much of full-dimension nearest-neighbor
+    structure survives when similarity is computed on only the FIRST k
+    coordinates?): for {_RECALL_PROBES} probes and each k in {_MRL_KS},
+    compare the truncated-cosine top-{_RECALL_K} against the
+    full-64-dim exact top-{_RECALL_K} and report recall. k = 64 is the
+    built-in sanity anchor (recall 1.0 by construction); the k < 64
+    rows measure what a 2-8x cheaper index pays in recall — the third
+    knob of the ANN evidence family next to ivf_recall_audit's
+    nprobe sweep and embedding_quantize's int8 reconstruction error.
+    (These embeddings are NOT MRL-trained, so the audit shows the
+    untrained baseline a real deployment must beat.)
+
+    Determinism: cosines are raw sequential folds over sliced arrays —
+    F.slice(v, 1, k) and DuckDB v[1:k] produce the same prefix, the
+    fold matches list_dot_product term-for-term, ranking tie-breaks on
+    vec_id, and recall is a quotient of identical integers. Scale
+    shape: the audit is PROBES x N x |ks| brute force by design (P
+    fixed and small — it samples, never all-pairs); probes and the k
+    grid ride as broadcasts; TakeOrdered does not apply because the
+    per-(probe, k) rank is windowed on a high-cardinality composite."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probes = F.broadcast(
+        vecs.filter(F.col("vec_id") < _RECALL_PROBES).select(
+            F.col("vec_id").alias("probe_id"), F.col("v").alias("p")
+        )
+    )
+    ks_df = F.broadcast(
+        spark.createDataFrame([(k,) for k in _MRL_KS], "k long")
+    )
+    cos_full = cosine_sim(F.col("v"), F.col("p")).alias("cos")
+    w_full = Window.partitionBy("probe_id").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    full_top = (
+        vecs.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .select("probe_id", "vec_id", cos_full)
+        .withColumn("rn", F.row_number().over(w_full))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("probe_id", "vec_id")
+    )
+    kint = F.col("k").cast("int")
+    vk = F.slice(F.col("v"), F.lit(1), kint)
+    pk = F.slice(F.col("p"), F.lit(1), kint)
+    w_k = Window.partitionBy("probe_id", "k").orderBy(
+        F.col("cos").desc(), "vec_id"
+    )
+    trunc_top = (
+        vecs.crossJoin(probes)
+        .filter(F.col("vec_id") != F.col("probe_id"))
+        .crossJoin(ks_df)
+        .select("probe_id", "k", "vec_id", cosine_sim(vk, pk).alias("cos"))
+        .withColumn("rn", F.row_number().over(w_k))
+        .filter(F.col("rn") <= _RECALL_K)
+        .select("probe_id", "k", "vec_id")
+    )
+    hits = (
+        trunc_top.join(full_top, ["probe_id", "vec_id"])
+        .groupBy("probe_id", "k")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    return (
+        probes.select("probe_id")
+        .crossJoin(ks_df)
+        .join(hits, ["probe_id", "k"], "left")
+        .select(
+            "probe_id",
+            "k",
+            F.coalesce(F.col("n_hits"), F.lit(0)).alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)) / F.lit(float(_RECALL_K))).alias(
+                f"recall_at_{_RECALL_K}"
+            ),
+        )
     )

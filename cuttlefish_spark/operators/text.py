@@ -19,6 +19,10 @@ from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
 from cuttlefish_spark.io import load_table, register_views, spread
+from cuttlefish_spark.operators.twophase import (
+    two_phase_prefix_sum,
+    two_phase_rank,
+)
 from cuttlefish_spark.registry import query
 
 # Tiny per-language stopword lists for the n-gram/stopword language-ID
@@ -648,37 +652,9 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tokens(F.col("text")))
     dd = d.select("doc_id", "source", n_tok.alias("n_tok"))
-    nparts = spark.sparkContext.defaultParallelism
-    part = (
-        dd.repartitionByRange(nparts, "source", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
-    )
-    raw = [
-        (r["pid"], r["source"], r["sub"])
-        for r in part.groupBy("pid", "source")
-        .agg(F.sum("n_tok").alias("sub"))
-        .collect()
-    ]
-    # NULL source would TypeError the sort and be dropped by the
-    # offset equi-join — fail loudly (current corpora never emit one).
-    assert all(s is not None for _, s, _v in raw), "NULL source key"
-    slices = sorted(raw)
-    offsets: dict[str, int] = {}
-    rows = []
-    for pid, src, sub in slices:  # pid ascending = doc order per source
-        rows.append((pid, src, offsets.get(src, 0)))
-        offsets[src] = offsets.get(src, 0) + int(sub or 0)
-    off_df = spark.createDataFrame(
-        rows, "pid int, source string, off bigint"
-    )
-    w = Window.partitionBy("pid", "source").orderBy("doc_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
-    )
-    c = part.join(F.broadcast(off_df), ["pid", "source"]).withColumn(
-        "cum_before",
-        F.sum("n_tok").over(w) - F.col("n_tok") + F.col("off"),
-    )
+    c = two_phase_prefix_sum(
+        spark, dd, "source", [F.col("doc_id")], "n_tok"
+    ).withColumn("cum_before", F.col("cum") - F.col("n_tok"))
     return (
         c.groupBy(
             "source",
@@ -1675,37 +1651,11 @@ def adaptive_length_cutoff(spark: SparkSession, sf_dir: str) -> DataFrame:
     because (source, n_chars, doc_id) is a strict total order."""
     d = load_table(spark, sf_dir, "documents")
     dd = d.select("source", "doc_id", "n_chars")
-    nparts = spark.sparkContext.defaultParallelism
-    part = (
-        dd.repartitionByRange(nparts, "source", "n_chars", "doc_id")
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+    ranked = two_phase_rank(
+        spark, dd, "source", [F.col("n_chars"), F.col("doc_id")]
+    ).select("source", "n_chars", "rn", "n").withColumn(
+        "kth", F.ceil(F.lit(_CUTOFF_Q) * F.col("n")).cast("long")
     )
-    raw = [
-        (r["pid"], r["source"], r["cnt"])
-        for r in part.groupBy("pid", "source")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .collect()
-    ]
-    # NULL source: sort TypeError + silent drop in the offset join.
-    assert all(s is not None for _, s, _v in raw), "NULL source key"
-    slices = sorted(raw)
-    totals: dict[str, int] = {}
-    rows = []
-    for pid, src, cnt in slices:  # pid ascending = rank order per source
-        rows.append((pid, src, totals.get(src, 0)))
-        totals[src] = totals.get(src, 0) + cnt
-    off_df = spark.createDataFrame(
-        [(p, s, o, totals[s]) for p, s, o in rows],
-        "pid int, source string, off bigint, n bigint",
-    )
-    w = Window.partitionBy("pid", "source").orderBy("n_chars", "doc_id")
-    ranked = part.join(F.broadcast(off_df), ["pid", "source"]).select(
-        "source",
-        "n_chars",
-        (F.row_number().over(w) + F.col("off")).alias("rn"),
-        "n",
-    ).withColumn("kth", F.ceil(F.lit(_CUTOFF_Q) * F.col("n")).cast("long"))
     keep = F.col("rn") >= F.col("kth")
     return (
         ranked.groupBy("source")

@@ -443,6 +443,11 @@ def dispatch_replay_bulk(spark: SparkSession, chapters) -> DataFrame:
         )
     if err_rows:
         frames.append(spark.createDataFrame(err_rows, proto_schema).select(cols))
+    if not frames:
+        # Empty work-list: an empty canonical frame, not an IndexError
+        # (a dynamically derived chapters.json can legitimately filter
+        # down to zero items).
+        frames.append(spark.createDataFrame([], proto_schema).select(cols))
     proto_df = frames[0]
     for f in frames[1:]:
         proto_df = proto_df.unionByName(f)

@@ -138,6 +138,7 @@ GATE_QUERIES = [
     "ann_ivf_topk",
     "ann_ivf_multiprobe",
     "ivf_recall_audit",
+    "mrl_truncation_audit",
     "negative_sampling",
     "embedding_array_stats",
     # the streaming eight against 10x input (1M-row events: 10x state
