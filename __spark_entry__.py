@@ -82,14 +82,16 @@ def _driver_verdicts() -> dict[str, tuple[bool, int]]:
 # Queries whose SEMANTICS or SCHEMA changed since their latest
 # committed green verdict (the verdict hash no longer describes the
 # current query) — forced into the driver window right after the
-# never-checked tier. Update per round; clear entries once a later
-# CORRECTNESS_r*.json re-verifies them (they then rotate as greens).
-_RECHECK = [
-    "ivf_recall_audit",  # r9: nprobe sweep — new output schema
-    "window_distribution",  # r9: two-phase closed-form rewrite
-    "ranking_functions",  # r9: two-phase closed-form rewrite
-    "dsir_importance",  # r9: int128 product widening
-]
+# never-checked tier. name -> round the change landed in; the entry
+# SELF-CLEARS once a committed CORRECTNESS_r*.json from that round or
+# later re-verifies the query (the round-N driver run executes the
+# round's final committed code, so a round >= N verdict covers it).
+_RECHECK = {
+    "ivf_recall_audit": 9,  # r9: nprobe sweep — new output schema
+    "window_distribution": 9,  # r9: two-phase closed-form rewrite
+    "ranking_functions": 9,  # r9: two-phase closed-form rewrite
+    "dsir_importance": 9,  # r9: int128 product widening
+}
 
 
 def _ordered_specs():
@@ -108,7 +110,11 @@ def _ordered_specs():
         if n not in verdicts or (verdicts[n][2] and specs[n].oracle is not None)
     ]
     recheck = [
-        n for n in _RECHECK if n in names and n not in set(failed) | set(never_checked)
+        n
+        for n, changed_rnd in _RECHECK.items()
+        if n in names
+        and (n not in verdicts or verdicts[n][1] < changed_rnd)
+        and n not in set(failed) | set(never_checked)
     ]
     pending = set(failed) | set(never_checked) | set(recheck)
     # Stalest green first; ties broken by registry order for stability.
