@@ -480,3 +480,76 @@ def test_multimodal_resize_shuffle_free(spark, sf_dir):
     partition — zero exchanges."""
     assert checks.count_exchanges(
         SPECS["multimodal_resize"].fn(spark, sf_dir)) == 0
+
+
+def test_two_phase_helpers_match_single_window(spark):
+    """The factored two_phase_rank / two_phase_prefix_sum (which
+    ccnet / adaptive_length_cutoff / sequence_packing /
+    window_distribution / ranking_functions / pretrain_data_e2e all
+    route through) must agree EXACTLY with the single-window forms
+    they replace, on randomized keyed data with duplicate values and
+    skewed group sizes — for any partition-boundary placement."""
+    import random
+
+    from pyspark.sql import Window
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.operators.twophase import (
+        two_phase_prefix_sum,
+        two_phase_rank,
+    )
+
+    rng = random.Random(7)
+    rows = []
+    for i in range(2000):
+        key = f"k{rng.choice([0, 0, 0, 1, 2, 3, 4])}"  # skewed groups
+        rows.append((i, key, rng.randrange(50), rng.randrange(100)))
+    df = spark.createDataFrame(rows, "id long, grp string, v long, x long")
+
+    got_r = two_phase_rank(
+        spark, df, "grp", [F.col("v"), F.col("id")]
+    ).select("id", "rn", "n")
+    w = Window.partitionBy("grp").orderBy("v", "id")
+    want_r = df.select(
+        "id",
+        F.row_number().over(w).cast("long").alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("grp"))
+        .cast("long")
+        .alias("n"),
+    )
+    assert got_r.exceptAll(want_r).isEmpty()
+    assert want_r.exceptAll(got_r).isEmpty()
+
+    got_s = two_phase_prefix_sum(
+        spark, df, "grp", [F.col("v"), F.col("id")], "x"
+    ).select("id", "cum")
+    wsum = (
+        Window.partitionBy("grp")
+        .orderBy("v", "id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    want_s = df.select(
+        "id", F.sum("x").over(wsum).cast("long").alias("cum")
+    )
+    assert got_s.exceptAll(want_s).isEmpty()
+    assert want_s.exceptAll(got_s).isEmpty()
+
+
+def test_two_phase_helpers_reject_bad_input(spark):
+    """Reserved caller columns and NULL keys fail loudly (ValueError,
+    not an assert that -O strips or a silent offset-join drop)."""
+    import pytest
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.operators.twophase import two_phase_rank
+
+    clash = spark.createDataFrame([(1, "a", 5)], "id long, grp string, n long")
+    with pytest.raises(ValueError, match="reserve"):
+        two_phase_rank(spark, clash, "grp", [F.col("id")])
+
+    nulls = spark.createDataFrame(
+        [(1, "a"), (2, None)], "id long, grp string"
+    )
+    with pytest.raises(ValueError, match="NULL"):
+        two_phase_rank(spark, nulls, "grp", [F.col("id")])
