@@ -131,3 +131,71 @@ def test_morton_interleave_expr_matches_reference(x, y):
         want |= ((x >> i) & 1) << (2 * i)
         want |= ((y >> i) & 1) << (2 * i + 1)
     assert got == want
+
+
+@settings(max_examples=300, deadline=None)
+@given(
+    pairs=st.lists(
+        st.tuples(
+            st.sampled_from(["a", "b", "c", "ab", "bc", "ca"]),
+            st.sampled_from(["a", "b", "c", "ab", "bc", "ca"]),
+        ),
+        min_size=1,
+        max_size=8,
+        unique=True,
+    ),
+    seq=st.lists(
+        st.sampled_from(["a", "b", "c", "ab", "bc", "ca"]),
+        min_size=0,
+        max_size=12,
+    ),
+)
+def test_bpe_dominance_batch_is_chain_free(pairs, seq):
+    """The batched-BPE correctness core (bpe_train_merges_batched): for
+    ANY ranked candidate list, applying the dominance-selected batch
+    via a single greedy left-to-right fold (the Spark side) must equal
+    applying it via run-parity on the ORIGINAL sequence (the DuckDB
+    window side). The 1-hop dominance rule — no symbol OR merged-string
+    overlap with a higher-ranked candidate — is exactly what makes the
+    two algorithms agree; raw unfiltered batches can chain-merge in the
+    fold and diverge (symbol universe here includes 'ab' so ('a','b')
+    -> 'ab' collisions with ('ab', x) candidates are generated)."""
+    from cuttlefish_spark.operators.curation import _bpe_dominance_batch
+
+    cand = [(l, r, 1000 - i) for i, (l, r) in enumerate(pairs)]
+    batch = {(l, r): l + r for l, r, _c in _bpe_dominance_batch(cand)}
+
+    # Spark-side fold: merge when (last, current) is a batch pair.
+    acc: list[str] = []
+    for x in seq:
+        if acc and (acc[-1], x) in batch:
+            acc[-1] = batch[(acc[-1], x)]
+        else:
+            acc.append(x)
+
+    # Oracle-side run-parity on the ORIGINAL sequence: among each run
+    # of consecutive match positions, offsets 0, 2, 4... are active.
+    matches = [
+        j for j in range(len(seq) - 1) if (seq[j], seq[j + 1]) in batch
+    ]
+    active: set[int] = set()
+    run: list[int] = []
+    for j in matches + [None]:  # sentinel flushes the last run
+        if j is not None and run and j == run[-1] + 1:
+            run.append(j)
+            continue
+        active.update(jj for i, jj in enumerate(run) if i % 2 == 0)
+        run = [j] if j is not None else []
+    out: list[str] = []
+    skip = False
+    for j, x in enumerate(seq):
+        if skip:
+            skip = False
+            continue
+        if j in active:
+            out.append(x + seq[j + 1])
+            skip = True
+        else:
+            out.append(x)
+
+    assert acc == out, (seq, sorted(batch), acc, out)
