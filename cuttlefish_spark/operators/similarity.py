@@ -1684,3 +1684,122 @@ def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# hybrid_rank_fusion — RRF over the lexical (BM25) and vector rankings
+# ---------------------------------------------------------------------------
+
+_RRF_C = 60          # the standard RRF damping constant (Cormack 2009)
+_RRF_SCALE = 1_000_000
+_RRF_K = 10
+
+
+def _rrf_oracle() -> str:
+    from cuttlefish_spark.operators.text import _BM25_CTES
+
+    cos = (
+        "list_dot_product(v, p) / (sqrt(list_dot_product(v, v))"
+        " * sqrt(list_dot_product(p, p)))"
+    )
+    return f"""
+    WITH {_BM25_CTES},
+    lex AS (SELECT doc_id, score_micro FROM docscore WHERE score_micro > 0),
+    lrk AS (
+        SELECT doc_id,
+               CAST(row_number() OVER (ORDER BY score_micro DESC, doc_id)
+                    AS BIGINT) AS lex_rank
+        FROM lex
+    ),
+    vecs AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+    probe AS (SELECT v AS p FROM vecs WHERE vec_id = 0),
+    srk AS (
+        SELECT vec_id,
+               CAST(row_number() OVER (ORDER BY c DESC, vec_id) AS BIGINT)
+                   AS sem_rank
+        FROM (SELECT vec_id, {cos} AS c
+              FROM vecs CROSS JOIN probe WHERE vec_id <> 0)
+    )
+    SELECT COALESCE(l.doc_id, s.vec_id) AS doc_id,
+           l.lex_rank, s.sem_rank,
+           CAST(COALESCE({_RRF_SCALE} // ({_RRF_C} + l.lex_rank), 0)
+              + COALESCE({_RRF_SCALE} // ({_RRF_C} + s.sem_rank), 0)
+                AS BIGINT) AS rrf_micro
+    FROM lrk l FULL OUTER JOIN srk s ON l.doc_id = s.vec_id
+    ORDER BY rrf_micro DESC, doc_id
+    LIMIT {_RRF_K}
+    """
+
+
+@query("hybrid_rank_fusion", layer="C", oracle=_rrf_oracle())
+def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via Reciprocal Rank Fusion (Cormack et al.
+    2009, the standard way to combine lexical and vector rankings
+    without score calibration — what every hybrid RAG stack runs):
+    rank documents by BM25 (bm25_topk's exact-integer scorer, all docs
+    matching >= 1 query term) AND by embedding cosine against the
+    probe vector (vec 0, embedding_cosine_topk's brute-force baseline
+    over the docs that carry embeddings), then fuse with
+    rrf = sum over rankings of 1/({_RRF_C} + rank) — here quantized to
+    floor({_RRF_SCALE}/({_RRF_C}+rank)), an integer both engines
+    truncate identically; a doc missing from one ranking contributes 0
+    from it (the standard union-fusion convention). Emits the fused
+    top-{_RRF_K} with both source ranks for attribution.
+
+    Scale shape: both GLOBAL rankings run as the two-phase distributed
+    rank (constant query-id key: partitioned by (pid, qid), offsets
+    collected O(partitions) — never `row_number() OVER (ORDER BY ...)`
+    with an empty partition spec, the plan-guard anti-pattern); the
+    fusion is one full-outer equi-join on doc id; the final cut is
+    TakeOrderedAndProject. At 100 TB both rank inputs are already
+    index-build aggregates (inverted-index scores, ANN candidates), so
+    fusion costs one join on the candidate union."""
+    from cuttlefish_spark.operators.text import bm25_doc_scores
+    from cuttlefish_spark.operators.twophase import two_phase_rank
+
+    lex = (
+        bm25_doc_scores(spark, sf_dir)
+        .filter(F.col("score_micro") > 0)
+        .select("doc_id", "score_micro")
+        .withColumn("qid", F.lit("q0"))
+    )
+    lrk = two_phase_rank(
+        spark, lex, "qid", [F.desc("score_micro"), F.col("doc_id")]
+    ).select("doc_id", F.col("rn").alias("lex_rank"))
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    probe = F.broadcast(
+        vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
+    )
+    sem = (
+        vecs.filter(F.col("vec_id") != 0)
+        .crossJoin(probe)
+        .select("vec_id", cosine_sim(F.col("v"), F.col("p")).alias("c"))
+        .withColumn("qid", F.lit("q0"))
+    )
+    srk = two_phase_rank(
+        spark, sem, "qid", [F.desc("c"), F.col("vec_id")]
+    ).select("vec_id", F.col("rn").alias("sem_rank"))
+
+    fused = lrk.join(srk, lrk["doc_id"] == srk["vec_id"], "full_outer")
+    rrf = (
+        F.coalesce(
+            F.expr(f"{_RRF_SCALE} div ({_RRF_C} + lex_rank)"), F.lit(0)
+        )
+        + F.coalesce(
+            F.expr(f"{_RRF_SCALE} div ({_RRF_C} + sem_rank)"), F.lit(0)
+        )
+    ).cast("long")
+    return (
+        fused.select(
+            F.coalesce(F.col("doc_id"), F.col("vec_id")).alias("doc_id"),
+            "lex_rank",
+            "sem_rank",
+            rrf.alias("rrf_micro"),
+        )
+        .orderBy(F.col("rrf_micro").desc(), "doc_id")
+        .limit(_RRF_K)
+    )

@@ -1757,8 +1757,9 @@ def c4_line_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
 _BM25_TERMS = ["dup", "join", "spark"]  # rare + common: idf spread
 _BM25_K = 20
 
-_BM25_SQL = rf"""
-    WITH toks AS MATERIALIZED (
+# Shared CTE chain: everything through the per-doc score table
+# (docscore), reused verbatim by hybrid_rank_fusion's oracle.
+_BM25_CTES = rf"""toks AS MATERIALIZED (
         SELECT doc_id,
                unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
                       ELSE regexp_split_to_array(trim(lower(text)), '\s+')
@@ -1797,12 +1798,19 @@ _BM25_SQL = rf"""
         JOIN dfreq d USING (term)
         JOIN dl l USING (doc_id)
         CROSS JOIN tot t
-    )
-    SELECT doc_id,
-           CAST(count(*) AS BIGINT) AS n_terms_hit,
-           CAST(sum(idf_bits * tf_micro) AS BIGINT) AS score_micro
-    FROM scored
-    GROUP BY doc_id
+    ),
+    docscore AS MATERIALIZED (
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_terms_hit,
+               CAST(sum(idf_bits * tf_micro) AS BIGINT) AS score_micro
+        FROM scored
+        GROUP BY doc_id
+    )"""
+
+_BM25_SQL = f"""
+    WITH {_BM25_CTES}
+    SELECT doc_id, n_terms_hit, score_micro
+    FROM docscore
     ORDER BY score_micro DESC, doc_id
     LIMIT {_BM25_K}
 """
@@ -1836,6 +1844,19 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     top-{_BM25_K} (distributed heap, no global sort). At 100 TB the
     inverted df/tf tables are the standard index-build aggregates —
     everything shuffles on doc_id or term, nothing all-pairs."""
+    return (
+        bm25_doc_scores(spark, sf_dir)
+        .orderBy(F.col("score_micro").desc(), "doc_id")
+        .limit(_BM25_K)
+    )
+
+
+def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_terms_hit, score_micro) for every document matching
+    at least one query term — the shared scoring body behind bm25_topk
+    (which cuts top-{_BM25_K}) and hybrid_rank_fusion (which ranks the
+    whole scored set). See bm25_topk's docstring for the exact-integer
+    derivation."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     toks_df = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
     dl = toks_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
@@ -1875,14 +1896,9 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tf_micro"),
         )
     )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).alias("n_terms_hit"),
-            F.sum(F.col("idf_bits") * F.col("tf_micro"))
-            .cast("long")
-            .alias("score_micro"),
-        )
-        .orderBy(F.col("score_micro").desc(), "doc_id")
-        .limit(_BM25_K)
+    return scored.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_terms_hit"),
+        F.sum(F.col("idf_bits") * F.col("tf_micro"))
+        .cast("long")
+        .alias("score_micro"),
     )

@@ -160,6 +160,7 @@ GATE_QUERIES = [
     "exact_dedup_docs",
     "doc_fingerprint",
     "bm25_topk",
+    "hybrid_rank_fusion",
     "token_count_bpe",
     "sequence_packing",
     # r8 additions: unigram ladder, real-PPM multimodal pair, bounded
