@@ -83,9 +83,12 @@ def _driver_verdicts() -> dict[str, tuple[bool, int]]:
 # committed green verdict (the verdict hash no longer describes the
 # current query) — forced into the driver window right after the
 # never-checked tier. name -> round the change landed in; the entry
-# SELF-CLEARS once a committed CORRECTNESS_r*.json from that round or
-# later re-verifies the query (the round-N driver run executes the
-# round's final committed code, so a round >= N verdict covers it).
+# SELF-CLEARS once a committed CORRECTNESS_r*.json from a STRICTLY
+# LATER round re-verifies the query. A same-round verdict does NOT
+# clear it: round artifacts can be committed mid-round, so a round-N
+# verdict may predate a later round-N change — the cost of the strict
+# rule is one redundant window slot for one round, the cost of the
+# loose rule is a semantic change the driver never re-proves.
 _RECHECK = {
     "ivf_recall_audit": 9,  # r9: nprobe sweep — new output schema
     "window_distribution": 9,  # r9: two-phase closed-form rewrite
@@ -113,7 +116,7 @@ def _ordered_specs():
         n
         for n, changed_rnd in _RECHECK.items()
         if n in names
-        and (n not in verdicts or verdicts[n][1] < changed_rnd)
+        and (n not in verdicts or verdicts[n][1] <= changed_rnd)
         and n not in set(failed) | set(never_checked)
     ]
     pending = set(failed) | set(never_checked) | set(recheck)

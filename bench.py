@@ -117,13 +117,17 @@ def main() -> None:
     # Reference-parity microbenchmark (BASELINE.md): the Layer-A
     # normalize-and-account pipeline over `events`, reported as rows/s.
     # The reference sustains ~5 keyed-groups/s network-bound
-    # (README.md:66-72 of the reference repo).
-    ev_rows = load_table(spark, sf_dir, "events").count()
-    t0 = time.perf_counter()
-    specs["keyed_output_counts"].fn(spark, sf_dir).write.format("noop").mode(
-        "overwrite"
-    ).save()
-    normalize_rps = round(ev_rows / (time.perf_counter() - t0), 1)
+    # (README.md:66-72 of the reference repo). Like the chapter-fetch
+    # line below, it serves only the full-run record — skipped in
+    # subset / --median3 diagnostic runs.
+    normalize_rps = None
+    if not only and not median3:
+        ev_rows = load_table(spark, sf_dir, "events").count()
+        t0 = time.perf_counter()
+        specs["keyed_output_counts"].fn(spark, sf_dir).write.format(
+            "noop"
+        ).mode("overwrite").save()
+        normalize_rps = round(ev_rows / (time.perf_counter() - t0), 1)
 
     # Chapter-fetch DataSource throughput (reference A4-A5 fan-out
     # parity): a 1000-chapter synthesized work-list, ONE input
@@ -163,7 +167,11 @@ def main() -> None:
         "queries": timings,
         "cold_total_sec": round(sum(cold.values()), 3),
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-        "normalize_events_rows_per_sec": normalize_rps,
+        **(
+            {"normalize_events_rows_per_sec": normalize_rps}
+            if normalize_rps is not None
+            else {}
+        ),
         **(
             {"chapter_fetch_chapters_per_sec": chapter_fetch_cps}
             if chapter_fetch_cps is not None

@@ -1625,8 +1625,12 @@ def mrl_truncation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     vec_id, and recall is a quotient of identical integers. Scale
     shape: the audit is PROBES x N x |ks| brute force by design (P
     fixed and small — it samples, never all-pairs); probes and the k
-    grid ride as broadcasts; TakeOrdered does not apply because the
-    per-(probe, k) rank is windowed on a high-cardinality composite."""
+    grid ride as broadcasts. The per-probe and per-(probe, k) rank
+    windows are the accepted probe-sampled-audit shape
+    (ivf_recall_audit's): each of the P (resp. P x |ks|) partitions
+    sorts the candidate stream in one task, which is acceptable ONLY
+    because P is a fixed audit constant — this is not a pipeline
+    operator, and the group count does not grow with the corpus."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
