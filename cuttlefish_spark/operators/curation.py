@@ -114,10 +114,20 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     boundary. Scale shape: one narrow projection per row, zero
     shuffles, zero Python — at 100 TB this is a scan-bound map the
     optimizer fuses into one WholeStageCodegen span."""
-    d = load_table(spark, sf_dir, "documents")
+    return _gopher_flags(load_table(spark, sf_dir, "documents"))
+
+
+def _gopher_flags(d: DataFrame, extra: tuple = ()) -> DataFrame:
+    """The Gopher rule set as a PURE column program over any
+    documents-shaped frame (doc_id, text) — batch and STREAMING alike
+    (stateless per-row maps are streaming-legal; streaming_quality_gate
+    runs exactly this over a file-source stream). `extra` names
+    pass-through columns appended after the standard output (empty for
+    gopher_quality_rules so its declared schema is unchanged)."""
     stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     t = d.select(
         "doc_id",
+        *extra,
         tokens(F.col("text")).alias("toks"),
         F.split(F.col("text"), "\n", -1).alias("lines"),
         (
@@ -131,6 +141,7 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     trimmed = lambda l: F.trim(l)  # noqa: E731
     m = t.select(
         "doc_id",
+        *extra,
         n_words.alias("n_words"),
         F.when(
             n_words > 0,

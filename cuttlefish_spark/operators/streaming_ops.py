@@ -614,3 +614,63 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             mode="append",
         )
     return _drain_memory_sink(spark, name, d)
+
+
+def _streaming_gate_oracle() -> str:
+    from cuttlefish_spark.operators.curation import _GOPHER_SQL
+
+    return f"""
+    SELECT d.source,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(CASE WHEN g.keep THEN 1 END) AS BIGINT) AS n_keep,
+           CAST(sum(CASE WHEN g.keep THEN d.n_chars ELSE 0 END) AS BIGINT)
+               AS kept_chars
+    FROM documents d JOIN ({_GOPHER_SQL}) g USING (doc_id)
+    GROUP BY d.source
+    """
+
+
+@query("streaming_quality_gate", layer="C", oracle=_streaming_gate_oracle())
+def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Text curation ON THE STREAMING ENGINE: the full Gopher rule set
+    (gopher_quality_rules' exact column program, via the shared
+    _gopher_flags body) applied to a DOCUMENT stream (file source ->
+    stateless per-row rules -> per-source keep accounting -> memory
+    sink, drained with availableNow) — the shape of a live-crawl
+    curation front-end, where quality gating happens as pages arrive
+    rather than in a nightly batch. The oracle is the identical batch
+    SQL, so the drained stream is held to the batch engine's answer
+    like the other eight streaming queries.
+
+    Scale posture: the rule program is a stateless narrow map
+    (streaming-legal with NO state store, no watermark needed); the
+    only stateful operator is the bounded per-source aggregate
+    (complete mode, O(sources) rows). Production swaps the memory sink
+    for the keyed file sink and keeps the same plan; kept documents
+    themselves would flow through the parquet file sink
+    (run_available_now_to_parquet) exactly like streaming_dedup's
+    O(corpus) output."""
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.operators.curation import _gopher_flags
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_docs_")
+    shutil.copy(
+        f"{sf_dir}/documents.parquet", os.path.join(d, "part-000.parquet")
+    )
+    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
+    stream = spark.readStream.schema(schema).parquet(d)
+    flags = _gopher_flags(stream, extra=("source", "n_chars"))
+    agg = flags.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.count(F.when(F.col("keep"), F.lit(1))).alias("n_keep"),
+        F.sum(F.when(F.col("keep"), F.col("n_chars")).otherwise(0))
+        .cast("long")
+        .alias("kept_chars"),
+    )
+    from cuttlefish_spark.streaming.pipeline import run_available_now
+
+    name = f"stream_qgate_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_available_now(agg, name)
+    return _drain_memory_sink(spark, name, d)

@@ -149,6 +149,7 @@ GATE_QUERIES = [
     "streaming_interval_join",
     "streaming_running_totals",
     "streaming_hopping_halfhour",
+    "streaming_quality_gate",
     "streaming_left_interval_join",
     "streaming_restart_dedup",
     # scaled-fixture gates (r9): the three golden-fixture queries,
