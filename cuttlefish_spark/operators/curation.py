@@ -122,8 +122,9 @@ def _gopher_flags(d: DataFrame, extra: tuple = ()) -> DataFrame:
     documents-shaped frame (doc_id, text) — batch and STREAMING alike
     (stateless per-row maps are streaming-legal; streaming_quality_gate
     runs exactly this over a file-source stream). `extra` names
-    pass-through columns appended after the standard output (empty for
-    gopher_quality_rules so its declared schema is unchanged)."""
+    pass-through columns inserted right after doc_id, BEFORE the stat
+    and rule columns (empty for gopher_quality_rules so its declared
+    schema is unchanged)."""
     stop_en = F.array(*[F.lit(w) for w in STOPWORDS["en"]])
     t = d.select(
         "doc_id",

@@ -654,12 +654,13 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from cuttlefish_spark.operators.curation import _gopher_flags
 
+    from cuttlefish_spark.streaming.pipeline import read_documents_stream
+
     d = tempfile.mkdtemp(prefix="cuttlefish_stream_docs_")
     shutil.copy(
         f"{sf_dir}/documents.parquet", os.path.join(d, "part-000.parquet")
     )
-    schema = spark.read.parquet(f"{sf_dir}/documents.parquet").schema
-    stream = spark.readStream.schema(schema).parquet(d)
+    stream = read_documents_stream(spark, d)
     flags = _gopher_flags(stream, extra=("source", "n_chars"))
     agg = flags.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_docs"),

@@ -98,6 +98,25 @@ def _events_file_schema(source_dir: str) -> tuple[T.StructType, bool]:
     return schema, nanos
 
 
+def read_documents_stream(spark: SparkSession, source_dir: str) -> DataFrame:
+    """File-source stream of documents — the ingest side of streaming
+    text curation (streaming_quality_gate). Schema comes from the
+    parquet footers (driver-side footer read at stream-definition
+    time, no batch data scan — the read_events_stream discipline);
+    documents carry no timestamp, so none of the ts-encoding
+    gymnastics apply."""
+    import glob
+
+    import pyarrow.parquet as pq
+    from pyspark.sql.pandas.types import from_arrow_schema
+
+    files = sorted(glob.glob(f"{source_dir}/*.parquet"))
+    if not files:
+        raise ValueError(f"no parquet files in {source_dir!r}")
+    schema = from_arrow_schema(pq.read_schema(files[0]))
+    return spark.readStream.schema(schema).parquet(source_dir)
+
+
 def read_events_stream(
     spark: SparkSession, source_dir: str, max_files_per_trigger: int | None = None
 ) -> DataFrame:
