@@ -441,3 +441,26 @@ def test_checkpoint_kill_and_resume_exactly_once(spark, sf_dir, tmp_path):
     got_pd = got.toPandas().sort_values("event_id").reset_index(drop=True)
     want_pd = want.toPandas().sort_values("event_id").reset_index(drop=True)
     assert got_pd.equals(want_pd[got_pd.columns])
+
+
+def test_read_documents_stream_schema_and_empty_dir(spark, sf_dir, tmp_path):
+    """read_documents_stream derives its schema from parquet footers
+    (matching the batch read exactly) and fails loudly on an empty
+    source dir instead of silently streaming nothing."""
+    import shutil as _sh
+
+    import pytest
+
+    from cuttlefish_spark.streaming.pipeline import read_documents_stream
+
+    d = tmp_path / "docs_src"
+    d.mkdir()
+    with pytest.raises(ValueError, match="no parquet files"):
+        read_documents_stream(spark, str(d))
+    _sh.copy(f"{sf_dir}/documents.parquet", str(d / "part-000.parquet"))
+    stream = read_documents_stream(spark, str(d))
+    assert stream.isStreaming
+    batch = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    assert [f.name for f in stream.schema.fields] == [
+        f.name for f in batch.schema.fields
+    ]
