@@ -2720,6 +2720,22 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-check as bpe_train_merges, batched. Driver traffic is
     O({_BPE_B_CAND}) rows per round (the bounded-model discipline).
     """
+    return _bpe_train_batched(spark, sf_dir, _BPE_B_ROUNDS)
+
+
+def _bpe_train_batched(
+    spark: SparkSession,
+    sf_dir: str,
+    n_rounds: int,
+    round_secs: list[float] | None = None,
+) -> DataFrame:
+    """The batched training loop, depth-parameterized (the query runs
+    it at {_BPE_B_ROUNDS}; scripts/bpe_batched_depth_stress.py at 16
+    rounds over sf1 = 64 merges in 16 driver syncs, the sync-reduction
+    claim measured at depth). Appends per-round wall-clock to
+    `round_secs` when given."""
+    import time as _time
+
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     words = (
         d.select(F.explode(tokens(F.col("text"))).alias("word"))
@@ -2735,7 +2751,8 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).localCheckpoint(eager=True)
 
     rows: list[tuple] = []
-    for rnd in range(1, _BPE_B_ROUNDS + 1):
+    for rnd in range(1, n_rounds + 1):
+        t0 = _time.perf_counter()
         pairs = (
             seq.filter(F.size("syms") >= 2)
             .select(
@@ -2795,6 +2812,8 @@ def bpe_train_merges_batched(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _fold_step,
             ).alias("syms"),
         ).localCheckpoint(eager=True)
+        if round_secs is not None:
+            round_secs.append(_time.perf_counter() - t0)
 
     return spark.createDataFrame(
         rows,
