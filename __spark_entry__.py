@@ -44,8 +44,8 @@ def entry(spark: SparkSession) -> DataFrame:
 # never go stale between rounds.
 
 
-def _driver_verdicts() -> dict[str, tuple[bool, int]]:
-    """name -> (latest driver pass/fail, round of that verdict).
+def _driver_verdicts() -> dict[str, tuple[bool, int, bool]]:
+    """name -> (latest pass/fail, round of that verdict, rows-only?).
 
     err == "no_oracle" counts as a pass at its declared verification
     level (rows-only by design), so it rotates with the greens rather
@@ -79,28 +79,41 @@ def _driver_verdicts() -> dict[str, tuple[bool, int]]:
     return verdicts
 
 
-# Queries whose SEMANTICS or SCHEMA changed since their latest
-# committed green verdict (the verdict hash no longer describes the
-# current query) — forced into the driver window right after the
-# never-checked tier. name -> round the change landed in; the entry
-# SELF-CLEARS once a committed CORRECTNESS_r*.json from a STRICTLY
-# LATER round re-verifies the query. A same-round verdict does NOT
-# clear it: round artifacts can be committed mid-round, so a round-N
-# verdict may predate a later round-N change — the cost of the strict
-# rule is one redundant window slot for one round, the cost of the
-# loose rule is a semantic change the driver never re-proves.
-_RECHECK = {
-    "ivf_recall_audit": 9,  # r9: nprobe sweep — new output schema
-    "window_distribution": 9,  # r9: two-phase closed-form rewrite
-    "ranking_functions": 9,  # r9: two-phase closed-form rewrite
-    "dsir_importance": 9,  # r9: int128 product widening
-}
+# Rewritten-since-verdict tier (r9 VERDICT item 2): QUERY_HASHES.json
+# (maintained by scripts/gen_source_hashes.py at round close) records
+# each query's implementation hash and the round its source last
+# changed. A query enters the recheck tier — right after never-checked
+# — when EITHER its current source hash differs from the manifest (a
+# change newer than the last regen) OR its latest driver verdict round
+# is <= its recorded change round. The <= is deliberate: round
+# artifacts can be committed mid-round, so a round-N verdict may
+# predate a later round-N change — the cost of the strict rule is one
+# redundant window slot for one round, the cost of the loose rule is a
+# semantic change the driver never re-proves. The tier SELF-CLEARS
+# once a committed CORRECTNESS_r*.json from a strictly later round
+# re-verifies the query.
 
 
-def _ordered_specs():
-    specs = load_all()
-    verdicts = _driver_verdicts()
-    names = list(specs)
+def _change_manifest() -> dict[str, dict]:
+    import json
+
+    path = Path(_REPO) / "QUERY_HASHES.json"
+    try:
+        return json.loads(path.read_text())
+    except (OSError, ValueError):
+        return {}
+
+
+def _order_names(
+    names: list[str],
+    verdicts: dict[str, tuple[bool, int, bool]],
+    has_oracle: dict[str, bool],
+    manifest: dict[str, dict],
+    cur_hash: dict[str, str],
+) -> list[str]:
+    """Pure ordering rule (unit-tested in tests/test_rotation.py):
+    failed -> never-checked -> rewritten-since-verdict -> green by
+    staleness."""
     failed = [n for n in names if n in verdicts and not verdicts[n][0]]
     # "Never checked" includes verification-LEVEL upgrades: a query whose
     # latest driver verdict was rows-only ("no_oracle") but which now
@@ -108,24 +121,40 @@ def _ordered_specs():
     # coast on the weaker pass (markdown_html after its r6 golden-hash
     # oracle is the motivating case).
     never_checked = [
-        n
-        for n in names
-        if n not in verdicts or (verdicts[n][2] and specs[n].oracle is not None)
+        n for n in names if n not in verdicts or (verdicts[n][2] and has_oracle[n])
     ]
+    pending = set(failed) | set(never_checked)
     recheck = [
         n
-        for n, changed_rnd in _RECHECK.items()
-        if n in names
-        and (n not in verdicts or verdicts[n][1] <= changed_rnd)
-        and n not in set(failed) | set(never_checked)
+        for n in names
+        if n in manifest
+        and n not in pending
+        and (
+            cur_hash.get(n) != manifest[n]["hash"]
+            or verdicts[n][1] <= manifest[n]["round"]
+        )
     ]
-    pending = set(failed) | set(never_checked) | set(recheck)
+    pending |= set(recheck)
     # Stalest green first; ties broken by registry order for stability.
     green = sorted(
         (n for n in names if n in verdicts and verdicts[n][0] and n not in pending),
         key=lambda n: (verdicts[n][1], names.index(n)),
     )
-    order = failed + never_checked + recheck + green
+    return failed + never_checked + recheck + green
+
+
+def _ordered_specs():
+    from cuttlefish_spark.registry import source_hash
+
+    specs = load_all()
+    names = list(specs)
+    order = _order_names(
+        names,
+        _driver_verdicts(),
+        {n: specs[n].oracle is not None for n in names},
+        _change_manifest(),
+        {n: source_hash(specs[n]) for n in names},
+    )
     return {name: specs[name] for name in order}
 
 

@@ -71,3 +71,24 @@ def load_all() -> dict[str, QuerySpec]:
     for mod in _OPERATOR_MODULES:
         importlib.import_module(mod)
     return dict(_REGISTRY)
+
+
+def source_hash(spec: QuerySpec) -> str:
+    """Content hash of a query's IMPLEMENTATION as the driver verifies
+    it: the registered function's source text (decorator lines included,
+    so literal oracles are covered twice) plus the resolved oracle SQL
+    (covering helper-built oracles). QUERY_HASHES.json records this per
+    query per change-round; __spark_entry__ compares it against the
+    committed manifest to force rewritten-since-verdict queries into the
+    driver window (r9 VERDICT item 2). Limitation by design: a change
+    inside a shared helper the function CALLS does not alter this hash —
+    bump such queries with `gen_source_hashes.py --touch`."""
+    import hashlib
+    import inspect
+
+    try:
+        src = inspect.getsource(spec.fn)
+    except OSError:  # source unavailable (REPL-defined fn in tests)
+        src = spec.fn.__code__.co_code.hex()
+    body = src + "\x00" + (spec.oracle or "")
+    return hashlib.sha256(body.encode()).hexdigest()[:16]

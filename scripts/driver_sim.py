@@ -41,7 +41,37 @@ def value_hash(df: pd.DataFrame) -> str:
     return hashlib.md5(str(rows).encode()).hexdigest()
 
 
+def check_artifacts_committed() -> list[str]:
+    """Driver round artifacts MUST be committed the moment they exist —
+    the staleness rotation reads COMMITTED CORRECTNESS files only, so an
+    untracked one makes the next driver window re-prove the newest
+    cohort instead of rotating to the stalest greens (recurred r7, r8,
+    AND r9 — r9 VERDICT item 1 mandates this mechanical check)."""
+    import re
+    import subprocess
+
+    out = subprocess.run(
+        ["git", "-C", REPO, "status", "--porcelain"],
+        capture_output=True,
+        text=True,
+        check=False,
+    ).stdout
+    bad = []
+    for line in out.splitlines():
+        status, _, path = line[:2], line[2], line[3:]
+        if re.fullmatch(r"(CORRECTNESS|BENCH)_r\d+\.json", path) and "?" in status:
+            bad.append(path)
+    return bad
+
+
 def main() -> None:
+    untracked = check_artifacts_committed()
+    if untracked:
+        sys.exit(
+            f"FAIL: driver round artifacts untracked: {untracked} — "
+            "`git add` + commit them before anything else (the rotation "
+            "reads committed files only; see README round close-out)."
+        )
     sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     # Vanilla session — deliberately NOT cuttlefish_spark.session.get_spark.
     # Semantics configs (ANSI, timezone, Arrow, nanos) stay at Spark
