@@ -616,6 +616,163 @@ def streaming_left_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _drain_memory_sink(spark, name, d)
 
 
+def _write_stream_file(df: DataFrame, src_dir: str, stage_root: str,
+                       name: str, mtime: float) -> None:
+    """Land `df` as ONE parquet file named `name` in the stream source
+    dir with an explicit mtime — the file-source admits unseen files in
+    (modTime, path) order, so ascending mtimes + ascending names make
+    the micro-batch sequence deterministic (the restart_dedup
+    discipline, plus the explicit utime the late-data semantics need)."""
+    stage = os.path.join(stage_root, f"stage_{name}")
+    df.coalesce(1).write.parquet(stage)
+    part = next(
+        f for f in os.listdir(stage)
+        if f.startswith("part-") and f.endswith(".parquet")
+    )
+    dst = os.path.join(src_dir, name)
+    shutil.move(os.path.join(stage, part), dst)
+    os.utime(dst, (mtime, mtime))
+    shutil.rmtree(stage, ignore_errors=True)
+
+
+_LATE_ORACLE = """
+    WITH m AS (SELECT max(ts) AS mx FROM events),
+    base AS (
+        SELECT e.ts, e.value,
+               (e.event_id % 5 = 0 AND e.ts <= m.mx - INTERVAL 30 MINUTE)
+                   AS is_late
+        FROM events e, m
+    ),
+    arrived AS (
+        SELECT ts, value FROM base WHERE NOT is_late
+        UNION ALL
+        SELECT mx, 0.0 FROM m
+        UNION ALL
+        SELECT b.ts, b.value FROM base b, m
+        WHERE b.is_late
+          AND date_trunc('hour', b.ts) + INTERVAL 1 HOUR
+              > m.mx - INTERVAL 2 HOUR
+    )
+    SELECT CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_start,
+           count(*) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM arrived GROUP BY 1
+"""
+
+
+@query("streaming_late_data", layer="C", oracle=_LATE_ORACLE)
+def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LATE-DATA drop/keep boundary of a watermarked streaming
+    aggregate, pinned as a driver-verified query (r9 VERDICT item 3 —
+    the one Structured Streaming semantic the other nine streaming
+    queries never provoke): 20% of events (event_id % 5 == 0, at least
+    30 min older than the stream max) ARRIVE LATE, in a micro-batch
+    AFTER the watermark has advanced past most of their event times,
+    and the drained hourly aggregate must equal the batch SQL that
+    applies Spark's exact drop rule.
+
+    That rule, pinned empirically on this engine (Spark 4 multi-batch
+    semantics; see tests/test_streaming.py::test_late_data_boundary):
+    a late row is DROPPED iff its window END <= the late-event
+    watermark, INCLUSIVE, where the late-event watermark of batch k is
+    the watermark USED in batch k-1 (eviction uses batch k's own —
+    Spark separates watermarkForLateEvents from watermarkForEviction),
+    and rows for windows still in state merge regardless of lateness.
+    The four-file choreography makes every quantity closed-form:
+      file 0  on-time events (carries the global max ts M, because the
+              late set excludes anything within 30 min of M);
+      file 1  one carrier row at ts = M (batch 1 exists solely so the
+              late batch's late-event watermark is already M - 2h; its
+              own filter watermark is still batch 0's initial 0);
+      file 2  the late set — kept iff hour-window end > M - 2h;
+      file 3  a flush sentinel at M + 24h whose no-data follow-up
+              advances eviction past every real window; the sentinel's
+              OWN window (end M + 25h > final watermark M + 22h) stays
+              in state, correctly unemitted, so it self-excludes.
+    All watermarks stay exactly M - 2h until the sentinel registers —
+    the carrier never raises the max — so no kept-late window can have
+    been evicted early (the re-created-state duplicate-emission hazard
+    the carrier design eliminates). A filter on event_type could NOT
+    exclude the sentinel instead: Catalyst pushes that predicate below
+    the EventTimeWatermark node into the parquet scan, row-group stats
+    prune the sentinel file entirely, and the watermark never advances
+    (observed — the stream ends with every window stranded in state).
+
+    Scale posture: identical to streaming_tumbling_hourly (state keyed
+    by window, bounded by watermark); the split/carrier/sentinel files
+    are the TEST's arrival choreography, not operator cost — production
+    reads whatever files arrive and pays one stateless filter less.
+    Memory-sink caveats as streaming_tumbling_hourly."""
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.functions import dec_sum
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mx = F.broadcast(ev.agg(F.max("ts").alias("mx")))
+    with_mx = ev.crossJoin(mx)
+    is_late = (F.col("event_id") % 5 == 0) & (
+        F.col("ts") <= F.col("mx") - F.expr("INTERVAL 30 MINUTES")
+    )
+    cols = ["event_id", "ts", "user_id", "event_type", "value", "props"]
+    on_time = with_mx.filter(~is_late).select(cols)
+    late = with_mx.filter(is_late).select(cols)
+    carrier = mx.select(
+        F.lit(-1).alias("event_id"),
+        F.col("mx").alias("ts"),
+        F.lit(-1).alias("user_id"),
+        F.lit("carrier").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    sentinel = mx.select(
+        F.lit(-2).alias("event_id"),
+        (F.col("mx") + F.expr("INTERVAL 24 HOURS")).alias("ts"),
+        F.lit(-2).alias("user_id"),
+        F.lit("flush").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    sink = tempfile.mkdtemp(prefix="cuttlefish_stream_stage_")
+    name = f"stream_late_{uuid.uuid4().hex[:8]}"
+    try:
+        t0 = os.stat(f"{sf_dir}/events.parquet").st_mtime
+        for i, df in enumerate([on_time, carrier, late, sentinel]):
+            _write_stream_file(
+                df, d, sink, f"part-{i:03d}.parquet", t0 + 10 * (i + 1)
+            )
+        with _stream_partitions(spark):
+            agg = (
+                read_events_stream(spark, d, max_files_per_trigger=1)
+                .withWatermark("ts", "2 hours")
+                .groupBy(F.window("ts", "1 hour").alias("w"))
+                .agg(
+                    F.count(F.lit(1)).alias("n_events"),
+                    dec_sum(F.col("value"), alias="total_value"),
+                )
+                .select(
+                    F.col("w.start").alias("hour_start"),
+                    "n_events",
+                    "total_value",
+                )
+            )
+            run_available_now(agg, name, mode="append")
+        return _drain_memory_sink(spark, name, d)
+    finally:
+        shutil.rmtree(sink, ignore_errors=True)
+        # d is removed by _drain_memory_sink on success; this covers
+        # the failure path without double-removing.
+        shutil.rmtree(d, ignore_errors=True)
+
+
 def _streaming_gate_oracle() -> str:
     from cuttlefish_spark.operators.curation import _GOPHER_SQL
 

@@ -464,3 +464,74 @@ def test_read_documents_stream_schema_and_empty_dir(spark, sf_dir, tmp_path):
     assert [f.name for f in stream.schema.fields] == [
         f.name for f in batch.schema.fields
     ]
+
+
+def test_late_data_boundary(spark, tmp_path):
+    """The exact late-row rule streaming_late_data's oracle encodes,
+    pinned empirically (Spark separates watermarkForLateEvents from
+    watermarkForEviction):
+      1. the late-event watermark of batch k is the watermark USED in
+         batch k-1 (one-batch lag) — so rows arriving one batch after
+         the max-setter are NOT yet filtered;
+      2. a late row whose window is STILL IN STATE merges, even with
+         event time far below the eviction watermark;
+      3. once evicted, a row with window end == late-event watermark is
+         dropped INCLUSIVELY (<=), not resurrected as a duplicate.
+    """
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+    from datetime import datetime
+
+    def write_batch(path, rows, mtime):
+        import glob
+
+        tmp = path + "_tmp"
+        spark.createDataFrame(
+            [(i, datetime.fromisoformat("2024-01-01 " + t), 1, "click", 1.0, "{}")
+             for i, t in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).repartition(1).write.mode("overwrite").parquet(tmp)
+        _shutil.move(glob.glob(tmp + "/part-*.parquet")[0], path)
+        _shutil.rmtree(tmp)
+        _os.utime(path, (mtime, mtime))
+
+    d = tmp_path / "boundary_stream"
+    d.mkdir()
+    now = _time.time()
+    # batch 0: max 10:00 -> watermark becomes 08:00 from batch 1 on.
+    write_batch(str(d / "b0.parquet"),
+                [(1, "05:30:00"), (2, "10:00:00")], now - 400)
+    # batch 1: late-event wm here is still batch 0's initial epoch-0, so
+    # these rows (below the 08:00 EVICTION wm that same batch applies)
+    # MERGE into live state and flush with it at batch end.
+    write_batch(str(d / "b1.parquet"),
+                [(10, "05:30:00"), (11, "07:30:00")], now - 300)
+    # batch 2: late-event wm = 08:00 now. Window ends 06:00 (< wm) and
+    # 08:00 (== wm, the inclusive boundary) both dropped; 09:00 kept.
+    write_batch(str(d / "b2.parquet"),
+                [(20, "05:45:00"), (21, "07:45:00"), (22, "08:10:00")], now - 200)
+    # batch 3: sentinel one day ahead flushes all real windows; its own
+    # window (end > final wm) stays in state, self-excluded.
+    write_batch(str(d / "b3.parquet"), [(99, "23:59:59")], now - 100)
+
+    agg = (
+        read_events_stream(spark, str(d), max_files_per_trigger=1)
+        .withWatermark("ts", "2 hours")
+        .groupBy(F.window("ts", "1 hour").alias("w"))
+        .agg(F.count(F.lit(1)).alias("n"))
+        .select(F.col("w.start").alias("ws"), "n")
+    )
+    run_available_now(agg, "boundary_mem", mode="append")
+    got = {
+        (r["ws"].strftime("%H:%M"), r["n"])
+        for r in spark.sql("SELECT * FROM boundary_mem").collect()
+    }
+    assert got == {
+        ("05:00", 2),  # rows 1 + 10: late row MERGED into live state
+        ("07:00", 1),  # row 11 merged; row 21 (end == wm) NOT added back
+        ("08:00", 1),  # row 22 kept (window end 09:00 > wm 08:00)
+        ("10:00", 1),  # row 2, flushed by the sentinel
+        # rows 20, 21 dropped; sentinel window (23:00) unemitted
+    }
