@@ -33,9 +33,17 @@ def main() -> None:
     # min-of-2, the statistic to quote when adjudicating whether a
     # cross-round per-query swing is host noise or a plan regression
     # (min-of-2 still absorbs one slow run; median-of-3 needs two).
+    # --record: the round-close full run (r9 VERDICT item 7) — three
+    # runs per query, `queries` stays min-of-first-2 (the statistic
+    # every prior BASELINE row uses, so cross-round totals compare),
+    # and BENCH_FULL.json additionally carries queries_median3 +
+    # queries_hostnorm_median3, the numbers BASELINE rows quote.
     argv = sys.argv[1:]
     median3 = "--median3" in argv
+    record = "--record" in argv
     only = [a for a in argv if not a.startswith("--")]
+    if record and (median3 or only):
+        sys.exit("--record is the full-set round-close mode; no names/--median3")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("cuttlefish-bench")
@@ -85,8 +93,9 @@ def main() -> None:
     # reported as cold_total_sec for the record.
     timings: dict[str, float] = {}
     cold: dict[str, float] = {}
+    medians: dict[str, float] = {}
     names = [n for n in sorted(specs) if not only or n in only]
-    n_runs = 3 if median3 else 2
+    n_runs = 3 if (median3 or record) else 2
     for name in names:
         runs = []
         for _ in range(n_runs):
@@ -94,7 +103,11 @@ def main() -> None:
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
         cold[name] = round(runs[0], 3)
-        timings[name] = round(sorted(runs)[1] if median3 else min(runs), 3)
+        if n_runs == 3:
+            medians[name] = round(sorted(runs)[1], 3)
+        timings[name] = round(
+            sorted(runs)[1] if median3 else min(runs[:2]), 3
+        )
         # Cache hygiene: the dedup/LSH queries persist signature tables
         # internally; dropping them between queries keeps each timing a
         # function of ITS plan, not of a neighbor's leftover cache
@@ -147,8 +160,14 @@ def main() -> None:
         ch_dir = tempfile.mkdtemp(prefix="benchch")
         write_chapters_json(ch_n, os.path.join(ch_dir, "chapters.json"))
         t0 = time.perf_counter()
+        # chapters_per_partition=1 EXPLICITLY: this line records the
+        # reference-parity scheduler-owned fan-out cost (1 task per
+        # chapter); the replay default now auto-batches (r9 item 5),
+        # which would silently change what this metric measures.
         datasource_canonical(
-            spark, chapters_path=os.path.join(ch_dir, "chapters.json")
+            spark,
+            chapters_path=os.path.join(ch_dir, "chapters.json"),
+            chapters_per_partition=1,
         ).write.format("noop").mode("overwrite").save()
         chapter_fetch_cps = round(ch_n / (time.perf_counter() - t0), 1)
         shutil.rmtree(ch_dir, ignore_errors=True)
@@ -186,9 +205,22 @@ def main() -> None:
     # to a file so cross-round regression diffs cover the whole surface;
     # each round's copy is committed as BENCH_FULL_r{N}.json.
     if not median3 and not only:  # don't clobber the full record from a subset run
+        extra = {}
+        if record:
+            # Median-of-3 per query + its hostnorm: the statistic
+            # BASELINE.md rows quote (host_ref_sec itself swings 2.2x
+            # intra-day, so single-run hostnorm readings cannot
+            # adjudicate single wall-clock readings — measured r9).
+            extra = {
+                "queries_median3": medians,
+                "queries_hostnorm_median3": {
+                    n: round(t / host_ref, 2) for n, t in medians.items()
+                },
+                "total_median3": round(sum(medians.values()), 3),
+            }
         with open(Path(REPO) / "BENCH_FULL.json", "w") as f:
             json.dump(
-                {**out, "queries_cold": cold, "queries_hostnorm": hostnorm},
+                {**out, "queries_cold": cold, "queries_hostnorm": hostnorm, **extra},
                 f,
                 indent=1,
                 sort_keys=True,

@@ -101,13 +101,16 @@ def datasource_canonical(
     spark: SparkSession,
     chapters_path: str | None = None,
     transport: str = "replay",
-    chapters_per_partition: int = 1,
+    chapters_per_partition: int | None = None,
 ) -> DataFrame:
     """DataSource fetch -> canonical frame, parameterized by work-list,
     transport, and task batching — the reusable body behind
     ingest_datasource and the end-to-end runner (run.run_pipeline).
     `chapters_per_partition` trades scheduler granularity for per-task
-    overhead (see ChapterReplayReader.partitions)."""
+    overhead; None picks the transport-dependent default (live: one
+    chapter per task so the scheduler owns retry granularity; replay:
+    auto-sized to ~n/(3*parallelism) so a bulk re-run never pays
+    per-item Python task setup — see ChapterReplayReader.partitions)."""
     from cuttlefish_spark.sources import adapters as ad
     from cuttlefish_spark.sources.datasource import register
 
@@ -120,8 +123,14 @@ def datasource_canonical(
     reader = (
         spark.read.format("cuttlefish_replay")
         .option("transport", transport)
-        .option("chapters_per_partition", chapters_per_partition)
+        # partitions() has no SparkSession; hand it the parallelism the
+        # replay auto-batch default divides by.
+        .option(
+            "auto_batch_parallelism", spark.sparkContext.defaultParallelism
+        )
     )
+    if chapters_per_partition is not None:
+        reader = reader.option("chapters_per_partition", chapters_per_partition)
     if chapters_path:
         reader = reader.option("chapters_path", chapters_path)
     raw = reader.load().localCheckpoint(eager=True)

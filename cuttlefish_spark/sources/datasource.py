@@ -50,15 +50,26 @@ class ChapterReplayReader(DataSourceReader):
         self.options = options
 
     def partitions(self) -> Sequence[ChapterPartition]:
-        # Default: one work item per partition — the reference's
-        # chunk-list (chunk-list.rkt:6-18) balanced by count; Spark
-        # balances by task scheduling, which also absorbs per-key
-        # latency skew. `chapters_per_partition` (default 1) is the
-        # task-overhead amortization knob: a Python DataSource task
-        # costs ~0.5 core-seconds of setup (measured, PLANS.md Notes),
-        # so a 10k-item work-list of millisecond fetches wants batches;
-        # a work-list of slow HTTP fetches wants 1/partition so the
-        # scheduler owns retry/latency skew at item granularity.
+        # One work item per partition is the reference's chunk-list
+        # (chunk-list.rkt:6-18) balanced by count; Spark balances by
+        # task scheduling, which also absorbs per-key latency skew.
+        # `chapters_per_partition` is the task-overhead amortization
+        # knob: a Python DataSource task costs ~0.5 core-seconds of
+        # setup (measured, PLANS.md Notes). DEFAULTS depend on the
+        # transport (r9 VERDICT item 5):
+        #   - live HTTP: 1/partition, so the scheduler owns retry and
+        #     latency skew at item granularity (the documented
+        #     rationale — a slow or failing endpoint must not stall a
+        #     whole batch of unrelated chapters);
+        #   - replay/cache-backed: auto-sized to
+        #     max(1, n // (3 * parallelism)) — a 10k-chapter replay at
+        #     1/partition paid ~0.5 core-s of task setup per chapter
+        #     (177.8 s measured at the sf1 gate vs ~14 s batched); 3
+        #     waves per core keep scheduler-level balancing without
+        #     paying per-item setup. The caller passes parallelism via
+        #     `auto_batch_parallelism` (partitions() runs without a
+        #     live SparkSession; datasource_canonical wires it).
+        # An explicit `chapters_per_partition` always wins.
         # `chapters_path` points at a chapters.json work-list (the
         # reference's config-driven table, api-runner.rkt:171-178);
         # without it the golden fixture chapters drive the replay.
@@ -80,7 +91,14 @@ class ChapterReplayReader(DataSourceReader):
             from cuttlefish_spark.sources import fixtures
 
             items = list(fixtures.CHAPTERS)
-        per = max(1, int(self.options.get("chapters_per_partition", 1)))
+        explicit = self.options.get("chapters_per_partition")
+        if explicit is not None:
+            per = max(1, int(explicit))
+        elif self.options.get("transport", "replay") == "live":
+            per = 1
+        else:
+            par = int(self.options.get("auto_batch_parallelism", 0))
+            per = max(1, len(items) // (3 * par)) if par > 0 else 1
         return [
             ChapterPartition(items[i : i + per])
             for i in range(0, len(items), per)

@@ -22,6 +22,20 @@ Writes the corpus under /tmp/cuttlefish_sf1 (regenerated unless
 --skip-gen and the dir exists); prints one JSON line per query and a
 final summary JSON line.
 
+--sf10 (r9 VERDICT item 4) extends the decade: sf1 (50k docs) ->
+sf10 (500k docs, same degenerate 31-word distributions) for the
+family members whose pair volume stays tractable there
+(dedup_clusters, substring_dedup, minhash_shingles, line_dedup).
+The candidate-bound trio (ngram_jaccard, ngram_jaccard_topk,
+minhash_accuracy) is NOT silently skipped — on this corpus ~7% of ALL
+pairs are true dups (87M emitted pairs at sf1, vol_exp 1.97), so sf10
+implies ~8.7e9 candidate/output pairs ~ 200+ GB of shuffle, beyond
+this box; their sf10 decade runs with --sf10-zipf on the REALISTIC
+50k-type zipf(1.1) vocabulary (the zipf_vocab_stress corpus recipe,
+same 0.16% exact-dup + 0.16% one-token-edit planting), where pair
+volume is dup-planting-bound like a real crawl instead of
+vocabulary-degenerate.
+
 --tpch switches to the relational family: generates the 10x star
 schema (6M lineitem / 1.5M orders / 150k customer / 10k supplier /
 200k part, marginals mirrored from sf0.1 — keys serial, foreign keys
@@ -133,6 +147,103 @@ def generate(spark) -> None:
     pq.write_table(et, f"{SF1}/embeddings.parquet")
 
 
+SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/cuttlefish_sf10")
+ZIPF1 = os.environ.get("SPARK_GRAFT_ZIPF1_DIR", "/tmp/cuttlefish_zipf_sf1")
+ZIPF10 = os.environ.get("SPARK_GRAFT_ZIPF10_DIR", "/tmp/cuttlefish_zipf_sf10")
+
+SF10_QUERIES = ["dedup_clusters", "substring_dedup", "minhash_shingles",
+                "line_dedup"]
+SF10_ZIPF_QUERIES = ["ngram_jaccard", "ngram_jaccard_topk", "minhash_accuracy"]
+
+
+def generate_docs(out_dir: str, n_docs: int, zipf: bool) -> None:
+    """documents.parquet generator shared by the sf10 decade rungs.
+
+    zipf=False mirrors generate(): the driver data's 31-word vocab and
+    observed lang mix. zipf=True draws from a 50k-type zipf(1.1)
+    vocabulary (scripts/zipf_vocab_stress.py's corpus recipe) — the
+    realistic shingle space where near-dup pair volume is bound by the
+    PLANTED dup rate, not by vocabulary collisions. Both plant the
+    driver-observed ~0.16% exact-dup rate plus the same rate of
+    one-token in-place edits so every dedup query has true positives,
+    and both draw doc lengths from the same 8..100-token range."""
+    import numpy as np
+    import pandas as pd
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(out_dir, exist_ok=True)
+
+    if zipf:
+        vocab_n, zipf_s = 50_000, 1.1
+        lengths = rng.integers(2, 13, size=vocab_n)
+        letters = "abcdefghijklmnopqrstuvwxyz"
+        seen: set[str] = set()
+        vocab_list: list[str] = []
+        for i, ln in enumerate(lengths):
+            w = "".join(letters[j] for j in rng.integers(0, 26, size=ln))
+            while w in seen:
+                w += letters[i % 26]
+            seen.add(w)
+            vocab_list.append(w)
+        vocab_arr = np.array(vocab_list)
+        ranks = np.arange(1, vocab_n + 1, dtype=np.float64)
+        p = ranks ** (-zipf_s)
+        p /= p.sum()
+        langs = np.array(["en"] * n_docs)
+    else:
+        import duckdb
+
+        con = duckdb.connect()
+        vocab_arr = np.array([
+            r[0]
+            for r in con.sql(
+                "select distinct unnest(string_split(text, ' ')) w "
+                f"from '{SF01}/documents.parquet' order by w"
+            ).fetchall()
+        ])
+        p = None
+        langs = rng.choice(
+            ["en", "zh", "es", "fr", "de"], size=n_docs,
+            p=[0.412, 0.151, 0.149, 0.148, 0.140],
+        )
+
+    n_tokens = rng.integers(8, 101, size=n_docs)
+    total = int(n_tokens.sum())
+    draws = rng.choice(len(vocab_arr), size=total, p=p)
+    words = vocab_arr[draws]
+    texts = []
+    pos = 0
+    for k in n_tokens:
+        texts.append(" ".join(words[pos : pos + k].tolist()))
+        pos += k
+
+    n_dup = int(n_docs * 0.0016)
+    dup_targets = rng.choice(n_docs, size=2 * n_dup, replace=False)
+    dup_sources = rng.choice(n_docs, size=2 * n_dup)
+    for i in range(n_dup):  # exact copies
+        texts[dup_targets[i]] = texts[dup_sources[i]]
+    for i in range(n_dup, 2 * n_dup):  # one-token edits
+        w = texts[dup_sources[i]].split(" ")
+        w[rng.integers(0, len(w))] = vocab_arr[rng.integers(0, len(vocab_arr))]
+        texts[dup_targets[i]] = " ".join(w)
+
+    docs = pd.DataFrame(
+        {
+            "doc_id": np.arange(n_docs, dtype=np.int64),
+            "text": texts,
+            "lang": langs,
+            "source": [f"src{i}" for i in rng.integers(0, 20, size=n_docs)],
+        }
+    )
+    docs["n_chars"] = docs["text"].str.len().astype("int64")
+    pq.write_table(
+        pa.Table.from_pandas(docs, preserve_index=False),
+        f"{out_dir}/documents.parquet",
+    )
+
+
 TPCH_QUERIES = [f"sql_frontend_q{i}" for i in range(1, 23)]
 
 N_ORD, N_LI, N_CUST, N_SUPP, N_PART = 1_500_000, 6_000_000, 150_000, 10_000, 200_000
@@ -226,15 +337,37 @@ def main() -> int:
         "scale-stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", 32)
     )
     tpch = "--tpch" in sys.argv
-    if tpch:
-        if "--skip-gen" not in sys.argv or not os.path.exists(
-            f"{SF1}/lineitem.parquet"
-        ):
+    sf10 = "--sf10" in sys.argv
+    sf10_zipf = "--sf10-zipf" in sys.argv
+    skip_gen = "--skip-gen" in sys.argv
+
+    def need(path: str) -> bool:
+        return not (skip_gen and os.path.exists(path))
+
+    if sf10:
+        if need(f"{SF1}/documents.parquet"):
+            generate(spark)
+        if need(f"{SF10}/documents.parquet"):
+            generate_docs(SF10, 10 * DOCS_N, zipf=False)
+        scale_pairs = [("sf1", SF1), ("sf10", SF10)]
+        default_queries = SF10_QUERIES
+    elif sf10_zipf:
+        if need(f"{ZIPF1}/documents.parquet"):
+            generate_docs(ZIPF1, DOCS_N, zipf=True)
+        if need(f"{ZIPF10}/documents.parquet"):
+            generate_docs(ZIPF10, 10 * DOCS_N, zipf=True)
+        scale_pairs = [("zipf_sf1", ZIPF1), ("zipf_sf10", ZIPF10)]
+        default_queries = SF10_ZIPF_QUERIES
+    elif tpch:
+        if need(f"{SF1}/lineitem.parquet"):
             generate_tpch()
-    elif "--skip-gen" not in sys.argv or not os.path.exists(
-        f"{SF1}/documents.parquet"
-    ):
-        generate(spark)
+        scale_pairs = [("sf0.1", SF01), ("sf1", SF1)]
+        default_queries = TPCH_QUERIES
+    else:
+        if need(f"{SF1}/documents.parquet"):
+            generate(spark)
+        scale_pairs = [("sf0.1", SF01), ("sf1", SF1)]
+        default_queries = QUERIES
 
     only = [a for a in sys.argv[1:] if not a.startswith("--")]
     specs = load_all()
@@ -243,10 +376,11 @@ def main() -> int:
     # a lifetime peak; see the baseline-sampling comment below).
     spark.range(100_000).toPandas()
     results = {}
-    for name in only or (TPCH_QUERIES if tpch else QUERIES):
+    (lo_label, _), (hi_label, _) = scale_pairs
+    for name in only or default_queries:
         fn = specs[name].fn
         row = {}
-        for label, sf_dir in [("sf0.1", SF01), ("sf1", SF1)]:
+        for label, sf_dir in scale_pairs:
             # Peak-RSS baseline must be read BEFORE the warm-up run:
             # ru_maxrss is a lifetime high-water mark, so sampling it
             # after an untimed run of the same query would mask any
@@ -268,9 +402,11 @@ def main() -> int:
             }
         import math
 
-        t_exp = math.log10(max(row["sf1"]["sec"], 1e-3) / max(row["sf0.1"]["sec"], 1e-3))
+        t_exp = math.log10(
+            max(row[hi_label]["sec"], 1e-3) / max(row[lo_label]["sec"], 1e-3)
+        )
         p_exp = math.log10(
-            max(row["sf1"]["out_rows"], 1) / max(row["sf0.1"]["out_rows"], 1)
+            max(row[hi_label]["out_rows"], 1) / max(row[lo_label]["out_rows"], 1)
         )
         row["time_exp"] = round(t_exp, 2)
         row["pair_exp"] = round(p_exp, 2)

@@ -395,7 +395,8 @@ SCALED_FIXTURE = {
     "ingest_datasource": (
         _scaled_ingest_datasource,
         _scaled_ingest_oracle,
-        f"fixture-{FIXTURE_N_CHAPTERS}-chapters (DataSource, 1 partition/chapter)",
+        f"fixture-{FIXTURE_N_CHAPTERS}-chapters (DataSource, replay "
+        "auto-batched ~n/(3*parallelism))",
     ),
     "markdown_html": (
         _scaled_markdown_html,

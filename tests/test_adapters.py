@@ -441,3 +441,46 @@ def test_datasource_chapter_batching_invariance(spark):
     assert len(
         ChapterReplayReader({"chapters_per_partition": 3}).partitions()
     ) == 2
+
+
+def test_datasource_replay_auto_batching(spark, tmp_path):
+    """Replay transport auto-sizes batches to ~n/(3*parallelism) when
+    no explicit chapters_per_partition is given (r9 VERDICT item 5 —
+    a 10k-chapter replay at 1 task/chapter paid ~0.5 core-s of Python
+    task setup per chapter); live transport keeps 1/partition so the
+    scheduler owns per-item retry granularity; an explicit value always
+    wins; and the auto-batched output is row-identical."""
+    from cuttlefish_spark.operators.ingest import datasource_canonical
+    from cuttlefish_spark.sources.datasource import ChapterReplayReader
+    from cuttlefish_spark.sources.fixtures import write_chapters_json
+
+    path = str(tmp_path / "chapters.json")
+    write_chapters_json(1000, path)
+
+    def n_parts(opts):
+        return len(ChapterReplayReader(opts).partitions())
+
+    # replay + parallelism 8: per = 1000 // 24 = 41 -> ceil(1000/41) = 25
+    assert n_parts({"chapters_path": path, "auto_batch_parallelism": 8}) == 25
+    # live ignores the auto knob
+    assert n_parts(
+        {"chapters_path": path, "auto_batch_parallelism": 8, "transport": "live"}
+    ) == 1000
+    # explicit beats auto
+    assert n_parts(
+        {"chapters_path": path, "auto_batch_parallelism": 8,
+         "chapters_per_partition": 10}
+    ) == 100
+    # tiny work-lists never batch below 1/partition
+    assert n_parts({"auto_batch_parallelism": 8}) == 4
+
+    # Auto default (what ingest_datasource now runs) is row-identical
+    # to explicit 1/partition on the same work-list.
+    auto = datasource_canonical(spark, chapters_path=path).toPandas()
+    one = datasource_canonical(
+        spark, chapters_path=path, chapters_per_partition=1
+    ).toPandas()
+    key = sorted(auto.columns)
+    a = auto[key].sort_values(key).reset_index(drop=True).astype(str)
+    b = one[key].sort_values(key).reset_index(drop=True).astype(str)
+    assert a.equals(b), "auto-batched DataSource output diverges"
