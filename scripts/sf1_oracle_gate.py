@@ -152,6 +152,9 @@ GATE_QUERIES = [
     "streaming_quality_gate",
     "streaming_left_interval_join",
     "streaming_restart_dedup",
+    # r10: the late-data drop/keep boundary against the 1M-row stream
+    # (4-file arrival choreography, ~200k late rows)
+    "streaming_late_data",
     # scaled-fixture gates (r9): the three golden-fixture queries,
     # value-compared at 10k chapters / 1000x markdown via SCALED_FIXTURE
     "ingest_normalize",
