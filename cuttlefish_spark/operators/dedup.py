@@ -1208,6 +1208,124 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@query(
+    "minhash_banding_sweep",
+    layer="C",
+    oracle=f"""
+    WITH sig AS ({_TOKSIG_SQL}),
+    cand AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               (a.band1 = b.band1 AND a.band2 = b.band2) AS both_bands,
+               len(list_intersect(a.hw, b.hw)) AS i,
+               len(a.hw) AS na, len(b.hw) AS nb
+        FROM sig a JOIN sig b
+          ON a.doc_id < b.doc_id
+         AND (a.band1 = b.band1 OR a.band2 = b.band2)
+    ),
+    j AS (
+        SELECT both_bands,
+               CAST(i AS DOUBLE) / (na + nb - i) >= 0.7 AS ok
+        FROM cand
+    ),
+    agg AS (
+        SELECT CAST(count(*) AS BIGINT) AS c22,
+               CAST(count(CASE WHEN ok THEN 1 END) AS BIGINT) AS v22,
+               CAST(count(CASE WHEN both_bands THEN 1 END) AS BIGINT) AS c14,
+               CAST(count(CASE WHEN both_bands AND ok THEN 1 END) AS BIGINT)
+                   AS v14
+        FROM j
+    )
+    SELECT 'b2_r2' AS config, c22 AS n_candidates, v22 AS n_verified,
+           CASE WHEN c22 > 0 THEN CAST(c22 AS DOUBLE) / c22 END
+               AS candidate_share,
+           CASE WHEN v22 > 0 THEN CAST(v22 AS DOUBLE) / v22 END
+               AS verified_recall
+    FROM agg
+    UNION ALL
+    SELECT 'b1_r4', c14, v14,
+           CASE WHEN c22 > 0 THEN CAST(c14 AS DOUBLE) / c22 END,
+           CASE WHEN v22 > 0 THEN CAST(v14 AS DOUBLE) / v22 END
+    FROM agg
+    """,
+)
+def minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The LSH BANDING-WIDTH knob, measured (the r10 sf10 rung's
+    operational conclusion made a first-class query): for a fixed
+    4-hash MinHash signature, compare the production b=2 bands x r=2
+    hashes configuration against the stricter b=1 x r=4 on the same
+    corpus — candidate volume bought vs verified >= 0.7 pairs lost.
+
+    Why this is THE 100 TB dial: false-positive band candidates grow
+    ~n^2 * (mean collision rate)^r for fixed banding (measured at the
+    sf10 zipf rung: candidate exponent 2.03 over one decade while true
+    pairs stayed linear), so production widens r as the corpus grows
+    — Lee et al. 2021 ship 20 bands x 20 hashes at web scale. b=1,r=4
+    collisions require BOTH 2-hash bands to match, so its candidate
+    set is a strict subset of b=2,r=2's: `candidate_share` is the scan
+    cost retained and `verified_recall` the fraction of b2_r2's
+    verified pairs still found (S-curve: P[cand] = j^4 vs
+    1-(1-j^2)^2). One candidate pass computes both configurations —
+    the subset relation means no second join.
+
+    Determinism: counts are exact integers from the same band/Jaccard
+    arithmetic as ngram_jaccard (identical md5-window minhashes both
+    engines); share/recall are IEEE quotients of identical integers,
+    NULL-guarded when a denominator is zero in both engines alike.
+    Scale shape: the ONE band-join pass of the family (uniform
+    high-cardinality keys), a 4-counter aggregate, and a 2-row
+    explode — audit cost equals one ngram_jaccard candidate pass."""
+    sig = _token_signatures(spark, sf_dir)
+    a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
+                    F.col("band1").alias("k"), F.col("band2").alias("b2_a"))
+    b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
+                    F.col("band1").alias("k"), F.col("band2").alias("b2_b"))
+    cand1 = (
+        a1.join(b1, "k")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b", "nw_a", "nw_b",
+                (F.col("b2_a") == F.col("b2_b")).alias("both_bands"))
+    )
+    a2 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
+                    F.col("band2").alias("k"), F.col("band1").alias("p_a"))
+    b2 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
+                    F.col("band2").alias("k"), F.col("band1").alias("p_b"))
+    cand2 = (
+        a2.join(b2, "k")
+        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
+        .select("doc_a", "doc_b", "nw_a", "nw_b",
+                F.lit(False).alias("both_bands"))
+    )
+    cand = cand1.unionByName(cand2)
+    wa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hw").alias("hw_a"))
+    wb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hw").alias("hw_b"))
+    ok = (_hashed_jaccard() >= 0.7).alias("ok")
+    j = cand.join(wa, "doc_a").join(wb, "doc_b").select("both_bands", ok)
+    agg = j.agg(
+        F.count(F.lit(1)).alias("c22"),
+        F.sum(F.when(F.col("ok"), 1).otherwise(0)).cast("long").alias("v22"),
+        F.sum(F.when(F.col("both_bands"), 1).otherwise(0)).cast("long").alias("c14"),
+        F.sum(F.when(F.col("both_bands") & F.col("ok"), 1).otherwise(0))
+        .cast("long")
+        .alias("v14"),
+    )
+
+    def row(cfg: str, c: str, v: str):
+        return F.struct(
+            F.lit(cfg).alias("config"),
+            F.col(c).alias("n_candidates"),
+            F.col(v).alias("n_verified"),
+            F.when(F.col("c22") > 0, F.col(c).cast("double") / F.col("c22"))
+            .alias("candidate_share"),
+            F.when(F.col("v22") > 0, F.col(v).cast("double") / F.col("v22"))
+            .alias("verified_recall"),
+        )
+
+    return agg.select(
+        F.explode(F.array(row("b2_r2", "c22", "v22"),
+                          row("b1_r4", "c14", "v14"))).alias("r")
+    ).select("r.*")
+
+
 _SS_W = 8  # rolling-window width in tokens
 _SS_MIN_OCC = 2  # a window is "duplicated" when it occurs this often corpus-wide
 

@@ -664,7 +664,7 @@ _LATE_ORACLE = """
 def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
     """LATE-DATA drop/keep boundary of a watermarked streaming
     aggregate, pinned as a driver-verified query (r9 VERDICT item 3 —
-    the one Structured Streaming semantic the other nine streaming
+    the one Structured Streaming semantic the other streaming
     queries never provoke): 20% of events (event_id % 5 == 0, at least
     30 min older than the stream max) ARRIVE LATE, in a micro-batch
     AFTER the watermark has advanced past most of their event times,
@@ -771,6 +771,102 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         # d is removed by _drain_memory_sink on success; this covers
         # the failure path without double-removing.
         shutil.rmtree(d, ignore_errors=True)
+
+
+_DDWW_ORACLE = """
+    WITH m AS (SELECT max(ts) AS mx FROM events)
+    SELECT event_id, CAST(ts AS TIMESTAMP) AS ts, user_id, event_type, value
+    FROM events
+    UNION ALL
+    SELECT -1, CAST(mx AS TIMESTAMP), -1, 'carrier', 0.0 FROM m
+    UNION ALL
+    SELECT e.event_id + 1000000000, CAST(e.ts AS TIMESTAMP), e.user_id,
+           e.event_type, e.value
+    FROM events e, m
+    WHERE e.event_id % 7 = 0 AND e.ts > m.mx - INTERVAL 2 HOUR
+"""
+
+
+@query("streaming_dedup_within_watermark", layer="C", oracle=_DDWW_ORACLE)
+def streaming_dedup_within_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dropDuplicatesWithinWatermark — the BOUNDED-STATE streaming
+    dedup the unbounded streaming_dedup/restart_dedup pair defers to
+    ("production bounds the store with dropDuplicatesWithinWatermark",
+    their shared caveat) — as a driver-verified query. State per key is
+    evicted once the watermark passes its event time + delay, so the
+    store holds O(keys within the delay window), not O(all keys ever:
+    the contract that makes a years-long crawl dedup run in fixed
+    memory).
+
+    Semantics pinned empirically (tests/test_streaming.py::
+    test_dedup_within_watermark_semantics): with dedup delay == the
+    watermark delay, the post-expiry re-emission window is EMPTY —
+    a row can outlive its key's state only by being late, and the
+    late filter (row ts <= the late-event watermark, INCLUSIVE; the
+    same one-batch-lagged watermark the aggregates use — a +1 us row
+    is kept, an exactly-equal row dropped) removes it before the
+    dedup sees it. On closed input the output is therefore exactly
+    "first occurrence of every key that passes the late filter",
+    which is what the closed-form oracle states.
+
+    Choreography (3 files, deterministic mtime order): file 0 = the
+    full events table (establishes watermark M - 2h and every key's
+    state); file 1 = one carrier row at ts = M (advances the
+    late-event watermark for file 2 without raising the max); file 2 =
+    every event AGAIN (all on-time copies are dup-dropped against
+    live state, all late copies are late-dropped — zero emissions
+    either way) plus a FRESH-KEY twin (event_id + 1e9) of every
+    event_id % 7 == 0 row, which exercises the late path on keys with
+    no state: kept iff ts > M - 2h. Output is O(corpus) so it drains
+    through the parquet file sink exactly like streaming_dedup, never
+    the driver."""
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now_to_parquet,
+    )
+
+    ev = load_table(spark, sf_dir, "events").select(
+        "event_id", "ts", "user_id", "event_type", "value", "props"
+    )
+    mx = F.broadcast(ev.agg(F.max("ts").alias("mx")))
+    carrier = mx.select(
+        F.lit(-1).alias("event_id"),
+        F.col("mx").alias("ts"),
+        F.lit(-1).alias("user_id"),
+        F.lit("carrier").alias("event_type"),
+        F.lit(0.0).alias("value"),
+        F.lit("{}").alias("props"),
+    )
+    fresh = ev.filter(F.col("event_id") % 7 == 0).withColumn(
+        "event_id", F.col("event_id") + F.lit(1_000_000_000)
+    )
+    replay = ev.unionByName(fresh)
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    sink = tempfile.mkdtemp(prefix="cuttlefish_stream_sink_")
+    out_dir = os.path.join(sink, "out")
+    ckpt_dir = os.path.join(sink, "ckpt")
+    try:
+        t0 = os.stat(f"{sf_dir}/events.parquet").st_mtime
+        for i, df in enumerate([ev, carrier, replay]):
+            _write_stream_file(
+                df, d, sink, f"part-{i:03d}.parquet", t0 + 10 * (i + 1)
+            )
+        with _stream_partitions(spark):
+            deduped = (
+                read_events_stream(spark, d, max_files_per_trigger=1)
+                .select("event_id", "ts", "user_id", "event_type", "value")
+                .withWatermark("ts", "2 hours")
+                .dropDuplicatesWithinWatermark(["event_id"])
+            )
+            run_available_now_to_parquet(deduped, out_dir, ckpt_dir)
+        return spark.read.parquet(out_dir).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(d, ignore_errors=True)
+        shutil.rmtree(sink, ignore_errors=True)
 
 
 def _streaming_gate_oracle() -> str:

@@ -153,8 +153,10 @@ GATE_QUERIES = [
     "streaming_left_interval_join",
     "streaming_restart_dedup",
     # r10: the late-data drop/keep boundary against the 1M-row stream
-    # (4-file arrival choreography, ~200k late rows)
+    # (4-file arrival choreography, ~200k late rows), and the
+    # bounded-state dedup (2M-row replay, every key duplicated)
     "streaming_late_data",
+    "streaming_dedup_within_watermark",
     # scaled-fixture gates (r9): the three golden-fixture queries,
     # value-compared at 10k chapters / 1000x markdown via SCALED_FIXTURE
     "ingest_normalize",
@@ -257,6 +259,7 @@ GATE_QUERIES = [
     "linear_regression",
     "map_functions",
     "minhash_accuracy",
+    "minhash_banding_sweep",
     "mixture_plan",
     "multimodal_audio_features",
     "multimodal_framesample",
@@ -303,6 +306,8 @@ SUBSET_QUERIES = {
     "ngram_jaccard",
     "ngram_jaccard_topk",
     "minhash_accuracy",
+    # same candidate pipeline, same DuckDB oracle cost shape (r10)
+    "minhash_banding_sweep",
 }
 
 # --- scaled-fixture gates (r8 VERDICT item 7) -------------------------

@@ -535,3 +535,83 @@ def test_late_data_boundary(spark, tmp_path):
         ("10:00", 1),  # row 2, flushed by the sentinel
         # rows 20, 21 dropped; sentinel window (23:00) unemitted
     }
+
+
+def test_dedup_within_watermark_semantics(spark, tmp_path):
+    """The dropDuplicatesWithinWatermark contract the query's oracle
+    encodes, plus the state bound it exists for:
+      1. late filter is row-level and INCLUSIVE against the one-batch-
+         lagged watermark: ts == wm dropped, ts == wm + 1us kept;
+      2. with dedup delay == watermark delay the post-expiry
+         re-emission window is empty (a state-expired key's duplicate
+         is always late), so output == first occurrence of every
+         non-late row;
+      3. state is EVICTED as the watermark passes ts + delay — the
+         store holds the delay window, not every key ever seen
+         (numRowsTotal at the last batch < keys seen), and
+         numRowsDroppedByWatermark records the late drops.
+    """
+    import os as _os
+    import shutil as _shutil
+    import time as _time
+    from datetime import datetime
+
+    def write_batch(path, rows, mtime):
+        import glob
+
+        tmp = path + "_tmp"
+        spark.createDataFrame(
+            [(i, datetime.fromisoformat("2024-01-01 " + t), 1, "click", 1.0, "{}")
+             for i, t in rows],
+            "event_id long, ts timestamp, user_id long, event_type string, "
+            "value double, props string",
+        ).repartition(1).write.mode("overwrite").parquet(tmp)
+        _shutil.move(glob.glob(tmp + "/part-*.parquet")[0], path)
+        _shutil.rmtree(tmp)
+        _os.utime(path, (mtime, mtime))
+
+    d = tmp_path / "ddww_stream"
+    d.mkdir()
+    now = _time.time()
+    # batch 0: keys at 01:00 and 10:00 -> wm 08:00 from batch 1 on
+    write_batch(str(d / "b0.parquet"),
+                [(1, "01:00:00"), (2, "10:00:00")], now - 300)
+    # batch 1: carrier at the max (keeps wm at 08:00 for batch 2)
+    write_batch(str(d / "b1.parquet"), [(3, "10:00:00")], now - 200)
+    # batch 2: dup of the EXPIRED key 1 (state evicted at end of b1:
+    # 01:00 + 2h <= 08:00) -> late-dropped, NOT re-emitted; dup of the
+    # LIVE key 2 -> dup-dropped; fresh keys at the exact boundary,
+    # 1us above, 1us below.
+    write_batch(str(d / "b2.parquet"),
+                [(1, "01:00:00"), (2, "10:00:00"),
+                 (10, "08:00:00"), (11, "08:00:00.000001"),
+                 (12, "07:59:59.999999")], now - 100)
+
+    dd = (
+        read_events_stream(spark, str(d), max_files_per_trigger=1)
+        .select("event_id", "ts", "user_id", "event_type", "value")
+        .withWatermark("ts", "2 hours")
+        .dropDuplicatesWithinWatermark(["event_id"])
+    )
+    q = (
+        dd.writeStream.format("memory").queryName("ddww_sem")
+        .outputMode("append").trigger(availableNow=True).start()
+    )
+    q.awaitTermination()
+    got = sorted(
+        r["event_id"] for r in spark.sql("SELECT * FROM ddww_sem").collect()
+    )
+    # 1,2,3 first occurrences; 11 the +1us fresh key; 10 (== wm) and
+    # 12 (late) dropped; neither dup re-emitted.
+    assert got == [1, 2, 3, 11]
+    state = [
+        (p["batchId"], p["stateOperators"][0])
+        for p in q.recentProgress
+        if p.get("stateOperators")
+    ]
+    last = state[-1][1]
+    # 5 distinct keys seen by the store's lifetime; eviction keeps the
+    # final store strictly smaller (key 1 evicted; boundary drops never
+    # entered).
+    assert last["numRowsTotal"] < 5
+    assert sum(s["numRowsDroppedByWatermark"] for _, s in state) >= 2
