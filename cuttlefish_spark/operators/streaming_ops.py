@@ -123,6 +123,25 @@ def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFram
         for i, f in enumerate(out.schema.fields)
         if isinstance(f.dataType, (T.TimestampType, T.TimestampNTZType))
     }
+    # TIMESTAMP (instant) values must be handed back timezone-AWARE:
+    # toPandas renders them as naive wall times in the SESSION timezone
+    # (UTC here — read_events_stream pins it), but the non-Arrow
+    # createDataFrame path interprets a NAIVE datetime in the Python
+    # process's LOCAL timezone (the TZ env var), not the session zone —
+    # under TZ=America/New_York every memory-sink timestamp came back
+    # shifted by the UTC offset (wild-caught by a TZ-varied driver_sim
+    # run; the parquet-sink streams were immune because their values
+    # never leave the JVM). Attaching the session zone makes the
+    # round-trip an exact identity under ANY process TZ. NTZ columns
+    # stay naive by definition.
+    from zoneinfo import ZoneInfo
+
+    session_tz = ZoneInfo(spark.conf.get("spark.sql.session.timeZone"))
+    aware_idx = {
+        i
+        for i, f in enumerate(out.schema.fields)
+        if isinstance(f.dataType, T.TimestampType)
+    }
     # Float/double columns too (ADVICE r5): a NULL double (e.g. an
     # outer join's null-padded value column) round-trips through pandas
     # as NaN and must be handed back as NULL. This deliberately
@@ -144,7 +163,8 @@ def _drain_memory_sink(spark: SparkSession, name: str, src_dir: str) -> DataFram
         if i in int_idx:
             return int(v)  # exact-type check: np/float -> int
         if i in ts_idx:
-            return v.to_pydatetime()  # exact-type check: pd.Timestamp -> datetime
+            dt = v.to_pydatetime()  # exact-type check: pd.Timestamp -> datetime
+            return dt.replace(tzinfo=session_tz) if i in aware_idx else dt
         return v
 
     def _clean(row):

@@ -1902,3 +1902,122 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("score_micro"),
     )
+
+
+# ---------------------------------------------------------------------------
+# span_corruption_mask — T5-style span corruption accounting (r10)
+# ---------------------------------------------------------------------------
+
+_SC_BLOCK = 20      # tokens per corruption block
+_SC_MAX_OFF = 16    # span start offset range within a block (0..15)
+_SC_MAX_LEN = 3     # span length range 1..3 (offset+len <= 18 < block)
+_SC_HMOD = 1_000_003  # masked-token hash summed mod this (no int64 overflow)
+
+
+@query(
+    "span_corruption_mask",
+    layer="C",
+    oracle=rf"""
+    WITH tok AS (
+        SELECT doc_id, u.pos, u.token FROM (
+            SELECT doc_id,
+                   unnest(list_transform(
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                       END,
+                       (x, i) -> {{'pos': CAST(i - 1 AS BIGINT), 'token': x}}))
+                       AS u
+            FROM documents)
+    ),
+    m AS (
+        SELECT doc_id, pos, token, pos // {_SC_BLOCK} AS blk,
+               CAST('0x' || substr(md5(
+                   doc_id || '_' || CAST(pos // {_SC_BLOCK} AS VARCHAR)
+               ), 1, 15) AS BIGINT) AS r
+        FROM tok
+    ),
+    f AS (
+        SELECT doc_id, blk, token,
+               (pos % {_SC_BLOCK}) >= (r % {_SC_MAX_OFF})
+               AND (pos % {_SC_BLOCK}) < (r % {_SC_MAX_OFF}) + 1
+                   + ((r // {_SC_MAX_OFF}) % {_SC_MAX_LEN}) AS masked
+        FROM m
+    )
+    SELECT doc_id,
+           CAST(count(*) AS BIGINT) AS n_tokens,
+           CAST(count(CASE WHEN masked THEN 1 END) AS BIGINT) AS n_masked,
+           CAST(count(DISTINCT CASE WHEN masked THEN blk END) AS BIGINT)
+               AS n_spans,
+           CAST(count(CASE WHEN masked THEN 1 END) AS DOUBLE) / count(*)
+               AS masked_frac,
+           CAST(sum(CASE WHEN masked
+                         THEN CAST('0x' || substr(md5(token), 1, 15) AS BIGINT)
+                              % {_SC_HMOD}
+                         ELSE 0 END) AS BIGINT) AS masked_hash_sum
+    FROM f GROUP BY doc_id
+    """,
+)
+def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T5-style span-corruption preprocessing (Raffel 2020 §3.1.4:
+    replace contiguous token spans with sentinels and train on
+    reconstructing them) as deterministic distributed accounting: each
+    {_SC_BLOCK}-token block of every document gets one pseudo-random
+    masked span — start offset r % {_SC_MAX_OFF}, length
+    1 + (r div {_SC_MAX_OFF}) % {_SC_MAX_LEN}, where r is the
+    md5-derived hash of (doc_id, block) — giving ~10% corruption with
+    mean span 2, reproducible on any cluster/partitioning because the
+    "randomness" is pure content arithmetic (the training_shuffle /
+    dataset_split discipline: never Math.random in a pipeline).
+    Per document: token count, masked count, span count, masked
+    fraction, and a mod-{_SC_HMOD} sum of the masked tokens' 60-bit
+    hashes — the last column pins EXACTLY which positions were masked
+    without exporting arrays (the driver canonicalizer takes scalars
+    only).
+
+    Block-local spans (offset+len <= 18 < {_SC_BLOCK}) make the mask
+    embarrassingly parallel — no sequential "am I inside the previous
+    span" scan, the trap that forces a per-document ordered window in
+    naive implementations. Scale shape: posexplode -> narrow per-row
+    arithmetic inside whole-stage codegen -> ONE hash aggregate on
+    doc_id (map-side combined; the count-distinct-blocks column rides
+    the same shuffle via expand). Determinism: md5-window hash60 both
+    engines, `div`/`//` truncation on non-negative operands, and
+    masked_frac is one IEEE division of identical integers.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    blk = F.expr(f"pos div {_SC_BLOCK}")
+    tok = d.select(
+        "doc_id", F.posexplode(tokens(F.col("text"))).alias("pos", "token")
+    ).select(
+        "doc_id",
+        "pos",
+        "token",
+        blk.alias("blk"),
+        hash60(F.concat_ws("_", F.col("doc_id"), blk)).alias("r"),
+    )
+    within = F.col("pos") % _SC_BLOCK
+    start = F.col("r") % _SC_MAX_OFF
+    length = F.lit(1) + F.expr(f"r div {_SC_MAX_OFF}") % _SC_MAX_LEN
+    masked = (within >= start) & (within < start + length)
+    f = tok.select(
+        "doc_id",
+        "blk",
+        "token",
+        masked.alias("masked"),
+    )
+    return f.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_tokens"),
+        F.sum(F.when(F.col("masked"), 1).otherwise(0))
+        .cast("long")
+        .alias("n_masked"),
+        F.countDistinct(F.when(F.col("masked"), F.col("blk"))).alias("n_spans"),
+        (
+            F.sum(F.when(F.col("masked"), 1).otherwise(0)).cast("double")
+            / F.count(F.lit(1))
+        ).alias("masked_frac"),
+        F.sum(
+            F.when(F.col("masked"), hash60(F.col("token")) % _SC_HMOD).otherwise(0)
+        )
+        .cast("long")
+        .alias("masked_hash_sum"),
+    )

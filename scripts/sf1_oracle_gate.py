@@ -282,6 +282,7 @@ GATE_QUERIES = [
     "skew_profile",
     "snapshot_diff",
     "source_overlap_matrix",
+    "span_corruption_mask",
     "stratified_sample",
     "string_agg_ordered",
     "string_functions",

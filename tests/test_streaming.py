@@ -615,3 +615,28 @@ def test_dedup_within_watermark_semantics(spark, tmp_path):
     # entered).
     assert last["numRowsTotal"] < 5
     assert sum(s["numRowsDroppedByWatermark"] for _, s in state) >= 2
+
+
+def test_memory_sink_drain_tz_independent():
+    """The memory-sink drain must be exact under ANY process timezone:
+    the non-Arrow createDataFrame path interprets NAIVE datetimes in
+    the Python process's LOCAL zone (TZ env), not the session zone, so
+    a naive hand-back shifted every memory-sink timestamp by the UTC
+    offset under TZ=America/New_York (wild-caught by a TZ-varied
+    driver_sim run; 6 queries). _drain_memory_sink now hands back
+    timezone-AWARE datetimes in the session zone — this subprocess
+    pins the whole oracle round-trip under a non-UTC TZ."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    repo = str(Path(__file__).resolve().parent.parent)
+    env = {**os.environ, "TZ": "America/New_York",
+           "SPARK_SIM_MASTER": "local[4]"}
+    r = subprocess.run(
+        [sys.executable, "scripts/quick_check.py",
+         "streaming_tumbling_hourly", "--sf", "/root/testdata/sf0.001"],
+        env=env, capture_output=True, text=True, cwd=repo, timeout=600,
+    )
+    assert r.returncode == 0, (r.stdout[-2000:], r.stderr[-1000:])
