@@ -2820,3 +2820,100 @@ def _bpe_train_batched(
         "round int, sel_rank long, left_sym string, right_sym string,"
         " merged string, pair_count long",
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_classifier_auc — exact tie-corrected Mann-Whitney AUC (r10)
+# ---------------------------------------------------------------------------
+
+_QC_AUC_FINAL = f""", lv AS (
+        SELECT score, CAST(sum(y) AS BIGINT) AS n_pos,
+               CAST(sum(1 - y) AS BIGINT) AS n_neg
+        FROM p{_QC_T} GROUP BY score),
+    c AS (
+        SELECT n_pos, n_neg,
+               COALESCE(sum(n_neg) OVER (ORDER BY score
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                   AS cum_lt
+        FROM lv),
+    t AS (
+        SELECT CAST(sum(n_pos) AS BIGINT) AS np,
+               CAST(sum(n_neg) AS BIGINT) AS nn2,
+               CAST(sum(n_pos * (2 * cum_lt + n_neg)) AS BIGINT) AS u2,
+               CAST(count(*) AS BIGINT) AS n_levels,
+               CAST(count(CASE WHEN n_pos + n_neg > 1 THEN 1 END) AS BIGINT)
+                   AS n_tied_levels
+        FROM c)
+    SELECT np AS n_pos, nn2 AS n_neg, u2, n_levels, n_tied_levels,
+           CASE WHEN np > 0 AND nn2 > 0
+                THEN CAST(u2 AS DOUBLE) / (2 * np * nn2) END AS auc
+    FROM t"""
+
+
+@query(
+    "quality_classifier_auc",
+    layer="C",
+    oracle=_qc_oracle(_QC_T, _QC_AUC_FINAL),
+)
+def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact ROC-AUC of the trained quality classifier — the
+    threshold-free companion to quality_classifier_pr_curve (which
+    sweeps 15 operating points; AUC is the single ranking-quality
+    number model cards quote). Computed as the tie-corrected
+    Mann-Whitney U statistic in EXACT integer arithmetic: group docs
+    into score LEVELS on the raw pre-sigmoid integer score (the
+    hard-sigmoid saturates, so p_int would tie half the corpus at 0/S
+    — the raw dot product is the resolution the ranking actually has),
+    then U2 = 2U = sum over levels of n_pos * (2 * negatives_below +
+    negatives_tied), and AUC = U2 / (2 * N_pos * N_neg) — ties
+    contribute the standard 1/2. u2 <= 2 * N_pos * N_neg stays in
+    int64 to ~2.1e9 docs per class; the final AUC is one IEEE division
+    of identical integers (NULL when a class is empty, in both
+    engines).
+
+    Plan shape: one scoring pass (the memoized _qc_train model — this
+    query costs ONE corpus aggregate like its three classifier
+    siblings), a level aggregate on the high-cardinality score key,
+    and the negatives-below prefix sum via two_phase_prefix_sum (the
+    plan-guard-compliant distributed cumulative: range-partition by
+    score, per-partition window, O(partitions) collected offsets —
+    never a global ordered window). The level table is
+    O(distinct scores) <= O(docs); everything after it is a
+    single-row reduce."""
+    from cuttlefish_spark.operators.twophase import two_phase_prefix_sum
+
+    w, _, feats, labels = _qc_train(spark, sf_dir)
+    scored = _qc_score(spark, feats, labels, w)
+    lv = (
+        scored.groupBy("score")
+        .agg(
+            F.sum(F.col("y")).cast("long").alias("n_pos"),
+            F.sum(1 - F.col("y")).cast("long").alias("n_neg"),
+        )
+        .withColumn("g", F.lit("all"))
+    )
+    cum = two_phase_prefix_sum(
+        spark, lv, "g", [F.col("score")], "n_neg"
+    ).withColumn("cum_lt", F.col("cum") - F.col("n_neg"))
+    t = cum.agg(
+        F.sum("n_pos").cast("long").alias("np"),
+        F.sum("n_neg").cast("long").alias("nn2"),
+        F.sum(F.col("n_pos") * (2 * F.col("cum_lt") + F.col("n_neg")))
+        .cast("long")
+        .alias("u2"),
+        F.count(F.lit(1)).alias("n_levels"),
+        F.sum(F.when(F.col("n_pos") + F.col("n_neg") > 1, 1).otherwise(0))
+        .cast("long")
+        .alias("n_tied_levels"),
+    )
+    return t.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn2").alias("n_neg"),
+        "u2",
+        "n_levels",
+        "n_tied_levels",
+        F.when(
+            (F.col("np") > 0) & (F.col("nn2") > 0),
+            F.col("u2").cast("double") / (2 * F.col("np") * F.col("nn2")),
+        ).alias("auc"),
+    )

@@ -114,6 +114,7 @@ GATE_QUERIES = [
     "quality_classifier_weights",
     "quality_classifier_pr_curve",
     "quality_classifier_calibration",
+    "quality_classifier_auc",
     "url_host_profile",
     "domain_cap_sample",
     # r7 additions: the BPE-encode vocabulary profile, per-language
