@@ -788,8 +788,8 @@ def streaming_late_data(spark: SparkSession, sf_dir: str) -> DataFrame:
         return _drain_memory_sink(spark, name, d)
     finally:
         shutil.rmtree(sink, ignore_errors=True)
-        # d is removed by _drain_memory_sink on success; this covers
-        # the failure path without double-removing.
+        # _drain_memory_sink already removes d on success; ignore_errors
+        # makes this a no-op there and the real cleanup on failure.
         shutil.rmtree(d, ignore_errors=True)
 
 
