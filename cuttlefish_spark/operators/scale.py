@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from cuttlefish_spark.functions import dec_sum
+from cuttlefish_spark.functions import dec_sum, hash60
 from cuttlefish_spark.io import load_table
 from cuttlefish_spark.registry import query
 
@@ -353,6 +353,240 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("ck").cast("long").alias("max_ck"),
         F.min("dy").cast("long").alias("min_day"),
         F.max("dy").cast("long").alias("max_day"),
+    )
+
+
+# Bloom-filter join pruning: k hash functions; m sized at
+# _BLOOM_BITS_PER_KEY * k bits per member key. 2 bits/key/hash is
+# DELIBERATELY undersized (production uses ~10 bits/key for ~1% FP)
+# so the false-positive channel is populated and the audit measures
+# a real rate instead of a degenerate zero.
+_BLOOM_K = 3
+_BLOOM_BITS_PER_KEY = 2
+_BLOOM_WORD_BITS = 32  # bigint words, 32 bits used => shifts stay sign-safe
+
+
+@query(
+    "bloom_filter_join",
+    layer="B",
+    oracle=f"""
+    WITH members AS (
+        SELECT DISTINCT s_suppkey AS k FROM supplier WHERE s_nationkey < 5
+    ),
+    params AS (
+        SELECT COUNT(*) AS n_keys,
+               {_BLOOM_BITS_PER_KEY * _BLOOM_K} * COUNT(*) AS m_bits
+        FROM members
+    ),
+    mpos AS (
+        SELECT DISTINCT
+               CAST('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || '#'
+                                       || CAST(k AS VARCHAR)), 1, 15)
+                    AS BIGINT) % m_bits AS pos
+        FROM members, params,
+             (SELECT unnest(range({_BLOOM_K})) AS j)
+    ),
+    words AS (
+        SELECT pos // {_BLOOM_WORD_BITS} AS word,
+               bit_or(CAST(1 AS BIGINT)
+                      << CAST(pos % {_BLOOM_WORD_BITS} AS INTEGER)) AS mask
+        FROM mpos GROUP BY 1
+    ),
+    probe_keys AS (SELECT DISTINCT l_suppkey AS k FROM lineitem),
+    probe_pos AS (
+        SELECT p.k,
+               CAST('0x' || substr(md5('bf' || CAST(j AS VARCHAR) || '#'
+                                       || CAST(p.k AS VARCHAR)), 1, 15)
+                    AS BIGINT) % m_bits AS pos
+        FROM probe_keys p, params,
+             (SELECT unnest(range({_BLOOM_K})) AS j)
+    ),
+    verdicts AS (
+        SELECT pp.k,
+               (COUNT(*) FILTER (
+                   WHERE (w.mask >> CAST(pp.pos % {_BLOOM_WORD_BITS} AS INTEGER))
+                         & 1 = 1) = {_BLOOM_K}) AS pass,
+               MAX(CASE WHEN m.k IS NOT NULL THEN 1 ELSE 0 END) = 1 AS member
+        FROM probe_pos pp
+        LEFT JOIN words w ON w.word = pp.pos // {_BLOOM_WORD_BITS}
+        LEFT JOIN members m ON m.k = pp.k
+        GROUP BY pp.k
+    ),
+    rows_cls AS (
+        SELECT v.pass, v.member FROM lineitem l
+        JOIN verdicts v ON v.k = l.l_suppkey
+    )
+    SELECT (SELECT m_bits FROM params) AS m_bits,
+           (SELECT CAST(SUM(bit_count(mask)) AS BIGINT) FROM words) AS bits_set,
+           (SELECT n_keys FROM params) AS n_member_keys,
+           (SELECT COUNT(*) FROM verdicts) AS n_probe_keys,
+           (SELECT COUNT(*) FROM verdicts WHERE pass AND NOT member)
+               AS n_fp_keys,
+           round((SELECT COUNT(*) FROM verdicts WHERE pass AND NOT member)
+                 / CAST(nullif((SELECT COUNT(*) FROM verdicts
+                                WHERE NOT member), 0) AS DOUBLE), 6)
+               AS key_fp_rate,
+           (SELECT COUNT(*) FROM rows_cls) AS n_rows,
+           (SELECT COUNT(*) FROM rows_cls WHERE pass) AS rows_pass,
+           (SELECT COUNT(*) FROM rows_cls WHERE member) AS rows_true,
+           (SELECT COUNT(*) FROM rows_cls WHERE pass AND NOT member)
+               AS rows_fp,
+           round(1.0 - (SELECT COUNT(*) FROM rows_cls WHERE pass)
+                 / CAST((SELECT COUNT(*) FROM rows_cls) AS DOUBLE), 6)
+               AS pruned_frac
+    """,
+)
+def bloom_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter join pruning, made explicit and auditable: build a
+    {_BLOOM_K}-hash Bloom filter over the member keys (suppliers of
+    nations 0-4), probe every lineitem supplier key against it, and
+    report the filter's effectiveness — rows pruned before the join
+    would shuffle, true matches kept (a Bloom filter NEVER drops a
+    member: rows_true rows all pass), and the measured false-positive
+    channel (key_fp_rate vs the (1-e^(-kn/m))^k theory line; m is
+    deliberately undersized at {_BLOOM_BITS_PER_KEY} bits/key/hash so
+    the channel is populated — production sizes ~10 bits/key for ~1%).
+
+    This is the technique behind Spark's own runtime row-level filters
+    (spark.sql.optimizer.runtime.bloomFilter.enabled) and every
+    shuffle-join pre-filter at 100 TB: the filter is O(m) bits built
+    from one pass over the SMALL side, ships as a broadcast, and
+    eliminates (1 - fp) of the non-matching big side BEFORE the
+    exchange — the shuffle that dominates a 100 TB join shrinks by the
+    selectivity of the semi-join, at the cost of a bitmap lookup per
+    row. All hashing is the portable 60-bit md5 (functions.hash60), the
+    bitmap is bigint words filled with bit_or / tested with shifts —
+    exact integer arithmetic, so DuckDB replays the filter bit-for-bit.
+
+    Plan shape: members -> {_BLOOM_K}-way position explode -> groupBy
+    word (bounded: m/{_BLOOM_WORD_BITS} rows) builds the filter; the
+    probe side classifies its key DICTIONARY (ndv keys, not rows) with
+    a broadcast join on word, then the per-key verdicts broadcast back
+    onto the fact rows — the big table is scanned once, never exploded.
+    """
+    sup = load_table(spark, sf_dir, "supplier")
+    li = load_table(spark, sf_dir, "lineitem")
+
+    members = sup.filter(F.col("s_nationkey") < 5).select(
+        F.col("s_suppkey").alias("k")
+    ).distinct()
+    params = members.agg(
+        F.count(F.lit(1)).alias("n_keys"),
+        (F.lit(_BLOOM_BITS_PER_KEY * _BLOOM_K) * F.count(F.lit(1))).alias("m_bits"),
+    )
+
+    js = F.explode(F.array(*[F.lit(j) for j in range(_BLOOM_K)])).alias("j")
+
+    def positions(df: DataFrame) -> DataFrame:
+        """(k, pos) pairs: the {_BLOOM_K} filter positions of each key."""
+        return (
+            df.select("k", js)
+            .crossJoin(F.broadcast(params.select("m_bits")))
+            .select(
+                "k",
+                (
+                    hash60(
+                        F.concat(
+                            F.lit("bf"),
+                            F.col("j").cast("string"),
+                            F.lit("#"),
+                            F.col("k").cast("string"),
+                        )
+                    )
+                    % F.col("m_bits")
+                ).alias("pos"),
+            )
+        )
+
+    words = (
+        positions(members)
+        .select("pos")
+        .distinct()
+        .groupBy(F.expr(f"pos div {_BLOOM_WORD_BITS}").alias("word"))
+        .agg(
+            F.bit_or(
+                F.expr(f"shiftleft(1L, CAST(pos % {_BLOOM_WORD_BITS} AS INT))")
+            ).alias("mask")
+        )
+    )
+
+    probe_keys = li.select(F.col("l_suppkey").alias("k")).distinct()
+    verdicts = (
+        positions(probe_keys)
+        .join(
+            F.broadcast(words),
+            F.expr(f"pos div {_BLOOM_WORD_BITS}") == F.col("word"),
+            "left",
+        )
+        .join(
+            F.broadcast(members.withColumn("is_m", F.lit(1))),
+            "k",
+            "left",
+        )
+        .groupBy("k")
+        .agg(
+            (
+                F.sum(
+                    F.when(
+                        F.expr(
+                            f"shiftright(mask, CAST(pos % {_BLOOM_WORD_BITS}"
+                            " AS INT)) & 1"
+                        )
+                        == 1,
+                        1,
+                    ).otherwise(0)
+                )
+                == _BLOOM_K
+            ).alias("pass"),
+            (F.max(F.coalesce(F.col("is_m"), F.lit(0))) == 1).alias("member"),
+        )
+    )
+
+    rows_cls = li.select(F.col("l_suppkey").alias("k")).join(
+        F.broadcast(verdicts), "k"
+    )
+
+    filter_stats = words.agg(
+        F.sum(F.bit_count("mask")).cast("long").alias("bits_set")
+    )
+    key_stats = verdicts.agg(
+        F.count(F.lit(1)).alias("n_probe_keys"),
+        F.sum(F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0)).alias(
+            "n_fp_keys"
+        ),
+        F.sum(F.when(~F.col("member"), 1).otherwise(0)).alias("n_nonmember_keys"),
+    )
+    row_stats = rows_cls.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.when(F.col("pass"), 1).otherwise(0)).alias("rows_pass"),
+        F.sum(F.when(F.col("member"), 1).otherwise(0)).alias("rows_true"),
+        F.sum(F.when(F.col("pass") & ~F.col("member"), 1).otherwise(0)).alias(
+            "rows_fp"
+        ),
+    )
+    return (
+        params.crossJoin(filter_stats)
+        .crossJoin(key_stats)
+        .crossJoin(row_stats)
+        .select(
+            F.col("m_bits").cast("long").alias("m_bits"),
+            "bits_set",
+            F.col("n_keys").cast("long").alias("n_member_keys"),
+            F.col("n_probe_keys").cast("long").alias("n_probe_keys"),
+            F.col("n_fp_keys").cast("long").alias("n_fp_keys"),
+            F.round(
+                F.col("n_fp_keys")
+                / F.nullif(F.col("n_nonmember_keys"), F.lit(0)).cast("double"),
+                6,
+            ).alias("key_fp_rate"),
+            F.col("n_rows").cast("long").alias("n_rows"),
+            F.col("rows_pass").cast("long").alias("rows_pass"),
+            F.col("rows_true").cast("long").alias("rows_true"),
+            F.col("rows_fp").cast("long").alias("rows_fp"),
+            F.round(
+                F.lit(1.0) - F.col("rows_pass") / F.col("n_rows").cast("double"), 6
+            ).alias("pruned_frac"),
+        )
     )
 
 
