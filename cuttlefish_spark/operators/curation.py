@@ -306,7 +306,7 @@ _WORDS_SQL = r"""
 """
 
 
-def _bpe_ctes(n_merges: int) -> list[str]:
+def _bpe_ctes(n_merges: int, scoring: str = "count") -> list[str]:
     """The shared CTE chain of the BPE oracles: seq0 (char-split word
     frequency table) through seq{n} (symbol sequences after n greedy
     merges), with b{i} holding round i's argmax pair. Each iteration:
@@ -316,7 +316,16 @@ def _bpe_ctes(n_merges: int) -> list[str]:
     active match is consumed). The window formulation is deliberately a
     DIFFERENT algorithm from the Spark side's sequential fold — the two
     are provably equivalent on greedy BPE, so a hash match checks the
-    algorithm, not a shared implementation."""
+    algorithm, not a shared implementation.
+
+    scoring="count" is classic BPE (argmax pair count);
+    scoring="wordpiece" is the WordPiece likelihood criterion
+    (Schuster & Nakajima 2012; Wu 2016 GNMT §4.1): argmax
+    cnt / (freq(l) * freq(r)) — the pair whose merge most increases
+    corpus likelihood under a unigram-independence model — which
+    needs a per-round symbol-frequency CTE s{i}. The double division
+    is IEEE-identical in both engines (exact bigint inputs), so the
+    argmax and the emitted round(score, 9) hash-match."""
     ctes = [
         f"""seq0 AS MATERIALIZED (
         SELECT word, freq,
@@ -337,7 +346,26 @@ def _bpe_ctes(n_merges: int) -> list[str]:
             )
         ) GROUP BY l, r
     )""")
-        ctes.append(f"""b{i} AS MATERIALIZED (
+        if scoring == "wordpiece":
+            ctes.append(f"""s{i} AS MATERIALIZED (
+        SELECT sym, CAST(sum(freq) AS BIGINT) AS f
+        FROM (SELECT freq, unnest(syms) AS sym FROM seq{i})
+        GROUP BY sym
+    )""")
+            ctes.append(f"""b{i} AS MATERIALIZED (
+        SELECT l, r, cnt,
+               round(CAST(cnt AS DOUBLE)
+                     / (CAST(fl.f AS DOUBLE) * CAST(fr.f AS DOUBLE)), 9)
+                   AS score
+        FROM p{i}
+        JOIN s{i} fl ON fl.sym = p{i}.l
+        JOIN s{i} fr ON fr.sym = p{i}.r
+        ORDER BY CAST(cnt AS DOUBLE)
+                 / (CAST(fl.f AS DOUBLE) * CAST(fr.f AS DOUBLE)) DESC, l, r
+        LIMIT 1
+    )""")
+        else:
+            ctes.append(f"""b{i} AS MATERIALIZED (
         SELECT l, r, cnt FROM p{i} ORDER BY cnt DESC, l, r LIMIT 1
     )""")
         ctes.append(f"""x{i} AS MATERIALIZED (
@@ -388,6 +416,20 @@ def _bpe_oracle(n_merges: int) -> str:
     )
 
 
+def _wp_oracle(n_merges: int) -> str:
+    """The learned WordPiece merge table: argmax-by-likelihood rows."""
+    steps = "\n        UNION ALL\n".join(
+        f"        SELECT {i + 1} AS step, l AS left_sym, r AS right_sym,"
+        f" l || r AS merged, cnt AS pair_count, score AS wp_score FROM b{i}"
+        for i in range(n_merges)
+    )
+    return (
+        "WITH " + ",\n    ".join(_bpe_ctes(n_merges, scoring="wordpiece"))
+        + f"\n    SELECT * FROM (\n{steps}\n"
+        "    ) ORDER BY step"
+    )
+
+
 def _bpe_token_stats_oracle(n_merges: int) -> str:
     """Vocabulary profile of the ENCODED corpus — the seq{n} CTE (the
     symbol sequences after n merges) exploded and aggregated."""
@@ -413,6 +455,7 @@ def _bpe_train(
     sf_dir: str,
     n_merges: int,
     round_secs: list[float] | None = None,
+    scoring: str = "count",
 ) -> tuple[DataFrame, DataFrame]:
     """The BPE training loop, depth-parameterized (bpe_train_merges
     runs it at _BPE_MERGES = 8; scripts/bpe_depth_stress.py at 64 to
@@ -426,7 +469,7 @@ def _bpe_train(
 
     from cuttlefish_spark.io import memo_key, memo_put
 
-    key = memo_key(spark, sf_dir, "documents") + (n_merges,)
+    key = memo_key(spark, sf_dir, "documents") + (n_merges, scoring)
     if round_secs is None and key in _BPE_CACHE:
         return _BPE_CACHE[key]
 
@@ -444,7 +487,7 @@ def _bpe_train(
         ).alias("syms"),
     ).localCheckpoint(eager=True)
 
-    merges: list[tuple[int, str, str, str, int]] = []
+    merges: list[tuple] = []
     for step in range(1, n_merges + 1):
         t0 = _time.perf_counter()
         pairs = (
@@ -463,11 +506,42 @@ def _bpe_train(
             .groupBy("l", "r")
             .agg(F.sum("freq").alias("cnt"))
         )
-        best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
+        if scoring == "wordpiece":
+            # WordPiece likelihood criterion: score = cnt / (f_l * f_r)
+            # (Schuster & Nakajima 2012). Symbol totals are one bounded
+            # groupBy over the O(vocab) working set per round; the
+            # double division is IEEE-identical to the oracle's.
+            symfreq = (
+                seq.select("freq", F.explode("syms").alias("sym"))
+                .groupBy("sym")
+                .agg(F.sum("freq").alias("f"))
+            )
+            raw = F.col("cnt").cast("double") / (
+                F.col("fl").cast("double") * F.col("fr").cast("double")
+            )
+            scored = (
+                pairs.join(
+                    symfreq.select(F.col("sym").alias("l"), F.col("f").alias("fl")),
+                    "l",
+                )
+                .join(
+                    symfreq.select(F.col("sym").alias("r"), F.col("f").alias("fr")),
+                    "r",
+                )
+                .select(
+                    "l", "r", "cnt", raw.alias("raw"), F.round(raw, 9).alias("score")
+                )
+            )
+            best = scored.orderBy(F.desc("raw"), "l", "r").limit(1).collect()
+        else:
+            best = pairs.orderBy(F.desc("cnt"), "l", "r").limit(1).collect()
         if not best:  # corpus fully merged — no adjacent pairs left
             break
         l, r, cnt = best[0]["l"], best[0]["r"], best[0]["cnt"]
-        merges.append((step, l, r, l + r, cnt))
+        if scoring == "wordpiece":
+            merges.append((step, l, r, l + r, cnt, best[0]["score"]))
+        else:
+            merges.append((step, l, r, l + r, cnt))
         # Greedy left-to-right merge as a JVM-side fold: merge when the
         # accumulator's last symbol is `l` and the current one is `r`;
         # the just-merged symbol (l||r, strictly longer than l) can
@@ -496,11 +570,13 @@ def _bpe_train(
         if round_secs is not None:
             round_secs.append(_time.perf_counter() - t0)
 
-    merges_df = spark.createDataFrame(
-        merges,
+    schema = (
         "step int, left_sym string, right_sym string, merged string,"
-        " pair_count long",
+        " pair_count long"
     )
+    if scoring == "wordpiece":
+        schema += ", wp_score double"
+    merges_df = spark.createDataFrame(merges, schema)
     if round_secs is None:
         memo_put(_BPE_CACHE, key, (merges_df, seq))
     return merges_df, seq
@@ -531,6 +607,37 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     the algorithm itself. All values are integers or symbol strings —
     no float exists anywhere in this query."""
     return _bpe_train(spark, sf_dir, _BPE_MERGES)[0]
+
+
+_WP_MERGES = 8
+
+
+@query("wordpiece_train_merges", layer="C", oracle=_wp_oracle(_WP_MERGES))
+def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece tokenizer training (Schuster & Nakajima 2012; the
+    BERT/GNMT vocabulary algorithm) — completes the tokenizer-trainer
+    triad next to BPE (bpe_train_merges, frequency argmax) and
+    unigram-LM (unigram_train, EM pruning): same greedy merge loop as
+    BPE but the selection criterion is the LIKELIHOOD gain
+    score = count(l,r) / (freq(l) * freq(r)) — merge the pair most
+    surprising under symbol independence, not the most frequent one.
+    Emits (step, left_sym, right_sym, merged, pair_count, wp_score).
+
+    Shares _bpe_train: the corpus collapses once to the O(vocab)
+    word-frequency working set; per round WordPiece adds ONE bounded
+    symbol-frequency groupBy and two vocab-sized equi-joins on top of
+    BPE's pair count — still one scalar argmax row to the driver per
+    round, merge application still the JVM-side greedy fold. The
+    oracle unrolls the identical rounds with the run-parity window
+    formulation (a structurally different algorithm), with the same
+    s{{i}} symbol-frequency CTE; the score's double division is
+    IEEE-identical on exact bigint inputs, so argmax choices and the
+    emitted round(score, 9) hash-match exactly.
+
+    The selection genuinely diverges from BPE on this corpus (different
+    merge tables), so the hash pins the CRITERION, not just the loop.
+    """
+    return _bpe_train(spark, sf_dir, _WP_MERGES, scoring="wordpiece")[0]
 
 
 @query(

@@ -1,0 +1,202 @@
+"""Preference-data operators — the aggregation step of an RLHF /
+human-feedback pipeline: turn raw pairwise comparisons into per-item
+strength scores.
+
+- bradley_terry_strength — Bradley-Terry maximum-likelihood strengths
+  via the MM (minorization-maximization) algorithm of Hunter 2004
+  ("MM algorithms for generalized Bradley-Terry models"), the standard
+  estimator behind Chatbot-Arena-style model rankings and preference-
+  model calibration checks.
+
+Reference anchor: none — the reference (a Racket ETL orchestrator) has
+no statistical operators; this is Layer-B/LLM surface mandated by the
+build brief (SURVEY.md §2.B).
+
+Determinism contract (the oracle-parity discipline used across the
+repo): comparison outcomes are exact integer/length comparisons; every
+cross-term sum folds ROUND(x, 9) values through DECIMAL(28,9) so the
+sum is order-independent; iteration outputs are re-rounded to 9 before
+they feed the next round, so Spark and DuckDB walk bit-identical
+trajectories.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from cuttlefish_spark.io import load_table
+from cuttlefish_spark.registry import query
+
+# Circulant pairing offsets: doc i is compared with docs i+1, i+3, i+7.
+# With sources assigned round-robin (source = f(doc_id mod S)) this
+# yields a connected comparison graph over sources (offsets coprime to
+# the source period), and the pairing is THREE narrow equi-joins — no
+# window, no cross join, no shuffle beyond the join keys.
+_BT_OFFSETS = (1, 3, 7)
+_BT_ITERS = 3
+
+_OFFS_SQL = "SELECT unnest([" + ", ".join(str(o) for o in _BT_OFFSETS) + "]) AS off"
+
+
+def _bt_oracle() -> str:
+    """Unrolled MM iterations as CTEs (the embedding_kmeans pattern:
+    an iterative estimator becomes oracle-checkable by fixing init,
+    iteration count, and float-parity arithmetic)."""
+    ctes = [
+        f"""m AS (
+        SELECT a.source AS sa, b.source AS sb,
+               CASE WHEN a.n_chars > b.n_chars THEN a.source
+                    ELSE b.source END AS winner
+        FROM documents a
+        JOIN ({_OFFS_SQL}) o ON TRUE
+        JOIN documents b ON b.doc_id = a.doc_id + o.off
+        WHERE a.n_chars <> b.n_chars AND a.source <> b.source
+    )""",
+        """pairs AS (
+        SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_ij FROM (
+            SELECT sa AS i, sb AS j FROM m
+            UNION ALL
+            SELECT sb AS i, sa AS j FROM m
+        ) GROUP BY i, j
+    )""",
+        """wins AS (
+        SELECT i, CAST(SUM(w) AS BIGINT) AS w FROM (
+            SELECT sa AS i, CASE WHEN winner = sa THEN 1 ELSE 0 END AS w FROM m
+            UNION ALL
+            SELECT sb AS i, CASE WHEN winner = sb THEN 1 ELSE 0 END AS w FROM m
+        ) GROUP BY i
+    )""",
+        "s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wins)",
+    ]
+    for it in range(_BT_ITERS):
+        ctes.append(f"""s{it + 1} AS (
+        SELECT w.i,
+               round(w.w / CAST((
+                   SELECT SUM(CAST(round(p.n_ij / (si.p + sj.p), 9)
+                                   AS DECIMAL(28,9)))
+                   FROM pairs p
+                   JOIN s{it} si ON si.i = p.i
+                   JOIN s{it} sj ON sj.i = p.j
+                   WHERE p.i = w.i
+               ) AS DOUBLE), 9) AS p
+        FROM wins w
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    tot AS (
+        SELECT CAST(SUM(CAST(p AS DECIMAL(28,9))) AS DOUBLE) AS t,
+               COUNT(*) AS n_items
+        FROM s{_BT_ITERS}
+    )
+    SELECT s.i AS source,
+           (SELECT CAST(SUM(n_ij) AS BIGINT) FROM pairs
+            WHERE pairs.i = s.i) AS n_matches,
+           w.w AS wins,
+           round(s.p * tot.n_items / tot.t, 6) AS strength
+    FROM s{_BT_ITERS} s JOIN wins w ON w.i = s.i CROSS JOIN tot"""
+    )
+
+
+@query("bradley_terry_strength", layer="C", oracle=_bt_oracle())
+def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bradley-Terry strengths over pairwise document preferences —
+    the aggregation a preference/RLHF pipeline runs to turn raw A-vs-B
+    judgments into item scores (Hunter 2004 MM updates; the estimator
+    behind arena-style LLM leaderboards).
+
+    Comparisons are synthesized deterministically: doc i meets docs
+    i+1/i+3/i+7 (three equi-joins on doc_id — circulant offsets keep
+    the source graph connected), the longer document wins, ties and
+    same-source pairs are dropped. Items are the 20 sources, so the
+    model state is O(items) while the match volume scales with the
+    corpus.
+
+    MM iteration (x{_BT_ITERS}, unrolled as one static DAG like
+    embedding_kmeans): p_i <- W_i / sum_j n_ij / (p_i + p_j), with the
+    cross-term sum folded through ROUND(.,9) + DECIMAL(28,9) so it is
+    order-independent, and each iterate re-rounded to 9 — Spark and the
+    oracle walk identical float trajectories. Final strengths are
+    normalized to mean 1 and rounded to 6.
+
+    Scale shape: the match builder is three shuffle-free-ish equi-joins
+    on doc_id; per-iteration work is a join of the O(items^2) pair
+    table against the O(items) strength table — the heavy corpus pass
+    happens ONCE to build (pairs, wins); iterations never rescan it.
+    At 100 TB the pair/win manifest is the persisted artifact and the
+    MM loop costs nothing.
+    """
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    offs = F.explode(F.array(*[F.lit(o) for o in _BT_OFFSETS])).alias("off")
+    left = d.select(
+        F.col("doc_id"),
+        F.col("source").alias("sa"),
+        F.col("n_chars").alias("ca"),
+        offs,
+    )
+    right = d.select(
+        F.col("doc_id").alias("rid"),
+        F.col("source").alias("sb"),
+        F.col("n_chars").alias("cb"),
+    )
+    m = (
+        left.join(right, F.col("doc_id") + F.col("off") == F.col("rid"))
+        .filter((F.col("ca") != F.col("cb")) & (F.col("sa") != F.col("sb")))
+        .select(
+            "sa",
+            "sb",
+            F.when(F.col("ca") > F.col("cb"), F.col("sa"))
+            .otherwise(F.col("sb"))
+            .alias("winner"),
+        )
+    )
+    directed = m.select(
+        F.col("sa").alias("i"),
+        F.col("sb").alias("j"),
+        (F.col("winner") == F.col("sa")).cast("long").alias("w"),
+    ).unionByName(
+        m.select(
+            F.col("sb").alias("i"),
+            F.col("sa").alias("j"),
+            (F.col("winner") == F.col("sb")).cast("long").alias("w"),
+        )
+    )
+    pairs = directed.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n_ij"))
+    wins = directed.groupBy("i").agg(F.sum("w").alias("w"))
+
+    s = wins.select("i", F.lit(1.0).alias("p"))
+    for _ in range(_BT_ITERS):
+        t = (
+            pairs.join(s.select(F.col("i"), F.col("p").alias("pi")), "i")
+            .join(
+                s.select(F.col("i").alias("j"), F.col("p").alias("pj")),
+                "j",
+            )
+            .select(
+                "i",
+                F.round(F.col("n_ij") / (F.col("pi") + F.col("pj")), 9)
+                .cast("decimal(28,9)")
+                .alias("term"),
+            )
+        )
+        den = t.groupBy("i").agg(F.sum("term").alias("den"))
+        s = wins.join(den, "i").select(
+            "i", F.round(F.col("w") / F.col("den").cast("double"), 9).alias("p")
+        )
+
+    tot = s.agg(
+        F.sum(F.col("p").cast("decimal(28,9)")).cast("double").alias("t"),
+        F.count(F.lit(1)).alias("n_items"),
+    )
+    n_matches = pairs.groupBy("i").agg(F.sum("n_ij").alias("n_matches"))
+    return (
+        s.join(wins, "i")
+        .join(n_matches, "i")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("i").alias("source"),
+            F.col("n_matches").cast("long").alias("n_matches"),
+            F.col("w").cast("long").alias("wins"),
+            F.round(F.col("p") * F.col("n_items") / F.col("t"), 6).alias("strength"),
+        )
+    )

@@ -1839,3 +1839,201 @@ def hybrid_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("rrf_micro").desc(), "doc_id")
         .limit(_RRF_K)
     )
+
+
+# ---------------------------------------------------------------------------
+# pq_adc_topk — product quantization with asymmetric distance computation
+# ---------------------------------------------------------------------------
+
+_PQ_M = 4  # subspaces
+_PQ_SUB = 16  # dims per subspace (4 x 16 = the 64-dim embeddings)
+_PQ_K = 8  # centroids per subspace codebook
+_PQ_TOPK = 10
+
+# ||a-b||^2 expanded via dot products only — the one distance form both
+# engines evaluate with IDENTICAL sequential folds (functions.dot ==
+# DuckDB list_dot_product). Parenthesization is pinned: (aa - 2ab) + bb.
+_D2_DUCK = (
+    "((list_dot_product({a}, {a}) - 2 * list_dot_product({a}, {b}))"
+    " + list_dot_product({b}, {b}))"
+)
+
+_PQ_ORACLE = f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    subs AS (
+        SELECT vec_id, s.s,
+               list_slice(v, s.s * {_PQ_SUB} + 1, s.s * {_PQ_SUB} + {_PQ_SUB})
+                   AS sub
+        FROM vecs JOIN (SELECT unnest(range({_PQ_M})) AS s) s ON TRUE
+    ),
+    c0 AS (
+        SELECT s, vec_id AS cid, sub AS c FROM subs WHERE vec_id < {_PQ_K}
+    ),
+    a1 AS (
+        SELECT vec_id, s, sub, cid FROM (
+            SELECT subs.vec_id, subs.s, subs.sub, c0.cid,
+                   row_number() OVER (
+                       PARTITION BY subs.vec_id, subs.s
+                       ORDER BY round({_D2_DUCK.format(a='sub', b='c')}, 6),
+                                cid) AS rn
+            FROM subs JOIN c0 ON c0.s = subs.s
+        ) WHERE rn = 1
+    ),
+    mu AS (
+        SELECT s, cid, pos,
+               round(CAST(SUM(CAST(x AS DECIMAL(18,9))) AS DOUBLE)
+                     / COUNT(*), 6) AS mu
+        FROM (SELECT s, cid, unnest(sub) AS x,
+                     unnest(range(1, len(sub) + 1)) AS pos
+              FROM a1)
+        GROUP BY s, cid, pos
+    ),
+    c1 AS (SELECT s, cid, list(mu ORDER BY pos) AS c FROM mu GROUP BY s, cid),
+    codes AS (
+        SELECT vec_id, s, cid FROM (
+            SELECT subs.vec_id, subs.s, c1.cid,
+                   row_number() OVER (
+                       PARTITION BY subs.vec_id, subs.s
+                       ORDER BY round({_D2_DUCK.format(a='sub', b='c')}, 6),
+                                cid) AS rn
+            FROM subs JOIN c1 ON c1.s = subs.s
+        ) WHERE rn = 1
+    ),
+    lut AS (
+        SELECT c1.s, c1.cid,
+               round({_D2_DUCK.format(a='q.sub', b='c1.c')}, 6) AS pd2
+        FROM c1 JOIN (SELECT s, sub FROM subs WHERE vec_id = 0) q
+          ON q.s = c1.s
+    ),
+    adc AS (
+        SELECT codes.vec_id,
+               round(CAST(SUM(CAST(lut.pd2 AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS adc_dist
+        FROM codes JOIN lut ON lut.s = codes.s AND lut.cid = codes.cid
+        GROUP BY codes.vec_id
+    ),
+    probe AS (SELECT v AS p FROM vecs WHERE vec_id = 0)
+    SELECT adc.vec_id, adc.adc_dist,
+           round(list_dot_product(v, p)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(p, p))), 6) AS exact_cosine
+    FROM adc JOIN vecs ON vecs.vec_id = adc.vec_id CROSS JOIN probe
+    WHERE adc.vec_id <> 0
+    ORDER BY adc_dist, adc.vec_id
+    LIMIT {_PQ_TOPK}
+"""
+
+
+@query("pq_adc_topk", layer="C", oracle=_PQ_ORACLE)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou, Douze, Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search") — the memory-bound scale
+    rung past IVF: each 64-dim vector is split into {_PQ_M} x
+    {_PQ_SUB}-dim subspaces, each subspace trained to a {_PQ_K}-entry
+    codebook (one Lloyd round from the deterministic first-{_PQ_K}
+    init, the embedding_kmeans discipline), and every vector stored as
+    {_PQ_M} one-byte codes. A query then computes an asymmetric-
+    distance LUT (its exact sub-vector vs every centroid: {_PQ_M} x
+    {_PQ_K} entries) and scores the WHOLE corpus with table lookups —
+    never touching the original floats. Output: top-{_PQ_TOPK} by ADC
+    distance, with each hit's exact cosine alongside so the
+    quantization error is visible in the result itself.
+
+    Why this matters at 100 TB: raw 64-d float64 vectors are 512 B;
+    PQ codes are {_PQ_M} B — a 128x compression that turns a corpus
+    scan into a CPU-cache-resident LUT walk, and composes with IVF
+    (ann_ivf_topk) as IVF-PQ, the standard billion-vector recipe.
+
+    Plan shape: subspace explode is a narrow {_PQ_M}x map; training
+    assignment is a broadcast join against {_PQ_M}*{_PQ_K} centroid
+    rows + a per-(vec,subspace) argmax window (high-cardinality
+    partition key); the codebook update is the mergeable
+    posexplode/groupBy(s,cid,dim) decimal-mean; ADC is a broadcast
+    LUT join + an exact DECIMAL(18,6) fold of the {_PQ_M} rounded
+    partial distances (order-independent, so the oracle hash matches);
+    the top-k is TakeOrderedAndProject. No shuffle ever carries the
+    full vectors past the encode step.
+
+    Determinism: all distances go through the pinned dot-product
+    expansion (aa - 2ab) + bb on sequential folds, rounded to 6 before
+    any argmax or sum — Spark and DuckDB pick identical codes and
+    identical ADC totals.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
+    ss = F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("s")
+    subs = vecs.select("vec_id", "v", ss).withColumn(
+        "sub", F.expr(f"slice(v, s * {_PQ_SUB} + 1, {_PQ_SUB})")
+    ).drop("v")
+
+    def d2(a, b):
+        return (dot(a, a) - F.lit(2.0) * dot(a, b)) + dot(b, b)
+
+    def assign(cents: DataFrame) -> DataFrame:
+        dist = F.round(d2(F.col("sub"), F.col("c")), 6).alias("d2")
+        w = Window.partitionBy("vec_id", "s").orderBy(F.col("d2"), F.col("cid"))
+        return (
+            subs.join(F.broadcast(cents), "s")
+            .select("vec_id", "s", "sub", "cid", dist)
+            .withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn", "d2")
+        )
+
+    c0 = subs.filter(F.col("vec_id") < _PQ_K).select(
+        "s", F.col("vec_id").alias("cid"), F.col("sub").alias("c")
+    )
+    a1 = assign(c0)
+    mu = (
+        a1.select("s", "cid", F.posexplode("sub").alias("dim", "x"))
+        .groupBy("s", "cid", "dim")
+        .agg(
+            F.round(
+                F.sum(F.col("x").cast("decimal(18,9)")).cast("double")
+                / F.count(F.lit(1)),
+                6,
+            ).alias("mu")
+        )
+    )
+    c1 = mu.groupBy("s", "cid").agg(
+        F.transform(
+            F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda r: r["mu"]
+        ).alias("c")
+    )
+    codes = assign(c1).select("vec_id", "s", "cid")
+
+    probe_subs = subs.filter(F.col("vec_id") == 0).select(
+        F.col("s").alias("qs"), F.col("sub").alias("q")
+    )
+    lut = (
+        c1.join(F.broadcast(probe_subs), F.col("s") == F.col("qs"))
+        .select(
+            "s",
+            "cid",
+            F.round(d2(F.col("q"), F.col("c")), 6)
+            .cast("decimal(18,6)")
+            .alias("pd2"),
+        )
+    )
+    adc = (
+        codes.join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id")
+        .agg(F.round(F.sum("pd2").cast("double"), 6).alias("adc_dist"))
+    )
+    probe = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
+    return (
+        adc.filter(F.col("vec_id") != 0)
+        .join(vecs, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            "adc_dist",
+            F.round(cosine_sim(F.col("v"), F.col("p")), 6).alias("exact_cosine"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(_PQ_TOPK)
+    )

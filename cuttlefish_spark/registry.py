@@ -42,6 +42,7 @@ _OPERATOR_MODULES = [
     "cuttlefish_spark.operators.ingest",
     "cuttlefish_spark.operators.udtf_ops",
     "cuttlefish_spark.operators.streaming_ops",
+    "cuttlefish_spark.operators.preference",
 ]
 
 
