@@ -1916,6 +1916,42 @@ _PR_D_NUM, _PR_D_DEN = 85, 100  # damping 0.85 as an exact rational
 _PR_OUT = 3           # synthesized out-links per host
 
 
+def _host_graph(spark: SparkSession, sf_dir: str):
+    """The shared host-graph fixture of host_pagerank and
+    host_label_propagation: hosts (host, idx, n_docs) from the corpus,
+    plus the deterministic synthesized link structure ({_PR_OUT}
+    arithmetic out-links per host, (idx*31 + 17k + 7) mod 100, dropped
+    when the target is absent or self). Both DataFrames are
+    localCheckpointed — iterations run on the O(hosts + links) remnant,
+    never rescanning the corpus."""
+    h = _docs_with_host(spark, sf_dir)
+    hosts = (
+        h.groupBy("host")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "host",
+            F.regexp_extract(F.col("host"), r"www\.h(\d+)\.", 1)
+            .cast("long")
+            .alias("idx"),
+            "n_docs",
+        )
+        .localCheckpoint(eager=True)
+    )
+    ks = spark.range(_PR_OUT).select(F.col("id").alias("k"))
+    tgt = (F.col("idx") * 31 + 17 * F.col("k") + 7) % 100
+    src = hosts.crossJoin(F.broadcast(ks)).select(
+        F.col("host").alias("src"), "idx", tgt.alias("tgt")
+    )
+    tdf = hosts.select(F.col("host").alias("dst"), F.col("idx").alias("tidx"))
+    edges = (
+        src.join(tdf, src["tgt"] == tdf["tidx"])
+        .filter(F.col("idx") != F.col("tgt"))
+        .select("src", "dst")
+        .localCheckpoint(eager=True)
+    )
+    return hosts, edges
+
+
 def _pr_oracle(n_iters: int) -> str:
     """Unrolled fixed-point PageRank. Every value is a non-negative
     int64, every division is a floor of non-negatives (DuckDB `//`
@@ -2007,31 +2043,7 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     (host extraction); iterations run on the O(hosts + links)
     remnant — the dedup_clusters contraction discipline applied to a
     rank loop."""
-    h = _docs_with_host(spark, sf_dir)
-    hosts = (
-        h.groupBy("host")
-        .agg(F.count(F.lit(1)).alias("n_docs"))
-        .select(
-            "host",
-            F.regexp_extract(F.col("host"), r"www\.h(\d+)\.", 1)
-            .cast("long")
-            .alias("idx"),
-            "n_docs",
-        )
-        .localCheckpoint(eager=True)
-    )
-    ks = spark.range(_PR_OUT).select(F.col("id").alias("k"))
-    tgt = (F.col("idx") * 31 + 17 * F.col("k") + 7) % 100
-    src = hosts.crossJoin(F.broadcast(ks)).select(
-        F.col("host").alias("src"), "idx", tgt.alias("tgt")
-    )
-    tdf = hosts.select(F.col("host").alias("dst"), F.col("idx").alias("tidx"))
-    edges = (
-        src.join(tdf, src["tgt"] == tdf["tidx"])
-        .filter(F.col("idx") != F.col("tgt"))
-        .select("src", "dst")
-        .localCheckpoint(eager=True)
-    )
+    hosts, edges = _host_graph(spark, sf_dir)
     deg = edges.groupBy(F.col("src").alias("host")).agg(
         F.count(F.lit(1)).alias("outdeg")
     )
@@ -2074,6 +2086,141 @@ def host_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce(F.col("outdeg"), F.lit(0)).cast("long").alias("outdeg"),
             F.col("r").alias("rank_fixed"),
             (F.col("r").cast("double") / F.lit(float(_PR_SCALE))).alias("rank"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# host_label_propagation — community detection on the host graph
+# ---------------------------------------------------------------------------
+
+_LP_T = 4  # synchronized label-propagation rounds
+
+
+def _lp_oracle(n_iters: int) -> str:
+    """Unrolled synchronous LPA. Pure string/integer arithmetic —
+    neighbor-label counts and a (count DESC, label ASC) argmax — so the
+    trajectory is exactly reproducible in any engine."""
+    ctes = [
+        f"""hosts AS MATERIALIZED (
+        SELECT host,
+               CAST(regexp_extract(host, 'www\\.h(\\d+)\\.', 1) AS BIGINT)
+                   AS idx,
+               CAST(count(*) AS BIGINT) AS n_docs
+        FROM ({_HOST_SQL_FRAG})
+        GROUP BY host
+    )""",
+        f"""edges AS MATERIALIZED (
+        SELECT s.host AS src, t.host AS dst
+        FROM (
+            SELECT host, idx, (idx * 31 + 17 * k + 7) % 100 AS tgt
+            FROM hosts CROSS JOIN
+                 (SELECT unnest(generate_series(0, {_PR_OUT - 1})) AS k)
+        ) s JOIN hosts t ON t.idx = s.tgt
+        WHERE s.idx <> s.tgt
+    )""",
+        """adj AS MATERIALIZED (
+        SELECT src AS node, dst AS nbr FROM edges
+        UNION
+        SELECT dst AS node, src AS nbr FROM edges
+    )""",
+        "l0 AS (SELECT host AS node, host AS lab FROM hosts)",
+    ]
+    for t in range(n_iters):
+        ctes.append(f"""cnt{t} AS MATERIALIZED (
+        SELECT a.node, l.lab, CAST(count(*) AS BIGINT) AS c
+        FROM adj a JOIN l{t} l ON l.node = a.nbr
+        GROUP BY a.node, l.lab
+    )""")
+        ctes.append(f"""b{t} AS MATERIALIZED (
+        SELECT node, lab FROM (
+            SELECT node, lab,
+                   row_number() OVER (PARTITION BY node
+                                      ORDER BY c DESC, lab) AS rn
+            FROM cnt{t}
+        ) WHERE rn = 1
+    )""")
+        ctes.append(f"""l{t + 1} AS MATERIALIZED (
+        SELECT p.node, coalesce(b.lab, p.lab) AS lab
+        FROM l{t} p LEFT JOIN b{t} b ON b.node = p.node
+    )""")
+    return (
+        "WITH " + ",\n    ".join(ctes) + f"""
+    SELECT h.host, h.n_docs, l.lab AS community, s.n AS community_size
+    FROM hosts h
+    JOIN l{n_iters} l ON l.node = h.host
+    JOIN (SELECT lab, CAST(count(*) AS BIGINT) AS n
+          FROM l{n_iters} GROUP BY lab) s ON s.lab = l.lab"""
+    )
+
+
+@query("host_label_propagation", layer="C", oracle=_lp_oracle(_LP_T))
+def host_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Community detection over the host link graph by synchronous
+    label propagation (Raghavan 2007, "Near linear time algorithm to
+    detect community structures") — the clustering a curation pipeline
+    uses to group mirror/farm domains BEFORE capping or sampling
+    (domain_cap_sample caps per host; capping per COMMUNITY closes the
+    mirror-evasion hole). Same graph fixture as host_pagerank
+    (_host_graph), undirected.
+
+    {_LP_T} synchronized rounds, each fully deterministic: every node
+    adopts its neighbors' plurality label with ties broken by smallest
+    label string — argmax computed as min(struct(-count, label)), a
+    hash aggregation (map-side partial, no rank window); isolated
+    nodes keep their previous label via the left-join coalesce. The
+    oracle unrolls identical rounds with a row_number formulation (a
+    structurally different argmax). Labels are host strings and counts
+    are int64 — nothing floats, so the trajectory is bit-reproducible
+    across engines and partitionings.
+
+    Scale shape: per round = one adjacency-x-labels equi-join + two
+    bounded aggregations, localCheckpointed — O(edges) work per round
+    on the contracted host remnant, the host_pagerank loop discipline.
+    At web scale (~1e8 hosts) nothing collects or broadcasts except
+    the final community-size join."""
+    hosts, edges = _host_graph(spark, sf_dir)
+    adj = (
+        edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr"))
+        .unionByName(
+            edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+        )
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    lab = hosts.select(F.col("host").alias("node"), F.col("host").alias("lab"))
+    for _ in range(_LP_T):
+        cnt = (
+            adj.join(lab.select(F.col("node").alias("nbr"), "lab"), "nbr")
+            .groupBy("node", "lab")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        best = (
+            cnt.select(
+                "node",
+                F.struct((-F.col("c")).alias("negc"), F.col("lab").alias("lab")).alias(
+                    "cand"
+                ),
+            )
+            .groupBy("node")
+            .agg(F.min("cand").alias("b"))
+            .select("node", F.col("b.lab").alias("blab"))
+        )
+        lab = (
+            lab.join(best, "node", "left")
+            .select("node", F.coalesce("blab", "lab").alias("lab"))
+            .localCheckpoint(eager=True)
+        )
+    sizes = lab.groupBy("lab").agg(F.count(F.lit(1)).alias("community_size"))
+    return (
+        hosts.select("host", "n_docs")
+        .join(lab, hosts["host"] == lab["node"])
+        .join(sizes, "lab")
+        .select(
+            "host",
+            "n_docs",
+            F.col("lab").alias("community"),
+            F.col("community_size").cast("long").alias("community_size"),
         )
     )
 

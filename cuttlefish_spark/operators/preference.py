@@ -25,6 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from cuttlefish_spark.functions import hash60
 from cuttlefish_spark.io import load_table
 from cuttlefish_spark.registry import query
 
@@ -98,6 +99,31 @@ def _bt_oracle() -> str:
     )
 
 
+def _match_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shared circulant match builder: (ida, idb, sa, sb, ca, cb)
+    for every doc-vs-doc comparison, ties and same-source pairs
+    dropped. Three narrow equi-joins on doc_id — see bradley_terry's
+    docstring for the connectivity argument."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
+    offs = F.explode(F.array(*[F.lit(o) for o in _BT_OFFSETS])).alias("off")
+    left = d.select(
+        F.col("doc_id").alias("ida"),
+        F.col("source").alias("sa"),
+        F.col("n_chars").alias("ca"),
+        offs,
+    )
+    right = d.select(
+        F.col("doc_id").alias("idb"),
+        F.col("source").alias("sb"),
+        F.col("n_chars").alias("cb"),
+    )
+    return (
+        left.join(right, F.col("ida") + F.col("off") == F.col("idb"))
+        .filter((F.col("ca") != F.col("cb")) & (F.col("sa") != F.col("sb")))
+        .drop("off")
+    )
+
+
 @query("bradley_terry_strength", layer="C", oracle=_bt_oracle())
 def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Bradley-Terry strengths over pairwise document preferences —
@@ -126,29 +152,12 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     At 100 TB the pair/win manifest is the persisted artifact and the
     MM loop costs nothing.
     """
-    d = load_table(spark, sf_dir, "documents").select("doc_id", "source", "n_chars")
-    offs = F.explode(F.array(*[F.lit(o) for o in _BT_OFFSETS])).alias("off")
-    left = d.select(
-        F.col("doc_id"),
-        F.col("source").alias("sa"),
-        F.col("n_chars").alias("ca"),
-        offs,
-    )
-    right = d.select(
-        F.col("doc_id").alias("rid"),
-        F.col("source").alias("sb"),
-        F.col("n_chars").alias("cb"),
-    )
-    m = (
-        left.join(right, F.col("doc_id") + F.col("off") == F.col("rid"))
-        .filter((F.col("ca") != F.col("cb")) & (F.col("sa") != F.col("sb")))
-        .select(
-            "sa",
-            "sb",
-            F.when(F.col("ca") > F.col("cb"), F.col("sa"))
-            .otherwise(F.col("sb"))
-            .alias("winner"),
-        )
+    m = _match_pairs(spark, sf_dir).select(
+        "sa",
+        "sb",
+        F.when(F.col("ca") > F.col("cb"), F.col("sa"))
+        .otherwise(F.col("sb"))
+        .alias("winner"),
     )
     directed = m.select(
         F.col("sa").alias("i"),
@@ -199,4 +208,87 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("w").cast("long").alias("wins"),
             F.round(F.col("p") * F.col("n_items") / F.col("t"), 6).alias("strength"),
         )
+    )
+
+
+_DPO_MIN_MARGIN = 40  # drop near-tie comparisons (label noise)
+_DPO_SPLIT_MOD = 10
+_DPO_TRAIN_SHARDS = 8  # hash % 10 < 8 -> train (80/20)
+
+_DPO_ORACLE = f"""
+    WITH m AS (
+        SELECT a.doc_id AS ida, a.source AS sa, a.n_chars AS ca,
+               b.doc_id AS idb, b.source AS sb, b.n_chars AS cb
+        FROM documents a
+        JOIN ({_OFFS_SQL}) o ON TRUE
+        JOIN documents b ON b.doc_id = a.doc_id + o.off
+        WHERE a.n_chars <> b.n_chars AND a.source <> b.source
+    ),
+    pairs AS (
+        SELECT CASE WHEN ca > cb THEN ida ELSE idb END AS chosen_id,
+               CASE WHEN ca > cb THEN idb ELSE ida END AS rejected_id,
+               CASE WHEN ca > cb THEN sa ELSE sb END AS chosen_source,
+               CASE WHEN ca > cb THEN sb ELSE sa END AS rejected_source,
+               abs(ca - cb) AS margin
+        FROM m
+        WHERE abs(ca - cb) >= {_DPO_MIN_MARGIN}
+    )
+    SELECT chosen_id, rejected_id, chosen_source, rejected_source,
+           CAST(margin AS BIGINT) AS margin,
+           CASE WHEN CAST('0x' || substr(md5(CAST(chosen_id AS VARCHAR)
+                    || '#' || CAST(rejected_id AS VARCHAR)), 1, 15) AS BIGINT)
+                    % {_DPO_SPLIT_MOD} < {_DPO_TRAIN_SHARDS}
+                THEN 'train' ELSE 'val' END AS split
+    FROM pairs
+"""
+
+
+@query("preference_pairs_dpo", layer="C", oracle=_DPO_ORACLE)
+def preference_pairs_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DPO training-pair materialization (Rafailov 2023, "Direct
+    Preference Optimization") — the dataset-construction step between
+    raw comparisons and preference-tuning: orient every match as
+    (chosen, rejected) by the preference signal, drop near-ties below
+    a {_DPO_MIN_MARGIN}-char margin (the standard label-noise filter —
+    low-margin comparisons carry more annotator disagreement than
+    signal), and assign a deterministic hash split (md5 of the pair
+    identity, {_DPO_TRAIN_SHARDS}0/{_DPO_SPLIT_MOD - _DPO_TRAIN_SHARDS}0
+    train/val) so the same pair lands in the same split on every
+    engine, run, and cluster — the leakage_safe_split discipline
+    applied at pair granularity.
+
+    Shares _match_pairs with bradley_terry_strength (same circulant
+    equi-join construction), so the two queries pin different
+    CONSUMERS of one comparison stream: BT aggregates it to item
+    strengths, this one materializes the per-pair artifact a DPO
+    trainer reads. Everything is a narrow map over the match join —
+    no shuffle beyond the pairing joins, no float anywhere.
+    """
+    m = _match_pairs(spark, sf_dir)
+    ch = F.col("ca") > F.col("cb")
+    pairs = m.select(
+        F.when(ch, F.col("ida")).otherwise(F.col("idb")).alias("chosen_id"),
+        F.when(ch, F.col("idb")).otherwise(F.col("ida")).alias("rejected_id"),
+        F.when(ch, F.col("sa")).otherwise(F.col("sb")).alias("chosen_source"),
+        F.when(ch, F.col("sb")).otherwise(F.col("sa")).alias("rejected_source"),
+        F.abs(F.col("ca") - F.col("cb")).alias("margin"),
+    ).filter(F.col("margin") >= _DPO_MIN_MARGIN)
+    split_hash = hash60(
+        F.concat(
+            F.col("chosen_id").cast("string"),
+            F.lit("#"),
+            F.col("rejected_id").cast("string"),
+        )
+    )
+    return pairs.select(
+        "chosen_id",
+        "rejected_id",
+        "chosen_source",
+        "rejected_source",
+        F.col("margin").cast("long").alias("margin"),
+        F.when(
+            split_hash % _DPO_SPLIT_MOD < _DPO_TRAIN_SHARDS, F.lit("train")
+        )
+        .otherwise(F.lit("val"))
+        .alias("split"),
     )

@@ -1948,8 +1948,9 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Plan shape: subspace explode is a narrow {_PQ_M}x map; training
     assignment is a broadcast join against {_PQ_M}*{_PQ_K} centroid
-    rows + a per-(vec,subspace) argmax window (high-cardinality
-    partition key); the codebook update is the mergeable
+    rows + a per-(vec,subspace) argmin computed as min(struct(d2,cid))
+    — a hash aggregation with map-side partial min, no rank window, no
+    sort; the codebook update is the mergeable
     posexplode/groupBy(s,cid,dim) decimal-mean; ADC is a broadcast
     LUT join + an exact DECIMAL(18,6) fold of the {_PQ_M} rounded
     partial distances (order-independent, so the oracle hash matches);
@@ -1961,7 +1962,6 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     any argmax or sum — Spark and DuckDB pick identical codes and
     identical ADC totals.
     """
-    from pyspark.sql import Window
 
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
@@ -1974,14 +1974,27 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         return (dot(a, a) - F.lit(2.0) * dot(a, b)) + dot(b, b)
 
     def assign(cents: DataFrame) -> DataFrame:
-        dist = F.round(d2(F.col("sub"), F.col("c")), 6).alias("d2")
-        w = Window.partitionBy("vec_id", "s").orderBy(F.col("d2"), F.col("cid"))
+        # argmin as min(struct(d2, cid, sub)) — a HASH aggregation with
+        # map-side partial min, not a rank window: no per-partition sort,
+        # and the struct comparison (d2, then cid) reproduces the
+        # oracle's ORDER BY round(d2,6), cid exactly (cid is unique per
+        # group, so the trailing sub field never decides).
+        cand = F.struct(
+            F.round(d2(F.col("sub"), F.col("c")), 6).alias("d2"),
+            F.col("cid").alias("cid"),
+            F.col("sub").alias("sub"),
+        )
         return (
             subs.join(F.broadcast(cents), "s")
-            .select("vec_id", "s", "sub", "cid", dist)
-            .withColumn("rn", F.row_number().over(w))
-            .filter(F.col("rn") == 1)
-            .drop("rn", "d2")
+            .select("vec_id", "s", cand.alias("cand"))
+            .groupBy("vec_id", "s")
+            .agg(F.min("cand").alias("b"))
+            .select(
+                "vec_id",
+                "s",
+                F.col("b.sub").alias("sub"),
+                F.col("b.cid").alias("cid"),
+            )
         )
 
     c0 = subs.filter(F.col("vec_id") < _PQ_K).select(
