@@ -640,6 +640,159 @@ def wordpiece_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _bpe_train(spark, sf_dir, _WP_MERGES, scoring="wordpiece")[0]
 
 
+def _wp_encode_oracle(n_merges: int) -> str:
+    """Greedy longest-match (maximal-munch) encoding of the corpus
+    with the trained WordPiece vocab, as a RECURSIVE CTE: each step
+    consumes the longest vocab token matching at the cursor. A
+    deliberately different algorithm from the Spark side's
+    F.aggregate fold — the hash match checks maximal-munch itself.
+    The longest match for EVERY (word, cursor) is precomputed OUTSIDE
+    the recursion (lmatch: a join against vocab + arg_max by length —
+    tie-free, since at a given cursor each length matches at most one
+    token, all being prefixes of the same suffix); the recursive part
+    is then a plain equi-join walk. Correlated subqueries inside a
+    DuckDB recursive CTE are NOT reliably evaluated (observed: the
+    argmax silently degraded to an arbitrary match), so no per-
+    iteration matching logic is allowed in there."""
+    merged_union = "\n        UNION\n".join(
+        f"        SELECT l || r AS tok FROM b{i}" for i in range(n_merges)
+    )
+    ctes = _bpe_ctes(n_merges, scoring="wordpiece") + [
+        f"""vocab AS (
+        SELECT DISTINCT unnest(syms) AS tok FROM seq0
+        UNION
+{merged_union}
+    )""",
+        """lmatch AS MATERIALIZED (
+        SELECT p.word, p.pos, arg_max(v.tok, length(v.tok)) AS m
+        FROM (SELECT word,
+                     unnest(generate_series(1, length(word))) AS pos
+              FROM seq0) p
+        JOIN vocab v
+          ON substr(p.word, CAST(p.pos AS INTEGER), length(v.tok)) = v.tok
+        GROUP BY p.word, p.pos
+    )""",
+        """enc AS (
+        SELECT word, freq, CAST(1 AS BIGINT) AS pos,
+               []::VARCHAR[] AS toks
+        FROM seq0
+        UNION ALL
+        SELECT e.word, e.freq, e.pos + length(m.m) AS pos,
+               list_append(e.toks, m.m) AS toks
+        FROM enc e
+        JOIN lmatch m ON m.word = e.word AND m.pos = e.pos
+        WHERE e.pos <= length(e.word)
+    )""",
+    ]
+    return (
+        "WITH RECURSIVE " + ",\n    ".join(ctes) + """
+    SELECT tok AS token,
+           CAST(length(tok) AS BIGINT) AS token_len,
+           CAST(sum(freq) AS BIGINT) AS n_occurrences,
+           CAST(count(DISTINCT word) AS BIGINT) AS n_words
+    FROM (SELECT word, freq, unnest(toks) AS tok
+          FROM enc WHERE pos > length(word))
+    GROUP BY tok"""
+    )
+
+
+@query("wordpiece_encode_stats", layer="C", oracle=_wp_encode_oracle(_WP_MERGES))
+def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WordPiece ENCODING — greedy longest-match (maximal munch), the
+    inference-time algorithm BERT tokenizers run — with the vocab
+    trained by wordpiece_train_merges, profiled over the corpus
+    (token, length, occurrences, word coverage). This is the
+    train/encode asymmetry the tokenizer ladder was missing:
+    bpe_token_stats ENCODES by replaying merges in training order;
+    WordPiece encoding ignores merge order entirely and takes the
+    longest vocab match at each cursor — the two disagree on real
+    corpora, so this query pins the second algorithm.
+
+    Vocab = corpus alphabet + the {_WP_MERGES} trained merges: O(model)
+    state, collected once (the bounded tokenizer-state discipline of
+    bpe_train_merges) and inlined as a literal array; training itself
+    is shared with wordpiece_train_merges via the _BPE_CACHE memo —
+    one training run per session. Encoding is a JVM-side F.aggregate
+    fold over character positions (skip until the cursor, then consume
+    the longest match via a filter over the literal vocab — no Python,
+    no shuffle; one narrow pass over the O(vocab) word table). The
+    oracle re-derives maximal munch with a RECURSIVE CTE + correlated
+    longest-match subquery — a structurally different algorithm, so
+    the hash verifies the semantics, not an implementation echo.
+
+    At 100 TB the word table is O(vocabulary) regardless of corpus
+    size (the _bpe_train factorization), and a production encoder
+    replaces the literal-array probe with a trie/Aho-Corasick kernel —
+    the PLAN (bounded model broadcast + narrow fold) is the part that
+    survives scale."""
+    merges_df, _ = _bpe_train(spark, sf_dir, _WP_MERGES, scoring="wordpiece")
+    merged = [r["merged"] for r in merges_df.select("merged").collect()]
+
+    from cuttlefish_spark.io import spread
+
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    alphabet = [
+        r["ch"]
+        for r in words.select(
+            F.explode(F.expr("transform(sequence(1, length(word)),"
+                             " i -> substr(word, i, 1))")).alias("ch")
+        )
+        .distinct()
+        .collect()
+    ]
+    # Longest-first, ties lexicographic — the exact probe order of the
+    # oracle's ORDER BY length DESC, tok LIMIT 1.
+    vocab = sorted(set(alphabet) | set(merged), key=lambda t: (-len(t), t))
+    vlit = F.array(*[F.lit(t) for t in vocab])
+
+    def step(acc, i):
+        m = F.element_at(
+            F.filter(
+                vlit,
+                lambda v: F.substr(F.col("word"), acc["pos"], F.length(v)) == v,
+            ),
+            1,
+        )
+        return F.when(i != acc["pos"], acc).otherwise(
+            F.struct(
+                (acc["pos"] + F.length(m)).alias("pos"),
+                F.concat(acc["toks"], F.array(m)).alias("toks"),
+            )
+        )
+
+    enc = words.select(
+        "word",
+        "freq",
+        F.aggregate(
+            F.sequence(F.lit(1), F.length("word")),
+            F.struct(
+                F.lit(1).cast("int").alias("pos"),
+                F.array().cast("array<string>").alias("toks"),
+            ),
+            step,
+        )["toks"].alias("toks"),
+    )
+    return (
+        enc.select("word", "freq", F.explode("toks").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("freq").cast("long").alias("n_occurrences"),
+            F.countDistinct("word").cast("long").alias("n_words"),
+        )
+        .select(
+            "token",
+            F.length("token").cast("long").alias("token_len"),
+            "n_occurrences",
+            "n_words",
+        )
+    )
+
+
 @query(
     "bpe_token_stats",
     layer="C",
@@ -3170,4 +3323,332 @@ def quality_classifier_auc(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("np") > 0) & (F.col("nn2") > 0),
             F.col("u2").cast("double") / (2 * F.col("np") * F.col("nn2")),
         ).alias("auc"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# doremi_mixture_weights — domain reweighting by excess proxy loss
+# ---------------------------------------------------------------------------
+
+_DRM_T = 3              # multiplicative-weights rounds
+_DRM_SCALE = 1_000_000  # fixed-point weight scale
+_DRM_ETA_DIV = 1        # factor bump = excess_unats div 1 (lr = 1/nat,
+                        # the paper's step size)
+_DRM_EPS_DEN = 100      # uniform smoothing epsilon = 1/100
+
+# w after T rounds of w <- (w * factor) div SCALE from w0 = SCALE,
+# unrolled as a pure per-row integer expression (factor is static
+# because the proxy loss is a fixed measurement here; production
+# DoReMi re-measures between rounds).
+def _drm_w_expr(div: str) -> str:
+    w = str(_DRM_SCALE)
+    for _ in range(_DRM_T):
+        w = f"(({w} * factor) {div} {_DRM_SCALE})"
+    return w
+
+
+_DRM_SQL = f"""
+    WITH {_LM_SCORED_CTES},
+    per_src AS (
+        SELECT d.source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(s.n_bigrams) AS BIGINT) AS n_bigrams,
+               CAST(sum(s.slp) AS BIGINT) AS sslp
+        FROM scored s JOIN documents d USING (doc_id)
+        GROUP BY d.source
+    ),
+    ref AS (
+        SELECT (-CAST(sum(sslp) AS BIGINT)) // CAST(sum(n_bigrams) AS BIGINT)
+                   AS ref_unats,
+               CAST(count(*) AS BIGINT) AS k
+        FROM per_src
+    ),
+    ex AS (
+        SELECT source, n_docs, n_bigrams,
+               (-sslp) // n_bigrams AS avg_nll_unats,
+               greatest(CAST(0 AS BIGINT),
+                        (-sslp) // n_bigrams - ref.ref_unats) AS excess_unats,
+               ref.k
+        FROM per_src CROSS JOIN ref
+    ),
+    upd AS (
+        SELECT source, n_docs, n_bigrams, avg_nll_unats, excess_unats, k,
+               {_drm_w_expr('//')} AS w_fixed
+        FROM (SELECT *, {_DRM_SCALE} + excess_unats // {_DRM_ETA_DIV}
+                         AS factor FROM ex)
+    ),
+    tot AS (SELECT CAST(sum(w_fixed) AS BIGINT) AS t FROM upd)
+    SELECT source, n_docs, n_bigrams, avg_nll_unats, excess_unats,
+           CAST(w_fixed AS BIGINT) AS w_fixed,
+           round(({_DRM_EPS_DEN - 1}.0 * w_fixed)
+                 / ({_DRM_EPS_DEN}.0 * tot.t)
+                 + 1.0 / ({_DRM_EPS_DEN}.0 * k), 6) AS weight
+    FROM upd CROSS JOIN tot
+"""
+
+
+@query("doremi_mixture_weights", layer="C", oracle=_DRM_SQL)
+def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DoReMi-style domain reweighting (Xie et al. 2023, "DoReMi:
+    Optimizing Data Mixtures Speeds Up Language Model Pretraining"):
+    upweight domains whose PROXY-model loss exceeds the reference
+    loss, by multiplicative weights over the excess. The proxy loss
+    here is the corpus's own add-one-smoothed bigram NLL (the
+    lm_scored machinery shared with ccnet_perplexity_buckets —
+    micro-nat-quantized exact int64 sums), aggregated per source;
+    the reference is the corpus-wide mean.
+
+    Deviations from the paper, stated: the update is the LINEARIZED
+    multiplicative-weights form w <- w * (1 + lr * excess) in exact
+    fixed-point integers rather than exp() (cross-engine exp() is not
+    bit-stable; the linear form is the standard MW approximation and
+    keeps every round exactly reproducible), and the loss is static
+    across the {_DRM_T} rounds (production re-trains the proxy between
+    rounds — the ITERATION SHAPE is what this query pins). Final
+    weights get the paper's uniform smoothing (eps = 1/{_DRM_EPS_DEN})
+    and normalize to sum ~1.
+
+    Scale shape: ONE corpus pass builds per-doc (n_bigrams, slp); per
+    source it collapses to three int64 sums — O(sources) state from
+    then on, every update a per-row integer expression (no joins, no
+    iteration I/O at all: the static-loss MW fold is closed-form
+    unrolled). All arithmetic integer until the display-only weight
+    division; floors are floors of non-negatives in both engines.
+    """
+    from cuttlefish_spark.operators.text import lm_scored
+
+    scored = lm_scored(spark, sf_dir)
+    src = load_table(spark, sf_dir, "documents").select("doc_id", "source")
+    per_src = (
+        scored.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_bigrams").alias("n_bigrams"),
+            F.sum("slp").alias("sslp"),
+        )
+    )
+    ref = per_src.agg(
+        F.expr("(-CAST(sum(sslp) AS BIGINT)) div CAST(sum(n_bigrams) AS BIGINT)")
+        .alias("ref_unats"),
+        F.count(F.lit(1)).alias("k"),
+    )
+    ex = per_src.crossJoin(F.broadcast(ref)).select(
+        "source",
+        "n_docs",
+        "n_bigrams",
+        F.expr("(-sslp) div n_bigrams").alias("avg_nll_unats"),
+        F.expr(
+            "greatest(0L, (-sslp) div n_bigrams - ref_unats)"
+        ).alias("excess_unats"),
+        "k",
+    )
+    upd = ex.withColumn(
+        "factor", F.expr(f"{_DRM_SCALE} + excess_unats div {_DRM_ETA_DIV}")
+    ).withColumn("w_fixed", F.expr(_drm_w_expr("div")))
+    tot = upd.agg(F.sum("w_fixed").alias("t"))
+    return upd.crossJoin(F.broadcast(tot)).select(
+        "source",
+        F.col("n_docs").cast("long").alias("n_docs"),
+        F.col("n_bigrams").cast("long").alias("n_bigrams"),
+        F.col("avg_nll_unats").cast("long").alias("avg_nll_unats"),
+        F.col("excess_unats").cast("long").alias("excess_unats"),
+        F.col("w_fixed").cast("long").alias("w_fixed"),
+        F.round(
+            (F.lit(float(_DRM_EPS_DEN - 1)) * F.col("w_fixed"))
+            / (F.lit(float(_DRM_EPS_DEN)) * F.col("t"))
+            + F.lit(1.0) / (F.lit(float(_DRM_EPS_DEN)) * F.col("k")),
+            6,
+        ).alias("weight"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# rho_loss_selection — reducible-holdout-loss data selection
+# ---------------------------------------------------------------------------
+
+_RHO_HOLD_MOD = 5  # doc_id % 5 == 0 -> holdout split (20%)
+
+# Two bigram models over the same tokenization: one trained on the
+# holdout split, one on the full corpus (the "current proxy model").
+# OOV handling is explicit add-one smoothing with LEFT joins:
+# lp = ln((b + 1) / (u + V)) with b, u = 0 for unseen pair/unigram and
+# V = the TRAINING vocab size — deterministic in both engines.
+def _rho_model_ctes(tag: str, train_where: str) -> str:
+    return f"""uni_{tag} AS (
+        SELECT tok AS w1, count(*) AS u
+        FROM (SELECT unnest(w) AS tok FROM t WHERE {train_where})
+        GROUP BY tok
+    ),
+    v_{tag} AS (SELECT count(*) AS v FROM uni_{tag}),
+    big_{tag} AS (
+        SELECT pair, count(*) AS b
+        FROM (SELECT w[i] || ' ' || w[i + 1] AS pair
+              FROM (SELECT w, unnest(generate_series(1, len(w) - 1)) AS i
+                    FROM t WHERE ({train_where}) AND len(w) >= 2))
+        GROUP BY pair
+    ),
+    scored_{tag} AS (
+        SELECT d.doc_id,
+               CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+               CAST(sum(CAST(round(ln((coalesce(big.b, 0) + 1.0)
+                                      / (coalesce(uni.u, 0) + v.v)) * 1000000)
+                             AS BIGINT) * d.c) AS BIGINT) AS slp
+        FROM docbg d
+        LEFT JOIN big_{tag} big USING (pair)
+        LEFT JOIN uni_{tag} uni ON uni.w1 = d.w1
+        CROSS JOIN v_{tag} v
+        GROUP BY d.doc_id
+    )"""
+
+
+_RHO_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i] || ' ' || w[i + 1] AS pair
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM t WHERE len(w) >= 2)
+    ),
+    docbg AS (
+        SELECT doc_id, w1, pair, count(*) AS c FROM bg GROUP BY ALL
+    ),
+    {_rho_model_ctes("cur", "TRUE")},
+    {_rho_model_ctes("hold", f"doc_id % {_RHO_HOLD_MOD} = 0")}
+    SELECT c.doc_id, d.source,
+           c.n_bigrams,
+           (-c.slp) AS nll_cur_unats,
+           (-h.slp) AS nll_hold_unats,
+           (c.slp - h.slp) AS reducible_unats,
+           CAST(c.slp - h.slp AS DOUBLE) / c.n_bigrams
+               AS reducible_unats_per_bigram,
+           (c.slp - h.slp) > 0 AS selected
+    FROM scored_cur c
+    JOIN scored_hold h USING (doc_id)
+    JOIN documents d USING (doc_id)
+    WHERE d.doc_id % {_RHO_HOLD_MOD} <> 0
+"""
+
+
+@query("rho_loss_selection", layer="C", oracle=_RHO_SQL)
+def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RHO-loss data selection (Mindermann et al. 2022, "Prioritized
+    Training on Points that are Learnable, Worth Learning, and Not Yet
+    Learnt"): score every training candidate by its REDUCIBLE holdout
+    loss — loss under a holdout-trained reference model minus loss
+    under the current model — and select where it is positive. High
+    reducible loss = the point is learnable (the holdout model, which
+    never saw it, still can't explain it cheaply from held-out
+    structure alone) and not yet learnt; noise and redundancy score
+    low. Completes the data-SELECTION family next to DSIR
+    (dsir_importance, distribution matching) and DoReMi
+    (doremi_mixture_weights, domain reweighting) — the three published
+    selection paradigms, all on one engine.
+
+    Proxy models, stated honestly: both "models" are add-one-smoothed
+    bigram LMs (the lm_scored micro-nat discipline) — the holdout model
+    trains on the doc_id %% {_RHO_HOLD_MOD} == 0 split, the "current"
+    model on the full corpus; production recomputes the current model
+    as training progresses (the iteration is out of scope; the SCORING
+    CONTRACT is what this query pins). OOV is explicit: unseen
+    pairs/unigrams hit the smoothing floor ln(1 / (0 + V_train)) via
+    left joins, so both engines score identically outside the training
+    vocabulary. Selection emits only the training split (holdout rows
+    are the reference, never candidates — the leakage_safe_split
+    discipline).
+
+    Scale shape: ONE tokenization pass feeds both models (two bounded
+    vocab/bigram count tables — O(vocab), broadcastable) and the
+    per-doc scoring join; reducible loss is exact int64 subtraction of
+    micro-nat totals, so `selected` is integer-exact and the only
+    float is the display-scaled per-bigram mean. Doubling the model
+    count costs two more bounded count tables, not another corpus
+    pass.
+    """
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    t = d.select("doc_id", "source", tokens(F.col("text")).alias("w"))
+    bg = (
+        t.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.concat_ws(
+                " ", F.element_at("w", F.col("i")), F.element_at("w", F.col("i") + 1)
+            ).alias("pair"),
+        )
+    )
+    docbg = bg.groupBy("doc_id", "w1", "pair").agg(F.count(F.lit(1)).alias("c"))
+
+    def model_scores(train_t: DataFrame, tag: str) -> DataFrame:
+        uni = (
+            train_t.select(F.explode("w").alias("w1"))
+            .groupBy("w1")
+            .agg(F.count(F.lit(1)).alias("u"))
+        )
+        v = uni.agg(F.count(F.lit(1)).alias("v"))
+        big = (
+            train_t.filter(F.size("w") >= 2)
+            .select(
+                F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"), "w"
+            )
+            .select(
+                F.concat_ws(
+                    " ",
+                    F.element_at("w", F.col("i")),
+                    F.element_at("w", F.col("i") + 1),
+                ).alias("pair")
+            )
+            .groupBy("pair")
+            .agg(F.count(F.lit(1)).alias("b"))
+        )
+        lp_micro = F.round(
+            F.log(
+                (F.coalesce(F.col("b"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("u"), F.lit(0)) + F.col("v"))
+            )
+            * 1_000_000
+        ).cast("long")
+        return (
+            docbg.join(F.broadcast(big), "pair", "left")
+            .join(F.broadcast(uni), "w1", "left")
+            .crossJoin(F.broadcast(v))
+            .groupBy("doc_id")
+            .agg(
+                F.sum("c").alias("n_bigrams"),
+                F.sum(lp_micro * F.col("c")).alias(f"slp_{tag}"),
+            )
+        )
+
+    cur = model_scores(t, "cur")
+    hold = model_scores(
+        t.filter(F.col("doc_id") % _RHO_HOLD_MOD == 0), "hold"
+    ).drop("n_bigrams")
+    red = F.col("slp_cur") - F.col("slp_hold")
+    return (
+        cur.join(hold, "doc_id")
+        .join(t.select("doc_id", "source"), "doc_id")
+        .filter(F.col("doc_id") % _RHO_HOLD_MOD != 0)
+        .select(
+            "doc_id",
+            "source",
+            F.col("n_bigrams").cast("long").alias("n_bigrams"),
+            (-F.col("slp_cur")).cast("long").alias("nll_cur_unats"),
+            (-F.col("slp_hold")).cast("long").alias("nll_hold_unats"),
+            red.cast("long").alias("reducible_unats"),
+            (red.cast("double") / F.col("n_bigrams")).alias(
+                "reducible_unats_per_bigram"
+            ),
+            (red > 0).alias("selected"),
+        )
     )

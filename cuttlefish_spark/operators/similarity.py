@@ -1858,8 +1858,10 @@ _D2_DUCK = (
     " + list_dot_product({b}, {b}))"
 )
 
-_PQ_ORACLE = f"""
-    WITH vecs AS (
+# Shared CTE chain of the PQ oracles (vecs -> subspaces -> one-Lloyd
+# codebooks -> codes -> probe LUT); pq_adc_topk appends a full-corpus
+# ADC scan, ivfpq_topk appends the coarse-cell filter first.
+_PQ_CTES = f"""vecs AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     subs AS (
@@ -1906,7 +1908,10 @@ _PQ_ORACLE = f"""
                round({_D2_DUCK.format(a='q.sub', b='c1.c')}, 6) AS pd2
         FROM c1 JOIN (SELECT s, sub FROM subs WHERE vec_id = 0) q
           ON q.s = c1.s
-    ),
+    )"""
+
+_PQ_ORACLE = f"""
+    WITH {_PQ_CTES},
     adc AS (
         SELECT codes.vec_id,
                round(CAST(SUM(CAST(lut.pd2 AS DECIMAL(18,6))) AS DOUBLE), 6)
@@ -1926,43 +1931,13 @@ _PQ_ORACLE = f"""
 """
 
 
-@query("pq_adc_topk", layer="C", oracle=_PQ_ORACLE)
-def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Product-quantization ANN (Jegou, Douze, Schmid 2011, "Product
-    Quantization for Nearest Neighbor Search") — the memory-bound scale
-    rung past IVF: each 64-dim vector is split into {_PQ_M} x
-    {_PQ_SUB}-dim subspaces, each subspace trained to a {_PQ_K}-entry
-    codebook (one Lloyd round from the deterministic first-{_PQ_K}
-    init, the embedding_kmeans discipline), and every vector stored as
-    {_PQ_M} one-byte codes. A query then computes an asymmetric-
-    distance LUT (its exact sub-vector vs every centroid: {_PQ_M} x
-    {_PQ_K} entries) and scores the WHOLE corpus with table lookups —
-    never touching the original floats. Output: top-{_PQ_TOPK} by ADC
-    distance, with each hit's exact cosine alongside so the
-    quantization error is visible in the result itself.
-
-    Why this matters at 100 TB: raw 64-d float64 vectors are 512 B;
-    PQ codes are {_PQ_M} B — a 128x compression that turns a corpus
-    scan into a CPU-cache-resident LUT walk, and composes with IVF
-    (ann_ivf_topk) as IVF-PQ, the standard billion-vector recipe.
-
-    Plan shape: subspace explode is a narrow {_PQ_M}x map; training
-    assignment is a broadcast join against {_PQ_M}*{_PQ_K} centroid
-    rows + a per-(vec,subspace) argmin computed as min(struct(d2,cid))
-    — a hash aggregation with map-side partial min, no rank window, no
-    sort; the codebook update is the mergeable
-    posexplode/groupBy(s,cid,dim) decimal-mean; ADC is a broadcast
-    LUT join + an exact DECIMAL(18,6) fold of the {_PQ_M} rounded
-    partial distances (order-independent, so the oracle hash matches);
-    the top-k is TakeOrderedAndProject. No shuffle ever carries the
-    full vectors past the encode step.
-
-    Determinism: all distances go through the pinned dot-product
-    expansion (aa - 2ab) + bb on sequential folds, rounded to 6 before
-    any argmax or sum — Spark and DuckDB pick identical codes and
-    identical ADC totals.
-    """
-
+def _pq_build(spark: SparkSession, sf_dir: str):
+    """Shared PQ machinery of pq_adc_topk / ivfpq_topk: returns
+    (vecs, codes, lut) — full vectors, the per-(vector, subspace) PQ
+    code table from one Lloyd round, and the probe's (s, cid) -> d2
+    asymmetric-distance LUT (probe = vec_id 0), every distance on the
+    pinned (aa - 2ab) + bb sequential-fold expansion rounded to 6.
+    See pq_adc_topk's docstring for the plan-shape argument."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     ss = F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("s")
@@ -2032,6 +2007,47 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("pd2"),
         )
     )
+    return vecs, codes, lut
+
+
+@query("pq_adc_topk", layer="C", oracle=_PQ_ORACLE)
+def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou, Douze, Schmid 2011, "Product
+    Quantization for Nearest Neighbor Search") — the memory-bound scale
+    rung past IVF: each 64-dim vector is split into {_PQ_M} x
+    {_PQ_SUB}-dim subspaces, each subspace trained to a {_PQ_K}-entry
+    codebook (one Lloyd round from the deterministic first-{_PQ_K}
+    init, the embedding_kmeans discipline), and every vector stored as
+    {_PQ_M} one-byte codes. A query then computes an asymmetric-
+    distance LUT (its exact sub-vector vs every centroid: {_PQ_M} x
+    {_PQ_K} entries) and scores the WHOLE corpus with table lookups —
+    never touching the original floats. Output: top-{_PQ_TOPK} by ADC
+    distance, with each hit's exact cosine alongside so the
+    quantization error is visible in the result itself.
+
+    Why this matters at 100 TB: raw 64-d float64 vectors are 512 B;
+    PQ codes are {_PQ_M} B — a 128x compression that turns a corpus
+    scan into a CPU-cache-resident LUT walk, and composes with IVF
+    (ann_ivf_topk) as IVF-PQ, the standard billion-vector recipe.
+
+    Plan shape: subspace explode is a narrow {_PQ_M}x map; training
+    assignment is a broadcast join against {_PQ_M}*{_PQ_K} centroid
+    rows + a per-(vec,subspace) argmin computed as min(struct(d2,cid))
+    — a hash aggregation with map-side partial min, no rank window, no
+    sort; the codebook update is the mergeable
+    posexplode/groupBy(s,cid,dim) decimal-mean; ADC is a broadcast
+    LUT join + an exact DECIMAL(18,6) fold of the {_PQ_M} rounded
+    partial distances (order-independent, so the oracle hash matches);
+    the top-k is TakeOrderedAndProject. No shuffle ever carries the
+    full vectors past the encode step.
+
+    Determinism: all distances go through the pinned dot-product
+    expansion (aa - 2ab) + bb on sequential folds, rounded to 6 before
+    any argmax or sum — Spark and DuckDB pick identical codes and
+    identical ADC totals.
+    """
+
+    vecs, codes, lut = _pq_build(spark, sf_dir)
     adc = (
         codes.join(F.broadcast(lut), ["s", "cid"])
         .groupBy("vec_id")
@@ -2044,6 +2060,118 @@ def pq_adc_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(probe))
         .select(
             "vec_id",
+            "adc_dist",
+            F.round(cosine_sim(F.col("v"), F.col("p")), 6).alias("exact_cosine"),
+        )
+        .orderBy("adc_dist", "vec_id")
+        .limit(_PQ_TOPK)
+    )
+
+
+_IVFPQ_ORACLE = f"""
+    WITH {_PQ_CTES},
+    ccents AS (
+        SELECT vec_id AS ccid, v AS c FROM vecs WHERE vec_id < {N_CENTROIDS}
+    ),
+    coarse AS (
+        SELECT vec_id, ccid AS cell FROM (
+            SELECT vecs.vec_id, ccents.ccid,
+                   row_number() OVER (
+                       PARTITION BY vecs.vec_id
+                       ORDER BY round(list_dot_product(v, c)
+                                      / (sqrt(list_dot_product(v, v))
+                                         * sqrt(list_dot_product(c, c))), 6)
+                                DESC, ccid) AS rn
+            FROM vecs CROSS JOIN ccents
+        ) WHERE rn = 1
+    ),
+    pcell AS (SELECT cell FROM coarse WHERE vec_id = 0),
+    adc AS (
+        SELECT codes.vec_id, coarse.cell,
+               round(CAST(SUM(CAST(lut.pd2 AS DECIMAL(18,6))) AS DOUBLE), 6)
+                   AS adc_dist
+        FROM codes
+        JOIN coarse ON coarse.vec_id = codes.vec_id
+        JOIN pcell ON coarse.cell = pcell.cell
+        JOIN lut ON lut.s = codes.s AND lut.cid = codes.cid
+        GROUP BY codes.vec_id, coarse.cell
+    ),
+    probe AS (SELECT v AS p FROM vecs WHERE vec_id = 0)
+    SELECT adc.vec_id, CAST(adc.cell AS BIGINT) AS cell, adc.adc_dist,
+           round(list_dot_product(v, p)
+                 / (sqrt(list_dot_product(v, v))
+                    * sqrt(list_dot_product(p, p))), 6) AS exact_cosine
+    FROM adc JOIN vecs ON vecs.vec_id = adc.vec_id CROSS JOIN probe
+    WHERE adc.vec_id <> 0
+    ORDER BY adc_dist, adc.vec_id
+    LIMIT {_PQ_TOPK}
+"""
+
+
+@query("ivfpq_topk", layer="C", oracle=_IVFPQ_ORACLE)
+def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ — the composition this family was building toward, and
+    the standard billion-vector serving recipe (Jegou 2011 §IV;
+    FAISS's IVFPQ index): a coarse quantizer ({N_CENTROIDS} cells, the
+    ann_ivf_topk layout) prunes the corpus to the probe's cell, then
+    PQ codes + the asymmetric-distance LUT (pq_adc_topk's machinery,
+    shared via _pq_build) score only the cellmates — compute shrinks
+    by the cell selectivity AND memory by the code compression at
+    once. Output: top-{_PQ_TOPK} cellmates by ADC distance with cell
+    id and exact cosine alongside (the recall-vs-cost evidence lives
+    in ivf_recall_audit; the quantization-error evidence in
+    pq_adc_topk — this query pins the COMPOSED plan).
+
+    Simplification, stated: codes quantize raw vectors, not per-cell
+    residuals (classic IVFADC encodes v - centroid(v); the residual
+    subtraction would change only _pq_build's input and needs no new
+    plan shape).
+
+    Plan: coarse assignment is a broadcast join against {N_CENTROIDS}
+    centroid rows + min(struct(-cos, cid)) hash-agg argmax (no rank
+    window — sort-free, map-side partial); the cell filter broadcasts
+    ONE scalar cell id; ADC joins the pruned code table against the
+    {_PQ_M} x {_PQ_K}-row LUT and folds exact DECIMAL(18,6) partials.
+    At 100 TB the coarse table is the IVF manifest (checkpointed, as
+    ann_ivf_multiprobe does), codes are {_PQ_M} bytes/vector, and the
+    per-probe cost is LUT-walks over one cell — nothing rescans the
+    float corpus but the final exact-cosine join on {_PQ_TOPK} rows.
+    """
+    vecs, codes, lut = _pq_build(spark, sf_dir)
+    ccents = vecs.filter(F.col("vec_id") < N_CENTROIDS).select(
+        F.col("vec_id").alias("ccid"), F.col("v").alias("c")
+    )
+    cand = F.struct(
+        (-F.round(cosine_sim(F.col("v"), F.col("c")), 6)).alias("negcos"),
+        F.col("ccid").alias("ccid"),
+    )
+    coarse = (
+        vecs.crossJoin(F.broadcast(ccents))
+        .select("vec_id", cand.alias("cand"))
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("b"))
+        .select("vec_id", F.col("b.ccid").alias("cell"))
+    )
+    pcell = coarse.filter(F.col("vec_id") == 0).select(
+        F.col("cell").alias("probe_cell")
+    )
+    cellmates = coarse.join(
+        F.broadcast(pcell), F.col("cell") == F.col("probe_cell")
+    ).select("vec_id", "cell")
+    adc = (
+        codes.join(cellmates, "vec_id")
+        .join(F.broadcast(lut), ["s", "cid"])
+        .groupBy("vec_id", "cell")
+        .agg(F.round(F.sum("pd2").cast("double"), 6).alias("adc_dist"))
+    )
+    probe = vecs.filter(F.col("vec_id") == 0).select(F.col("v").alias("p"))
+    return (
+        adc.filter(F.col("vec_id") != 0)
+        .join(vecs, "vec_id")
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.col("cell").cast("long").alias("cell"),
             "adc_dist",
             F.round(cosine_sim(F.col("v"), F.col("p")), 6).alias("exact_cosine"),
         )

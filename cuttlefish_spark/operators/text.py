@@ -668,6 +668,105 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_PACK_CTXS = (512, 2048, 8192)
+
+_PACK_CTXS_SQL = "SELECT unnest([" + ", ".join(str(c) for c in _PACK_CTXS) + "]) AS ctx"
+
+
+@query(
+    "packing_efficiency_audit",
+    layer="C",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               END AS n_tok
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, source, n_tok,
+               SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                ROWS UNBOUNDED PRECEDING) - n_tok AS cum_before
+        FROM t
+    ),
+    x AS (
+        SELECT source, ctx, n_tok, cum_before,
+               CASE WHEN n_tok > 0
+                     AND cum_before // ctx
+                         <> (cum_before + n_tok - 1) // ctx
+                    THEN 1 ELSE 0 END AS split
+        FROM c CROSS JOIN ({_PACK_CTXS_SQL})
+    )
+    SELECT source, CAST(ctx AS BIGINT) AS context_len,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           CAST((SUM(n_tok) + ctx - 1) // ctx AS BIGINT) AS n_windows,
+           CAST(SUM(split) AS BIGINT) AS n_split_docs,
+           round(SUM(split) / CAST(COUNT(*) AS DOUBLE), 6) AS split_frac,
+           round(SUM(n_tok)
+                 / CAST(((SUM(n_tok) + ctx - 1) // ctx) * ctx AS DOUBLE), 6)
+               AS utilization
+    FROM x GROUP BY source, ctx
+    """,
+)
+def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The context-length tradeoff measurement behind sequence_packing:
+    for each candidate window size {_PACK_CTXS}, the per-source packing
+    efficiency (utilization = tokens / (windows x ctx) — the padding
+    waste of the final partial window) and the DOCUMENT FRAGMENTATION
+    rate (docs cut by a window boundary — the quality cost of
+    concat-and-chunk: a split doc loses cross-boundary attention).
+    Small windows waste less padding but split more documents; this
+    emits the curve a pretraining run picks its context length from —
+    the same measure-the-knob pattern as ivf_recall_audit.
+
+    One corpus pass: the per-source prefix sum is computed ONCE (the
+    two-phase distributed prefix sum — never a per-source single-task
+    window), then the {len(_PACK_CTXS)}-way context explode is pure
+    arithmetic on (cum_before, n_tok) — boundary crossing is integer
+    division, no re-scan, no re-shuffle per candidate. At 100 TB
+    auditing one more context length costs one more arithmetic column.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text")))
+    dd = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    c = two_phase_prefix_sum(
+        spark, dd, "source", [F.col("doc_id")], "n_tok"
+    ).withColumn("cum_before", F.col("cum") - F.col("n_tok"))
+    ctxs = F.explode(F.array(*[F.lit(x) for x in _PACK_CTXS])).alias("ctx")
+    x = c.select("source", "n_tok", "cum_before", ctxs).withColumn(
+        "split",
+        F.when(
+            (F.col("n_tok") > 0)
+            & (
+                F.expr("cum_before div ctx")
+                != F.expr("(cum_before + n_tok - 1) div ctx")
+            ),
+            1,
+        ).otherwise(0),
+    )
+    return x.groupBy("source", F.col("ctx").cast("long").alias("context_len")).agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.expr("CAST((sum(n_tok) + first(ctx) - 1) div first(ctx) AS BIGINT)").alias(
+            "n_windows"
+        ),
+        F.sum("split").cast("long").alias("n_split_docs"),
+        F.round(F.sum("split") / F.count(F.lit(1)).cast("double"), 6).alias(
+            "split_frac"
+        ),
+        F.round(
+            F.sum("n_tok")
+            / F.expr(
+                "CAST(((sum(n_tok) + first(ctx) - 1) div first(ctx))"
+                " * first(ctx) AS DOUBLE)"
+            ),
+            6,
+        ).alias("utilization"),
+    )
+
+
 _DECON_SHINGLES_SQL = r"""
         SELECT doc_id,
                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)
