@@ -3427,6 +3427,9 @@ def doremi_mixture_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_bigrams").alias("n_bigrams"),
             F.sum("slp").alias("sslp"),
         )
+        # O(sources) manifest; checkpointed so the ref/excess/total
+        # consumers don't each re-expand the corpus-scoring subtree.
+        .localCheckpoint(eager=True)
     )
     ref = per_src.agg(
         F.expr("(-CAST(sum(sslp) AS BIGINT)) div CAST(sum(n_bigrams) AS BIGINT)")

@@ -170,8 +170,22 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("winner") == F.col("sb")).cast("long").alias("w"),
         )
     )
-    pairs = directed.groupBy("i", "j").agg(F.count(F.lit(1)).alias("n_ij"))
-    wins = directed.groupBy("i").agg(F.sum("w").alias("w"))
+    # The match stream collapses ONCE to the O(items^2)/O(items)
+    # pair/win manifests; localCheckpoint pins them (and each iterate)
+    # so the unrolled MM rounds reference a flat 20-row input instead
+    # of re-expanding the corpus subtree per round — the host_pagerank
+    # lineage discipline (without it the 3-round plan carried 90
+    # exchanges; with it, single digits).
+    pairs = (
+        directed.groupBy("i", "j")
+        .agg(F.count(F.lit(1)).alias("n_ij"))
+        .localCheckpoint(eager=True)
+    )
+    wins = (
+        directed.groupBy("i")
+        .agg(F.sum("w").alias("w"))
+        .localCheckpoint(eager=True)
+    )
 
     s = wins.select("i", F.lit(1.0).alias("p"))
     for _ in range(_BT_ITERS):
@@ -189,8 +203,13 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
         den = t.groupBy("i").agg(F.sum("term").alias("den"))
-        s = wins.join(den, "i").select(
-            "i", F.round(F.col("w") / F.col("den").cast("double"), 9).alias("p")
+        s = (
+            wins.join(den, "i")
+            .select(
+                "i",
+                F.round(F.col("w") / F.col("den").cast("double"), 9).alias("p"),
+            )
+            .localCheckpoint(eager=True)
         )
 
     tot = s.agg(

@@ -202,3 +202,121 @@ def skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     from functools import reduce as _reduce
 
     return _reduce(lambda a, b: a.unionAll(b), parts)
+
+
+# ---------------------------------------------------------------------------
+# distribution_drift_psi — population-stability-index drift monitor
+# ---------------------------------------------------------------------------
+
+_PSI_BUCKETS = 10
+_PSI_WIDTH = 64  # n_chars bucket width; bucket = min(9, n_chars div 64)
+
+_PSI_SQL = f"""
+    WITH b AS (
+        SELECT source,
+               least({_PSI_BUCKETS - 1}, n_chars // {_PSI_WIDTH}) AS bucket
+        FROM documents
+    ),
+    spine AS (
+        SELECT s.source, g.bucket
+        FROM (SELECT DISTINCT source FROM b) s
+        CROSS JOIN (SELECT unnest(range({_PSI_BUCKETS})) AS bucket) g
+    ),
+    src AS (
+        SELECT spine.source, spine.bucket,
+               CAST(count(b.source) AS BIGINT) AS c
+        FROM spine LEFT JOIN b
+          ON b.source = spine.source AND b.bucket = spine.bucket
+        GROUP BY spine.source, spine.bucket
+    ),
+    gcnt AS (
+        SELECT bucket, CAST(count(*) AS BIGINT) AS g FROM b GROUP BY bucket
+    ),
+    n AS (
+        SELECT CAST(count(*) AS BIGINT) AS n_total FROM b
+    ),
+    terms AS (
+        SELECT src.source, src.bucket, sn.sn,
+               (src.c + 1.0) / (sn.sn + {_PSI_BUCKETS}) AS p,
+               (coalesce(gcnt.g, 0) + 1.0) / (n.n_total + {_PSI_BUCKETS}) AS q
+        FROM src
+        JOIN (SELECT source, CAST(sum(c) AS BIGINT) AS sn
+              FROM src GROUP BY source) sn USING (source)
+        LEFT JOIN gcnt ON gcnt.bucket = src.bucket
+        CROSS JOIN n
+    )
+    SELECT source,
+           CAST(MAX(sn) AS BIGINT) AS n_docs,
+           round(CAST(SUM(CAST(round((p - q) * ln(p / q), 9)
+                                AS DECIMAL(28,9))) AS DOUBLE), 6) AS psi
+    FROM terms
+    GROUP BY source
+"""
+
+@query("distribution_drift_psi", layer="C", oracle=_PSI_SQL)
+def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index per source against the corpus-wide
+    distribution — the standard data-drift monitor a production
+    pipeline runs on every new snapshot/source before mixing it in
+    (PSI < 0.1 stable, 0.1-0.25 moderate shift, > 0.25 investigate):
+    PSI = sum_buckets (p_i - q_i) * ln(p_i / q_i) over a fixed
+    {_PSI_BUCKETS}-bucket histogram of document length, with Laplace
+    (+1) smoothing so empty buckets contribute finite terms instead of
+    an epsilon hack — the smoothed p/q are exact rationals of integer
+    counts, so both engines compute identical IEEE terms.
+
+    Determinism: each bucket term is round((p-q)*ln(p/q), 9) folded
+    through DECIMAL(28,9) — the order-independent-sum contract — and
+    the final PSI rounds to 6. The bucket spine is a static
+    {_PSI_BUCKETS}-row cross join so every (source, bucket) pair
+    exists even when empty (LEFT-join + coalesce, never a missing
+    term).
+
+    Scale shape: one scan -> groupBy(source, bucket) with map-side
+    partials (bounded: sources x {_PSI_BUCKETS} rows), a broadcast of
+    the {_PSI_BUCKETS}-row global histogram, and an O(sources) final
+    aggregate. Monitoring one more snapshot at 100 TB is one more
+    bounded aggregation, never a re-shuffle of history.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    b = d.select(
+        "source",
+        F.least(
+            F.lit(_PSI_BUCKETS - 1), F.expr(f"n_chars div {_PSI_WIDTH}")
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    spine = (
+        b.select("source")
+        .distinct()
+        .crossJoin(
+            F.broadcast(
+                spark.range(_PSI_BUCKETS).select(F.col("id").alias("bucket"))
+            )
+        )
+    )
+    src = (
+        spine.join(counts, ["source", "bucket"], "left")
+        .select("source", "bucket", F.coalesce("c", F.lit(0)).alias("c"))
+    )
+    sn = src.groupBy("source").agg(F.sum("c").alias("sn"))
+    glob = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("g"))
+    n = b.agg(F.count(F.lit(1)).alias("n_total"))
+    p = (F.col("c") + F.lit(1.0)) / (F.col("sn") + F.lit(float(_PSI_BUCKETS)))
+    q = (F.coalesce(F.col("g"), F.lit(0)) + F.lit(1.0)) / (
+        F.col("n_total") + F.lit(float(_PSI_BUCKETS))
+    )
+    terms = (
+        src.join(F.broadcast(sn), "source")
+        .join(F.broadcast(glob), "bucket", "left")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "source",
+            "sn",
+            F.round((p - q) * F.log(p / q), 9).cast("decimal(28,9)").alias("term"),
+        )
+    )
+    return terms.groupBy("source").agg(
+        F.max("sn").cast("long").alias("n_docs"),
+        F.round(F.sum("term").cast("double"), 6).alias("psi"),
+    )
