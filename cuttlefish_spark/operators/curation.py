@@ -716,26 +716,22 @@ def wordpiece_encode_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     fold over character positions (skip until the cursor, then consume
     the longest match via a filter over the literal vocab — no Python,
     no shuffle; one narrow pass over the O(vocab) word table). The
-    oracle re-derives maximal munch with a RECURSIVE CTE + correlated
-    longest-match subquery — a structurally different algorithm, so
-    the hash verifies the semantics, not an implementation echo.
+    oracle re-derives maximal munch as a RECURSIVE CTE that walks a
+    longest-match table PRECOMPUTED outside the recursion (see
+    _wp_encode_oracle: correlated subqueries inside DuckDB recursive
+    CTEs silently mis-evaluate) — a structurally different algorithm,
+    so the hash verifies the semantics, not an implementation echo.
 
     At 100 TB the word table is O(vocabulary) regardless of corpus
     size (the _bpe_train factorization), and a production encoder
     replaces the literal-array probe with a trie/Aho-Corasick kernel —
     the PLAN (bounded model broadcast + narrow fold) is the part that
     survives scale."""
-    merges_df, _ = _bpe_train(spark, sf_dir, _WP_MERGES, scoring="wordpiece")
+    merges_df, seq = _bpe_train(spark, sf_dir, _WP_MERGES, scoring="wordpiece")
     merged = [r["merged"] for r in merges_df.select("merged").collect()]
-
-    from cuttlefish_spark.io import spread
-
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
-    words = (
-        d.select(F.explode(tokens(F.col("text"))).alias("word"))
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-    )
+    # the trainer's memoized word-frequency table IS the encode input —
+    # no second corpus scan
+    words = seq.select("word", "freq")
     alphabet = [
         r["ch"]
         for r in words.select(
@@ -3528,10 +3524,10 @@ _RHO_SQL = rf"""
            c.n_bigrams,
            (-c.slp) AS nll_cur_unats,
            (-h.slp) AS nll_hold_unats,
-           (c.slp - h.slp) AS reducible_unats,
-           CAST(c.slp - h.slp AS DOUBLE) / c.n_bigrams
+           (h.slp - c.slp) AS reducible_unats,
+           CAST(h.slp - c.slp AS DOUBLE) / c.n_bigrams
                AS reducible_unats_per_bigram,
-           (c.slp - h.slp) > 0 AS selected
+           (h.slp - c.slp) > 0 AS selected
     FROM scored_cur c
     JOIN scored_hold h USING (doc_id)
     JOIN documents d USING (doc_id)
@@ -3544,12 +3540,13 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """RHO-loss data selection (Mindermann et al. 2022, "Prioritized
     Training on Points that are Learnable, Worth Learning, and Not Yet
     Learnt"): score every training candidate by its REDUCIBLE holdout
-    loss — loss under a holdout-trained reference model minus loss
-    under the current model — and select where it is positive. High
-    reducible loss = the point is learnable (the holdout model, which
-    never saw it, still can't explain it cheaply from held-out
-    structure alone) and not yet learnt; noise and redundancy score
-    low. Completes the data-SELECTION family next to DSIR
+    loss — loss under the CURRENT model minus loss under the
+    holdout-trained reference model (the paper's L[cur] - L[ho]) —
+    and select where it is positive. High reducible loss = the point
+    is not yet learnt (current model still scores it badly) AND
+    learnable (the holdout model, trained without it, explains it
+    cheaply from held-out structure — so it is not noise); noise and
+    memorized redundancy score low. Completes the data-SELECTION family next to DSIR
     (dsir_importance, distribution matching) and DoReMi
     (doremi_mixture_weights, domain reweighting) — the three published
     selection paradigms, all on one engine.
@@ -3566,9 +3563,9 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     are the reference, never candidates — the leakage_safe_split
     discipline).
 
-    Scale shape: ONE tokenization pass feeds both models (two bounded
-    vocab/bigram count tables — O(vocab), broadcastable) and the
-    per-doc scoring join; reducible loss is exact int64 subtraction of
+    Scale shape: ONE tokenization pass (one token explode + one
+    bigram explode, rolled up per doc) feeds both models' count
+    tables — O(vocab), broadcastable — and the per-doc scoring join; reducible loss is exact int64 subtraction of
     micro-nat totals, so `selected` is integer-exact and the only
     float is the display-scaled per-bigram mean. Doubling the model
     count costs two more bounded count tables, not another corpus
@@ -3593,27 +3590,28 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     docbg = bg.groupBy("doc_id", "w1", "pair").agg(F.count(F.lit(1)).alias("c"))
 
-    def model_scores(train_t: DataFrame, tag: str) -> DataFrame:
+    # ONE token explode and ONE bigram explode feed both models:
+    # per-doc token counts (doctok) and the per-doc pair counts
+    # (docbg) roll up to each model's training counts by filtering on
+    # the training predicate and summing — the corpus is never
+    # re-exploded per model.
+    doctok = (
+        t.select("doc_id", F.explode("w").alias("w1"))
+        .groupBy("doc_id", "w1")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+
+    def model_scores(train_pred, tag: str) -> DataFrame:
         uni = (
-            train_t.select(F.explode("w").alias("w1"))
+            doctok.filter(train_pred)
             .groupBy("w1")
-            .agg(F.count(F.lit(1)).alias("u"))
+            .agg(F.sum("tc").alias("u"))
         )
         v = uni.agg(F.count(F.lit(1)).alias("v"))
         big = (
-            train_t.filter(F.size("w") >= 2)
-            .select(
-                F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"), "w"
-            )
-            .select(
-                F.concat_ws(
-                    " ",
-                    F.element_at("w", F.col("i")),
-                    F.element_at("w", F.col("i") + 1),
-                ).alias("pair")
-            )
+            docbg.filter(train_pred)
             .groupBy("pair")
-            .agg(F.count(F.lit(1)).alias("b"))
+            .agg(F.sum("c").alias("b"))
         )
         lp_micro = F.round(
             F.log(
@@ -3633,11 +3631,11 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )
 
-    cur = model_scores(t, "cur")
+    cur = model_scores(F.lit(True), "cur")
     hold = model_scores(
-        t.filter(F.col("doc_id") % _RHO_HOLD_MOD == 0), "hold"
+        F.col("doc_id") % _RHO_HOLD_MOD == 0, "hold"
     ).drop("n_bigrams")
-    red = F.col("slp_cur") - F.col("slp_hold")
+    red = F.col("slp_hold") - F.col("slp_cur")
     return (
         cur.join(hold, "doc_id")
         .join(t.select("doc_id", "source"), "doc_id")

@@ -73,14 +73,14 @@ def _bt_oracle() -> str:
     for it in range(_BT_ITERS):
         ctes.append(f"""s{it + 1} AS (
         SELECT w.i,
-               round(w.w / CAST((
+               greatest(round(w.w / CAST((
                    SELECT SUM(CAST(round(p.n_ij / (si.p + sj.p), 9)
                                    AS DECIMAL(28,9)))
                    FROM pairs p
                    JOIN s{it} si ON si.i = p.i
                    JOIN s{it} sj ON sj.i = p.j
                    WHERE p.i = w.i
-               ) AS DOUBLE), 9) AS p
+               ) AS DOUBLE), 9), 0.000000001) AS p
         FROM wins w
     )""")
     return (
@@ -207,7 +207,15 @@ def bradley_terry_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             wins.join(den, "i")
             .select(
                 "i",
-                F.round(F.col("w") / F.col("den").cast("double"), 9).alias("p"),
+                # floor at 1e-9: a zero-win item would otherwise hit
+                # p=0 and a later n_ij/(0+0) division — inf, which the
+                # engines disagree on (DuckDB errors casting inf to
+                # DECIMAL, Spark nulls it). The floor keeps the
+                # degenerate case finite and engine-identical.
+                F.greatest(
+                    F.round(F.col("w") / F.col("den").cast("double"), 9),
+                    F.lit(1e-9),
+                ).alias("p"),
             )
             .localCheckpoint(eager=True)
         )

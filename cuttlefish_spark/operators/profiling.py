@@ -286,6 +286,17 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("bucket"),
     )
     counts = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    return psi_from_counts(spark, counts)
+
+
+def psi_from_counts(spark: SparkSession, counts: DataFrame) -> DataFrame:
+    """The PSI arithmetic from a (source, bucket, c) histogram — shared
+    by distribution_drift_psi (batch scan) and streaming_drift_psi
+    (histogram accumulated on the streaming engine, PSI finished on the
+    drained monitoring table). All inputs are integer counts, so the
+    Laplace-smoothed p/q rationals and the decimal-folded term sum are
+    engine-identical regardless of which engine built the histogram."""
+    b = counts.select("source", "bucket", "c")
     spine = (
         b.select("source")
         .distinct()
@@ -300,8 +311,8 @@ def distribution_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("source", "bucket", F.coalesce("c", F.lit(0)).alias("c"))
     )
     sn = src.groupBy("source").agg(F.sum("c").alias("sn"))
-    glob = b.groupBy("bucket").agg(F.count(F.lit(1)).alias("g"))
-    n = b.agg(F.count(F.lit(1)).alias("n_total"))
+    glob = b.groupBy("bucket").agg(F.sum("c").alias("g"))
+    n = b.agg(F.sum("c").alias("n_total"))
     p = (F.col("c") + F.lit(1.0)) / (F.col("sn") + F.lit(float(_PSI_BUCKETS)))
     q = (F.coalesce(F.col("g"), F.lit(0)) + F.lit(1.0)) / (
         F.col("n_total") + F.lit(float(_PSI_BUCKETS))

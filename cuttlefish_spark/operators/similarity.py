@@ -1931,6 +1931,11 @@ _PQ_ORACLE = f"""
 """
 
 
+# One PQ training per (session, corpus): pq_adc_topk and ivfpq_topk
+# share the trained codes/LUT plans (the _BPE_CACHE discipline).
+_PQ_CACHE: dict[tuple, tuple] = {}
+
+
 def _pq_build(spark: SparkSession, sf_dir: str):
     """Shared PQ machinery of pq_adc_topk / ivfpq_topk: returns
     (vecs, codes, lut) — full vectors, the per-(vector, subspace) PQ
@@ -1938,6 +1943,11 @@ def _pq_build(spark: SparkSession, sf_dir: str):
     asymmetric-distance LUT (probe = vec_id 0), every distance on the
     pinned (aa - 2ab) + bb sequential-fold expansion rounded to 6.
     See pq_adc_topk's docstring for the plan-shape argument."""
+    from cuttlefish_spark.io import memo_key, memo_put
+
+    key = memo_key(spark, sf_dir, "embeddings")
+    if key in _PQ_CACHE:
+        return _PQ_CACHE[key]
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
     ss = F.explode(F.array(*[F.lit(s) for s in range(_PQ_M)])).alias("s")
@@ -2007,6 +2017,7 @@ def _pq_build(spark: SparkSession, sf_dir: str):
             .alias("pd2"),
         )
     )
+    memo_put(_PQ_CACHE, key, (vecs, codes, lut))
     return vecs, codes, lut
 
 

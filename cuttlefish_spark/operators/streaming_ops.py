@@ -948,3 +948,61 @@ def streaming_quality_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
     with _stream_partitions(spark):
         run_available_now(agg, name)
     return _drain_memory_sink(spark, name, d)
+
+
+def _streaming_psi_oracle() -> str:
+    from cuttlefish_spark.operators.profiling import _PSI_SQL
+
+    return _PSI_SQL
+
+
+@query("streaming_drift_psi", layer="C", oracle=_streaming_psi_oracle())
+def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Data-drift monitoring ON THE STREAMING ENGINE — the twelfth
+    streaming query: the per-(source, bucket) length histogram behind
+    distribution_drift_psi accumulates as documents ARRIVE (file
+    source -> stateless bucket map -> bounded complete-mode aggregate,
+    drained availableNow), and the PSI arithmetic then runs on the
+    drained monitoring table via the shared psi_from_counts — exactly
+    how a production monitor works: the STREAM maintains the cheap
+    O(sources x buckets) histogram state; the drift score is
+    read-side arithmetic on the monitoring store, recomputed on
+    whatever cadence alerting wants without touching the stream.
+
+    The oracle is the identical batch PSI SQL, so the streamed
+    histogram is held to the batch engine's answer like the other
+    eleven streaming queries — and because every histogram cell is an
+    integer count, streamed-vs-batch equality is exact, not
+    approximate. Stateless map + one bounded aggregate: no watermark
+    needed, state is O(sources x 10 buckets) rows regardless of
+    corpus size.
+    """
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.operators.profiling import (
+        _PSI_BUCKETS,
+        _PSI_WIDTH,
+        psi_from_counts,
+    )
+    from cuttlefish_spark.streaming.pipeline import (
+        read_documents_stream,
+        run_available_now,
+    )
+
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_psi_")
+    shutil.copy(
+        f"{sf_dir}/documents.parquet", os.path.join(d, "part-000.parquet")
+    )
+    stream = read_documents_stream(spark, d)
+    b = stream.select(
+        "source",
+        F.least(
+            F.lit(_PSI_BUCKETS - 1), F.expr(f"n_chars div {_PSI_WIDTH}")
+        ).alias("bucket"),
+    )
+    counts = b.groupBy("source", "bucket").agg(F.count(F.lit(1)).alias("c"))
+    name = f"stream_psi_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        run_available_now(counts, name)
+    drained = _drain_memory_sink(spark, name, d)
+    return psi_from_counts(spark, drained)
