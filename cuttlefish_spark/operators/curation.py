@@ -3588,7 +3588,14 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("pair"),
         )
     )
-    docbg = bg.groupBy("doc_id", "w1", "pair").agg(F.count(F.lit(1)).alias("c"))
+    # docbg/doctok are each consumed by BOTH models' count rollups and
+    # the scoring join — localCheckpoint so the corpus explode runs
+    # once (at production these are the persisted feature manifests).
+    docbg = (
+        bg.groupBy("doc_id", "w1", "pair")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .localCheckpoint(eager=True)
+    )
 
     # ONE token explode and ONE bigram explode feed both models:
     # per-doc token counts (doctok) and the per-doc pair counts
@@ -3599,6 +3606,7 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         t.select("doc_id", F.explode("w").alias("w1"))
         .groupBy("doc_id", "w1")
         .agg(F.count(F.lit(1)).alias("tc"))
+        .localCheckpoint(eager=True)
     )
 
     def model_scores(train_pred, tag: str) -> DataFrame:

@@ -665,3 +665,81 @@ def test_bpe_merge_application_greedy_runs(spark, tmp_path):
     compare(
         out.reset_index(drop=True), con.execute(spec.oracle).df(), "bpe_runs"
     )
+
+
+def test_bradley_terry_zero_win_source_stays_finite(spark, tmp_path):
+    """The degenerate input the 1e-9 iterate floor exists for: a
+    source that LOSES every one of its matches. Even doc_ids carry
+    source 'lo' with tiny n_chars, odd ids source 'hi' with huge
+    n_chars; the circulant offsets (1, 3, 7) are all odd, so every
+    match is lo-vs-hi and 'hi' always wins. Without the floor, round-1
+    strength for 'lo' is 0 and round 2 divides n_ij / (0 + 0) — inf,
+    where DuckDB errors casting to DECIMAL while Spark nulls it. With
+    the floor both engines stay finite AND value-identical (compared
+    here), 'lo' reports wins=0 with ~0 strength, and 'hi' absorbs the
+    mass."""
+    import duckdb
+
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        (i, "w " * 5, "en", ("lo" if i % 2 == 0 else "hi"),
+         10 + i if i % 2 == 0 else 1000 + i)
+        for i in range(12)
+    ]
+    sf_dir = str(tmp_path / "btdeg")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    spec = load_all()["bradley_terry_strength"]
+    out = spec.fn(spark, sf_dir).toPandas()
+    lo = out.set_index("source").loc["lo"]
+    hi = out.set_index("source").loc["hi"]
+    assert lo["wins"] == 0 and hi["wins"] == lo["n_matches"] == hi["n_matches"]
+    assert lo["strength"] >= 0.0 and hi["strength"] > 1.0
+    import numpy as np
+
+    assert np.isfinite(out["strength"]).all()
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    compare(out, con.execute(spec.oracle).df(), "bt_zero_win")
+
+
+def test_wordpiece_encode_is_a_partition_of_the_corpus(spark, tmp_path):
+    """Maximal-munch encoding must tile every word exactly: summed
+    token_len x occurrences equals the corpus's total character count,
+    and the trained multi-char merges actually appear in the encoding
+    (the corpus is built so 'ba'/'na' dominate). Cross-engine value
+    compare runs on the same crafted corpus, pinning the fold-vs-
+    recursive-walk equivalence on repeated-substring words."""
+    import duckdb
+
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        (1, "banana banana bandana nab", "en", "s", 25),
+        (2, "banana nab nab", "en", "s", 14),
+    ]
+    sf_dir = str(tmp_path / "wpe")
+    spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    ).write.parquet(sf_dir + "/documents.parquet")
+
+    spec = load_all()["wordpiece_encode_stats"]
+    out = spec.fn(spark, sf_dir).toPandas()
+    # total encoded chars == total word chars (weighted by frequency):
+    # banana x3 (6) + bandana x1 (7) + nab x3 (3) = 18 + 7 + 9 = 34
+    assert int((out["token_len"] * out["n_occurrences"]).sum()) == 34
+    assert (out["token_len"] > 1).any(), "no multi-char token ever matched"
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE VIEW documents AS SELECT * FROM"
+        f" read_parquet('{sf_dir}/documents.parquet/*.parquet')"
+    )
+    compare(out, con.execute(spec.oracle).df(), "wpe_partition")
