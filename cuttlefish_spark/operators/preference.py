@@ -70,18 +70,27 @@ def _bt_oracle() -> str:
     )""",
         "s0 AS (SELECT i, CAST(1.0 AS DOUBLE) AS p FROM wins)",
     ]
+    # Denominator as a plain join + GROUP BY per iteration, NOT a
+    # correlated scalar subquery per item: the correlated form re-scans
+    # pairs x s{it} once per wins row, which dominated the sf1 oracle
+    # gate (measured 440 s for this one query vs ~3 s Spark — r10
+    # ADVICE). The grouped join preserves the DECIMAL(28,9)
+    # order-independent sum, so the value hash is unchanged.
     for it in range(_BT_ITERS):
+        ctes.append(f"""den{it} AS (
+        SELECT p.i,
+               SUM(CAST(round(p.n_ij / (si.p + sj.p), 9)
+                        AS DECIMAL(28,9))) AS den
+        FROM pairs p
+        JOIN s{it} si ON si.i = p.i
+        JOIN s{it} sj ON sj.i = p.j
+        GROUP BY p.i
+    )""")
         ctes.append(f"""s{it + 1} AS (
         SELECT w.i,
-               greatest(round(w.w / CAST((
-                   SELECT SUM(CAST(round(p.n_ij / (si.p + sj.p), 9)
-                                   AS DECIMAL(28,9)))
-                   FROM pairs p
-                   JOIN s{it} si ON si.i = p.i
-                   JOIN s{it} sj ON sj.i = p.j
-                   WHERE p.i = w.i
-               ) AS DOUBLE), 9), 0.000000001) AS p
-        FROM wins w
+               greatest(round(w.w / CAST(d.den AS DOUBLE), 9),
+                        0.000000001) AS p
+        FROM wins w JOIN den{it} d ON d.i = w.i
     )""")
     return (
         "WITH " + ",\n    ".join(ctes) + f""",
@@ -89,13 +98,17 @@ def _bt_oracle() -> str:
         SELECT CAST(SUM(CAST(p AS DECIMAL(28,9))) AS DOUBLE) AS t,
                COUNT(*) AS n_items
         FROM s{_BT_ITERS}
-    )
+    ),
+    nm AS (SELECT i, CAST(SUM(n_ij) AS BIGINT) AS n_matches
+           FROM pairs GROUP BY i)
     SELECT s.i AS source,
-           (SELECT CAST(SUM(n_ij) AS BIGINT) FROM pairs
-            WHERE pairs.i = s.i) AS n_matches,
+           nm.n_matches,
            w.w AS wins,
            round(s.p * tot.n_items / tot.t, 6) AS strength
-    FROM s{_BT_ITERS} s JOIN wins w ON w.i = s.i CROSS JOIN tot"""
+    FROM s{_BT_ITERS} s
+    JOIN wins w ON w.i = s.i
+    JOIN nm ON nm.i = s.i
+    CROSS JOIN tot"""
     )
 
 

@@ -1936,16 +1936,22 @@ _PQ_ORACLE = f"""
 _PQ_CACHE: dict[tuple, tuple] = {}
 
 
-def _pq_build(spark: SparkSession, sf_dir: str):
+def _pq_build(spark: SparkSession, sf_dir: str, probe_id: int = 0):
     """Shared PQ machinery of pq_adc_topk / ivfpq_topk: returns
     (vecs, codes, lut) — full vectors, the per-(vector, subspace) PQ
-    code table from one Lloyd round, and the probe's (s, cid) -> d2
-    asymmetric-distance LUT (probe = vec_id 0), every distance on the
-    pinned (aa - 2ab) + bb sequential-fold expansion rounded to 6.
+    code table from one Lloyd round, and the PROBE-SPECIFIC (s, cid)
+    -> d2 asymmetric-distance LUT for `probe_id`, every distance on
+    the pinned (aa - 2ab) + bb sequential-fold expansion rounded to 6.
+    The memo key includes probe_id because the LUT is probe-specific
+    (r10 ADVICE: a table-only key would hand a different probe's ADC
+    table to a new consumer silently); vecs/codes are probe-independent
+    and simply re-memoize per probe — the training jobs behind them are
+    what the cache exists to skip, and both current consumers share
+    probe 0 so nothing retrains today.
     See pq_adc_topk's docstring for the plan-shape argument."""
     from cuttlefish_spark.io import memo_key, memo_put
 
-    key = memo_key(spark, sf_dir, "embeddings")
+    key = memo_key(spark, sf_dir, "embeddings") + (probe_id,)
     if key in _PQ_CACHE:
         return _PQ_CACHE[key]
     e = load_table(spark, sf_dir, "embeddings")
@@ -2004,7 +2010,7 @@ def _pq_build(spark: SparkSession, sf_dir: str):
     )
     codes = assign(c1).select("vec_id", "s", "cid")
 
-    probe_subs = subs.filter(F.col("vec_id") == 0).select(
+    probe_subs = subs.filter(F.col("vec_id") == probe_id).select(
         F.col("s").alias("qs"), F.col("sub").alias("q")
     )
     lut = (
