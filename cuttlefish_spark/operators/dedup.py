@@ -269,7 +269,7 @@ _TOKSIG_SQL = rf"""
 
 
 def _token_signatures(
-    spark: SparkSession, sf_dir: str, with_rep: bool = False
+    spark: SparkSession, sf_dir: str, with_rep: bool = False, wide: bool = False
 ) -> DataFrame:
     """Persisted token-set MinHash signature table: one row per doc
     with (doc_id, hw, nw, band1, band2) — the shared input of the band
@@ -283,25 +283,42 @@ def _token_signatures(
     key is the sorted hash array; one uniform corpus-sized window
     shuffle. Blank docs (empty set) keep rep_id = self: the oracle's
     band joins never pair them (NULL bands), so collapsing them would
-    diverge."""
+    diverge.
+
+    `wide=True` adds band3/band4 — a SECOND independent MinHash family
+    from a salted md5 per token ('w2:' prefix), needed by the r=8
+    banding (_band_candidates(rows_per_band=8)): 8 matching windows
+    require 8 hashes of material, and reusing windows of one md5 would
+    correlate the families. Costs one extra md5 pass; off by default so
+    the 2-band consumers pay nothing."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     t = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
 
-    def mh(start: int):
-        return F.array_min(F.transform(F.col("h"), lambda x: F.substring(x, start, 8)))
+    def mh(col: str, start: int):
+        return F.array_min(F.transform(F.col(col), lambda x: F.substring(x, start, 8)))
 
-    sig = (
-        t.withColumn("h", F.transform(F.col("w"), F.md5))
-        .select(
-            "doc_id",
-            F.transform(
-                F.col("h"),
-                lambda x: F.conv(F.substring(x, 1, 15), 16, 10).cast("long"),
-            ).alias("hw"),
-            F.size("w").alias("nw"),
-            F.concat(mh(1), mh(9)).alias("band1"),
-            F.concat(mh(17), mh(25)).alias("band2"),
+    extra = []
+    if wide:
+        extra = [
+            F.concat(mh("h2", 1), mh("h2", 9)).alias("band3"),
+            F.concat(mh("h2", 17), mh("h2", 25)).alias("band4"),
+        ]
+    hashed = t.withColumn("h", F.transform(F.col("w"), F.md5))
+    if wide:
+        hashed = hashed.withColumn(
+            "h2",
+            F.transform(F.col("w"), lambda x: F.md5(F.concat(F.lit("w2:"), x))),
         )
+    sig = hashed.select(
+        "doc_id",
+        F.transform(
+            F.col("h"),
+            lambda x: F.conv(F.substring(x, 1, 15), 16, 10).cast("long"),
+        ).alias("hw"),
+        F.size("w").alias("nw"),
+        F.concat(mh("h", 1), mh("h", 9)).alias("band1"),
+        F.concat(mh("h", 17), mh("h", 25)).alias("band2"),
+        *extra,
     )
     if with_rep:
         from pyspark.sql import Window
@@ -319,7 +336,12 @@ def _token_signatures(
     return sig.localCheckpoint(eager=True)
 
 
-def _band_candidates(sig: DataFrame, min_jaccard: float | None = None) -> DataFrame:
+def _band_candidates(
+    sig: DataFrame,
+    min_jaccard: float | None = None,
+    rows_per_band: int = 2,
+    payload: bool = True,
+) -> DataFrame:
     """Candidate near-dup pairs via token-set MinHash band collisions.
 
     The scale-safe candidate generator: 4 MinHashes from disjoint hex
@@ -328,6 +350,22 @@ def _band_candidates(sig: DataFrame, min_jaccard: float | None = None) -> DataFr
     The band keys are high-cardinality by construction, so each join
     is a uniform keyed shuffle — NO low-cardinality block key, no
     per-block O(n^2).
+
+    `rows_per_band` is the measured 100 TB dial (r10 VERDICT item 1:
+    fixed b=2,r=2 candidates grew at exponent 2.03 over the sf1->sf10
+    zipf decade while true edges stayed linear — the knob
+    minhash_banding_sweep quantifies, now wired into the operators):
+    2 = the default b=2 bands x r=2 hashes; 4 = b=1 x r=4, a candidate
+    must collide on ALL four MinHash windows — ONE equi-join on the
+    concatenated key, candidate probability j^4 instead of
+    1-(1-j^2)^2, a strict subset of the default's candidates; 8 =
+    b=1 x r=8 over the widened two-family signature (requires
+    _token_signatures(wide=True)), candidate probability j^8 —
+    measured on the zipf sf1->sf10 decade this is the setting that
+    pins candidate growth to the linear true-pair floor. Widening
+    rows_per_band as the corpus grows is exactly how the published
+    web-scale recipe holds candidates linear (Lee et al. 2021 run 20
+    bands x 20 hashes).
 
     `min_jaccard` enables the implied length-ratio prune: J >= t
     forces t <= |A|/|B| <= 1/t, and token COUNTS (4-byte ints) ride
@@ -355,21 +393,37 @@ def _band_candidates(sig: DataFrame, min_jaccard: float | None = None) -> DataFr
     # band1 keys differ, so no pair appears twice and the multi-
     # million-row dedup shuffle disappears (same pair set as the
     # oracle's DISTINCT over the OR join).
-    a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
-                    F.col("band1").alias("k"))
-    b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
-                    F.col("band1").alias("k"))
-    cand1 = a1.join(b1, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
-    a2 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
-                    F.col("band2").alias("k"), F.col("band1").alias("p_a"))
-    b2 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
-                    F.col("band2").alias("k"), F.col("band1").alias("p_b"))
-    cand2 = (
-        a2.join(b2, "k")
-        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
-        .select("doc_a", "doc_b", "nw_a", "nw_b")
-    )
-    cand = cand1.unionByName(cand2.select(*cand1.columns))
+    if rows_per_band in (4, 8):
+        # b=1: one equi-join on the full 4- or 8-window key. NULL keys
+        # (blank docs) never match, same as the 2-band path.
+        kk = (
+            F.concat("band1", "band2")
+            if rows_per_band == 4
+            else F.concat("band1", "band2", "band3", "band4")
+        )
+        a4 = sig.select(F.col("doc_id").alias("doc_a"),
+                        F.col("nw").alias("nw_a"), kk.alias("k"))
+        b4 = sig.select(F.col("doc_id").alias("doc_b"),
+                        F.col("nw").alias("nw_b"), kk.alias("k"))
+        cand = a4.join(b4, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+    elif rows_per_band == 2:
+        a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
+                        F.col("band1").alias("k"))
+        b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
+                        F.col("band1").alias("k"))
+        cand1 = a1.join(b1, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+        a2 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
+                        F.col("band2").alias("k"), F.col("band1").alias("p_a"))
+        b2 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
+                        F.col("band2").alias("k"), F.col("band1").alias("p_b"))
+        cand2 = (
+            a2.join(b2, "k")
+            .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
+            .select("doc_a", "doc_b", "nw_a", "nw_b")
+        )
+        cand = cand1.unionByName(cand2.select(*cand1.columns))
+    else:
+        raise ValueError(f"rows_per_band must be 2, 4, or 8, got {rows_per_band}")
     if min_jaccard is not None:
         # |A∩B| <= min(|A|,|B|) and |A∪B| >= max(|A|,|B|), so
         # J >= t implies min/max >= t. Integer form avoids float edges.
@@ -378,6 +432,8 @@ def _band_candidates(sig: DataFrame, min_jaccard: float | None = None) -> DataFr
             (F.col("nw_a") * 1000 >= F.col("nw_b") * scale)
             & (F.col("nw_b") * 1000 >= F.col("nw_a") * scale)
         )
+    if not payload:  # candidate-volume audits count the stream itself
+        return cand
     wa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hw").alias("hw_a"))
     wb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hw").alias("hw_b"))
     # Payload fetch joins carry the token-hash ARRAYS (corpus sized),
@@ -544,6 +600,126 @@ _CLUSTER_EDGE_SQL = f"""
 """
 
 
+def _cc_min_label(nodes: DataFrame, e: DataFrame) -> DataFrame:
+    """Connected components via star contraction + min-label fixpoint
+    on the contracted remnant — the shared closure of dedup_clusters /
+    dedup_clusters_banded / image_phash_dedup. `nodes` is one `node`
+    column (every vertex, singletons included), `e` the (doc_a, doc_b)
+    edge list among them. Returns (node, cluster_id) with cluster_id =
+    min node of the component.
+
+    Round 0 maps every node to min(self, min neighbor) in ONE
+    groupBy(node).min() over the edges (each label0 class is a star —
+    connected by construction), then the edge set is CONTRACTED to
+    distinct (label0(a), label0(b)) pairs — near-dup graphs are
+    clique-heavy, so this collapses orders of magnitude (510k edges ->
+    hundreds at sf0.1). Min-label propagation then iterates to fixpoint
+    on the contracted graph only (sum-of-labels is monotonically
+    non-increasing; unchanged sum = fixpoint), and a final join maps
+    node -> star -> component. Full-size data is touched by exactly
+    three shuffles (edge join, star agg, label map-back); the
+    O(diameter) iterations run on the contracted remnant. At 100 TB you
+    repeat the contraction per round (large-star/small-star) and
+    checkpoint every few rounds to truncate lineage — same plan shape.
+    """
+    e = e.persist()
+    sym = e.unionByName(
+        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    )
+    # Round 0: star contraction. label0(v) = min(v, min neighbor(v));
+    # singletons (no edges) keep their own id via the left join.
+    mins = sym.groupBy(F.col("doc_a").alias("node")).agg(
+        F.min("doc_b").alias("mn")
+    )
+    # localCheckpoint (not persist): the loop below builds plans on top
+    # of these frames every round; checkpointing truncates the logical
+    # plan so lineage — and plan-string size — stays O(1) per round
+    # instead of compounding the full edge-generator subtree each time.
+    lbl0 = (
+        nodes.join(mins, "node", "left")
+        .select("node", F.least("node", F.coalesce("mn", "node")).alias("lbl"))
+        .localCheckpoint()
+    )
+    la = lbl0.select(F.col("node").alias("doc_a"), F.col("lbl").alias("ca"))
+    lb = lbl0.select(F.col("node").alias("doc_b"), F.col("lbl").alias("cb"))
+    contracted = (
+        e.join(la, "doc_a")
+        .join(lb, "doc_b")
+        .filter(F.col("ca") != F.col("cb"))
+        .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
+        .distinct()
+    )
+    csym = contracted.unionByName(
+        contracted.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
+    ).localCheckpoint()
+    labels = csym.select(F.col("doc_a").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    ).localCheckpoint()
+    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
+    for _ in range(30):
+        if prev_sum is None:  # contracted graph empty: stars ARE the components
+            break
+        prop = csym.join(labels, csym.doc_a == labels.node).select(
+            F.col("doc_b").alias("node"), F.col("lbl")
+        )
+        new_labels = (
+            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
+        ).localCheckpoint()
+        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
+        labels = new_labels
+        if new_sum == prev_sum:
+            break
+        prev_sum = new_sum
+    else:  # pragma: no cover - 30 rounds >> any sf's contracted diameter
+        raise RuntimeError("connected components did not converge in 30 rounds")
+    e.unpersist()
+    # Map back: node -> star -> component (stars not in the contracted
+    # graph are whole components already).
+    cc = labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("root"))
+    return lbl0.join(cc, "lbl", "left").select(
+        "node", F.coalesce("root", "lbl").alias("cluster_id")
+    )
+
+
+def _cluster_over_bands(
+    spark: SparkSession, sf_dir: str, rows_per_band: int
+) -> DataFrame:
+    """Shared body of dedup_clusters (b=2,r=2) and dedup_clusters_banded
+    (b=1,r=4): exact-dup collapse, banded Jaccard >= 0.7 edges over the
+    representatives, min-label components, map-back through rep_id.
+
+    Exact-dup collapse first (the production fuzzy-dedup order): docs
+    with IDENTICAL token sets are Jaccard-interchangeable, so connected
+    components run over one representative per distinct set; members
+    inherit the rep's cluster at map-back. Semantically exact at EITHER
+    banding — equal nonempty sets share all four MinHash windows (hence
+    every band key) and have J = 1.0, so the oracle's full closure puts
+    every member in its rep's component anyway. On a dup-heavy crawl
+    this collapses the quadratic pair volume by the square of the dup
+    rate before any band join runs.
+
+    rep_id = min(doc_id) of its set group, so min over a component's
+    reps = min over all its docs — cluster_id keeps the full-corpus
+    min-doc-id contract."""
+    sig = _token_signatures(
+        spark, sf_dir, with_rep=True, wide=(rows_per_band == 8)
+    )
+    rep_sig = sig.filter(F.col("doc_id") == F.col("rep_id"))
+    e = (
+        _band_candidates(rep_sig, min_jaccard=0.7, rows_per_band=rows_per_band)
+        .filter(_hashed_jaccard() >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    comp = _cc_min_label(rep_sig.select(F.col("doc_id").alias("node")), e)
+    rep_cluster = comp.select(F.col("node").alias("rep_id"), "cluster_id")
+    out = sig.select("doc_id", "rep_id").join(rep_cluster, "rep_id")
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
 @query(
     "dedup_clusters",
     layer="C",
@@ -599,89 +775,106 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     checkpoint every few rounds to truncate lineage — same plan shape.
     The DuckDB oracle runs the identical closure as a recursive CTE.
     """
-    # Exact-dup collapse first (the production fuzzy-dedup order):
-    # docs with IDENTICAL token sets are Jaccard-interchangeable, so
-    # connected components run over one representative per distinct
-    # set; members inherit the rep's cluster at map-back. Semantically
-    # exact — equal nonempty sets share bands and have J = 1.0, so the
-    # oracle's full closure puts every member in its rep's component
-    # anyway. On a dup-heavy crawl this collapses the quadratic pair
-    # volume by the square of the dup rate before any band join runs.
-    sig = _token_signatures(spark, sf_dir, with_rep=True)
-    rep_sig = sig.filter(F.col("doc_id") == F.col("rep_id"))
-    e = (
-        _band_candidates(rep_sig, min_jaccard=0.7)
-        .filter(_hashed_jaccard() >= 0.7)
-        .select("doc_a", "doc_b")
-        .persist()
+    return _cluster_over_bands(spark, sf_dir, rows_per_band=2)
+
+
+def _mh2_sql(start: int) -> str:
+    return f"list_min(list_transform(h2, x -> substr(x, {start}, 8)))"
+
+
+# Widened two-family signature (the Spark _token_signatures(wide=True)
+# twin): band3/band4 minhash an independent salted md5 per token.
+_TOKSIG_WIDE_SQL = rf"""
+        SELECT doc_id, w,
+               list_transform(h, x -> CAST('0x' || substr(x, 1, 15) AS BIGINT)) AS hw,
+               {_mh_sql(1)} || {_mh_sql(9)} AS band1,
+               {_mh_sql(17)} || {_mh_sql(25)} AS band2,
+               {_mh2_sql(1)} || {_mh2_sql(9)} AS band3,
+               {_mh2_sql(17)} || {_mh2_sql(25)} AS band4
+        FROM (SELECT doc_id, w, list_transform(w, x -> md5(x)) AS h,
+                     list_transform(w, x -> md5('w2:' || x)) AS h2
+              FROM (SELECT doc_id,
+                           list_filter(
+                               list_distinct(regexp_split_to_array(trim(lower(text)), '\s+')),
+                               x -> len(x) > 0) AS w
+                    FROM documents))
+"""
+
+# b=1,r=8 edge predicate: a candidate must collide on ALL eight MinHash
+# windows (band1..band4) — the single-conjunction join needs no
+# DISTINCT (one key, no OR).
+_CLUSTER_EDGE_B1R8_SQL = """
+        SELECT c.doc_a, c.doc_b
+        FROM (SELECT a.doc_id AS doc_a, b.doc_id AS doc_b
+              FROM sig a JOIN sig b
+                ON a.doc_id < b.doc_id
+               AND a.band1 = b.band1 AND a.band2 = b.band2
+               AND a.band3 = b.band3 AND a.band4 = b.band4) c
+        JOIN sig sa ON sa.doc_id = c.doc_a
+        JOIN sig sb ON sb.doc_id = c.doc_b
+        WHERE len(sa.w) * 10 >= len(sb.w) * 7
+          AND len(sb.w) * 10 >= len(sa.w) * 7
+          AND CAST(len(list_intersect(sa.hw, sb.hw)) AS DOUBLE)
+                  / (len(sa.hw) + len(sb.hw) - len(list_intersect(sa.hw, sb.hw))) >= 0.7
+"""
+
+
+@query(
+    "dedup_clusters_banded",
+    layer="C",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_TOKSIG_WIDE_SQL}),
+    e AS ({_CLUSTER_EDGE_B1R8_SQL}),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM e
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM e
+    ),
+    r AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT s.b AS node, r.lbl FROM r JOIN sym s ON s.a = r.node
     )
-    sym = e.unionByName(
-        e.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    )
-    # Round 0: star contraction. label0(v) = min(v, min neighbor(v));
-    # singletons (no edges) keep their own id via the left join.
-    mins = sym.groupBy(F.col("doc_a").alias("node")).agg(
-        F.min("doc_b").alias("mn")
-    )
-    # localCheckpoint (not persist): the loop below builds plans on top
-    # of these frames every round; checkpointing truncates the logical
-    # plan so lineage — and plan-string size — stays O(1) per round
-    # instead of compounding the full Jaccard-join subtree each time.
-    lbl0 = (
-        rep_sig.select(F.col("doc_id").alias("node"))
-        .join(mins, "node", "left")
-        .select("node", F.least("node", F.coalesce("mn", "node")).alias("lbl"))
-        .localCheckpoint()
-    )
-    la = lbl0.select(F.col("node").alias("doc_a"), F.col("lbl").alias("ca"))
-    lb = lbl0.select(F.col("node").alias("doc_b"), F.col("lbl").alias("cb"))
-    contracted = (
-        e.join(la, "doc_a")
-        .join(lb, "doc_b")
-        .filter(F.col("ca") != F.col("cb"))
-        .select(F.col("ca").alias("doc_a"), F.col("cb").alias("doc_b"))
-        .distinct()
-    )
-    csym = contracted.unionByName(
-        contracted.select(F.col("doc_b").alias("doc_a"), F.col("doc_a").alias("doc_b"))
-    ).localCheckpoint()
-    labels = csym.select(F.col("doc_a").alias("node")).distinct().select(
-        "node", F.col("node").alias("lbl")
-    ).localCheckpoint()
-    prev_sum = labels.agg(F.sum("lbl")).collect()[0][0]
-    for _ in range(30):
-        if prev_sum is None:  # contracted graph empty: stars ARE the components
-            break
-        prop = csym.join(labels, csym.doc_a == labels.node).select(
-            F.col("doc_b").alias("node"), F.col("lbl")
-        )
-        new_labels = (
-            labels.unionByName(prop).groupBy("node").agg(F.min("lbl").alias("lbl"))
-        ).localCheckpoint()
-        new_sum = new_labels.agg(F.sum("lbl")).collect()[0][0]
-        labels = new_labels
-        if new_sum == prev_sum:
-            break
-        prev_sum = new_sum
-    else:  # pragma: no cover - 30 rounds >> any sf's contracted diameter
-        raise RuntimeError("connected components did not converge in 30 rounds")
-    e.unpersist()
-    # Map back: doc -> rep -> star -> component (stars not in the
-    # contracted graph are whole components already; reps not in any
-    # edge are their own cluster). rep_id = min(doc_id) of its set
-    # group, so min over a component's reps = min over all its docs —
-    # cluster_id keeps the full-corpus min-doc-id contract.
-    cc = labels.select(F.col("node").alias("lbl"), F.col("lbl").alias("root"))
-    rep_cluster = lbl0.join(cc, "lbl", "left").select(
-        F.col("node").alias("rep_id"),
-        F.coalesce("root", "lbl").alias("cluster_id"),
-    )
-    out = sig.select("doc_id", "rep_id").join(rep_cluster, "rep_id")
-    return out.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
-    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (min(lbl) = node) AS is_canonical
+    FROM r GROUP BY node
+    """,
+)
+def dedup_clusters_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """dedup_clusters at the TIGHTENED b=1 x r=8 LSH banding — the
+    operator-level mitigation of the one quantified 100 TB cliff (r10
+    VERDICT item 1): the sf1->sf10 zipf decade measured fixed b=2,r=2
+    band candidates growing at exponent 2.03 while true edges stayed
+    linear, and minhash_banding_sweep measured what tighter banding
+    buys; this query WIRES that knob into the cluster operator
+    (_band_candidates(rows_per_band=...) -> _cluster_over_bands — the
+    same parameterization a 100x user turns). A candidate must now
+    collide on ALL EIGHT MinHash windows (two independent salted-md5
+    families; P[cand] = j^8 instead of 1-(1-j^2)^2), so ONE equi-join
+    on the concatenated key replaces the two-band OR — Lee et al.
+    2021's web-scale recipe (20 bands x 20 hashes) is this dial at
+    production width. Measured on the zipf sf1->sf10 decade (PLANS.md
+    Notes): r=2 candidates grow at exponent 2.03, r=4 at 1.56 (still
+    FP-dominated at 500k docs), r=8 pins the stream to the linear
+    planted-dup floor — which is why this query ships r=8.
+
+    Semantics are otherwise dedup_clusters' exactly: exact-dup
+    collapse (exact copies NEVER ride the banding — identical token
+    sets collapse to one representative before the band join, so
+    exact-dup cluster identity is banding-invariant), Jaccard >= 0.7
+    verification with the length-ratio prune, star-contraction
+    components, min-doc-id cluster identity, is_canonical keep-list.
+    The recall cost falls entirely on near-dup (edited) pairs per the
+    S-curve j^8 — the knob's documented trade, the exact quantity
+    minhash_banding_sweep measures — and the DuckDB oracle re-derives
+    the full closure at the tight banding independently, so the gate
+    checks the chosen operating point, not a fuzzy approximation.
+
+    Scale shape: strictly cheaper than dedup_clusters — half the band
+    shuffles (one join on the 64-hex-char concatenated key), a
+    candidate stream that shrinks as j^8, one extra md5 map pass for
+    the second hash family, and the identical 3-shuffle closure."""
+    return _cluster_over_bands(spark, sf_dir, rows_per_band=8)
 
 
 # Short-doc third band: docs shorter than _ED_SHORT_MAX chars also
@@ -1459,6 +1652,130 @@ def substring_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("dup_fraction"),
         )
     )
+
+
+@query(
+    "substring_dedup_spans",
+    layer="C",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               CAST('0x' || substr(
+                   md5(array_to_string(w[i : i + {_SS_W} - 1], ' ')),
+                   1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - {_SS_W} + 1)) AS i
+              FROM t WHERE len(w) >= {_SS_W})
+    ),
+    occ AS (SELECT h, count(*) AS n_occ FROM seg GROUP BY h),
+    dup AS (
+        SELECT seg.doc_id, seg.pos
+        FROM seg JOIN occ USING (h)
+        WHERE occ.n_occ >= {_SS_MIN_OCC}
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {_SS_W}
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    )
+    SELECT doc_id,
+           CAST(min(pos) AS BIGINT) AS span_start,
+           CAST(max(pos) + {_SS_W} - 1 AS BIGINT) AS span_end,
+           CAST(max(pos) + {_SS_W} - min(pos) AS BIGINT) AS span_tokens,
+           CAST(count(*) AS BIGINT) AS n_dup_windows
+    FROM grp GROUP BY doc_id, g
+    """,
+)
+def substring_dedup_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-substring dedup with REMOVAL SPANS (Lee et al. 2021,
+    "Deduplicating Training Data Makes Language Models Better", the
+    ExactSubstr recipe): where substring_dedup reports per-doc dup
+    COVERAGE, this emits the actionable artifact — one row per MAXIMAL
+    duplicated token span, (doc_id, span_start, span_end) 1-based
+    inclusive — the cut-list a preprocessing pipeline applies to each
+    document before training.
+
+    The published method finds substrings >= 50 tokens shared between
+    documents via a corpus suffix array; the distributed re-expression
+    here is substring_dedup's stride-1 rolling {_SS_W}-token window
+    hashes (a window occurring >= {_SS_MIN_OCC} times corpus-wide is
+    duplicated) with the duplicated windows merged into maximal spans
+    by the standard gaps-and-islands interval union: a new island
+    starts where the gap between consecutive duplicated window starts
+    exceeds W (intervals [pos, pos+W-1] no longer touch), islands are
+    numbered by a running sum of those breaks, and each island's span
+    is [min(pos), max(pos)+W-1]. Boundary fidelity is window-granular
+    (a repeat is detected once a full W-window of it repeats — the
+    suffix array resolves to exact token offsets); every span >= W
+    the suffix array finds is covered by these islands.
+
+    Scale shape: identical to substring_dedup up through the
+    duplicated-window join (narrow 60-bit hash keys, map-side-partial
+    occurrence counts, AQE-skew-split on boilerplate-hot hashes); the
+    island merge is two window functions partitioned BY doc_id (lag +
+    running sum — per-doc state, no global ordering, the repo's
+    two-phase-safe pattern), then one (doc_id, island) aggregate.
+    Output is O(duplicated spans), a tiny fraction of the corpus; at
+    100 TB the cut-list joins back to the text on uniform doc_id.
+    """
+    from pyspark.sql import Window
+
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    base = d.select("doc_id", w.alias("w"), F.size(w).alias("n_tokens"))
+    seg = (
+        base.filter(F.col("n_tokens") >= _SS_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - (_SS_W - 1))
+            ).alias("pos"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            hash60(F.array_join(F.slice(F.col("w"), F.col("pos"), _SS_W), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    occ = seg.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = seg.join(occ.filter(F.col("n_occ") >= _SS_MIN_OCC), "h").select(
+        "doc_id", "pos"
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(by_doc) <= _SS_W, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    grp = dup.select("doc_id", "pos", brk).select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)).alias("g"),
+    )
+    return grp.groupBy("doc_id", "g").agg(
+        F.min("pos").cast("long").alias("span_start"),
+        (F.max("pos") + (_SS_W - 1)).cast("long").alias("span_end"),
+        (F.max("pos") + _SS_W - F.min("pos")).cast("long").alias("span_tokens"),
+        F.count(F.lit(1)).cast("long").alias("n_dup_windows"),
+    ).drop("g")
 
 
 _INCR_DEDUP_SQL = f"""

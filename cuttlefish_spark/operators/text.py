@@ -1536,6 +1536,150 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Jelinek-Mercer interpolation weights (trigram, bigram, unigram) —
+# fixed, not EM-tuned, so both engines score the identical model.
+_JM_L3, _JM_L2, _JM_L1 = 0.6, 0.3, 0.1
+
+
+@query(
+    "lm_trigram_jm_score",
+    layer="C",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    tg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2, w[i + 2] AS w3
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 2)) AS i
+              FROM t WHERE len(w) >= 3)
+    ),
+    c3 AS (SELECT w1, w2, w3, count(*) AS c3 FROM tg GROUP BY ALL),
+    cctx AS (SELECT w1, w2, count(*) AS cctx FROM tg GROUP BY ALL),
+    csuf AS (SELECT w2, w3, count(*) AS csuf FROM tg GROUP BY ALL),
+    cmid AS (SELECT w2, count(*) AS cmid FROM tg GROUP BY w2),
+    clast AS (SELECT w3, count(*) AS clast FROM tg GROUP BY w3),
+    nn AS (SELECT count(*) AS n FROM tg),
+    doctg AS (
+        SELECT doc_id, w1, w2, w3, count(*) AS c FROM tg GROUP BY ALL
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(sum(d.c) AS BIGINT) AS n_trigrams,
+               CAST(sum(CAST(round(ln(
+                       ({_JM_L3} * (CAST(c3.c3 AS DOUBLE) / cctx.cctx)
+                        + {_JM_L2} * (CAST(csuf.csuf AS DOUBLE) / cmid.cmid))
+                       + {_JM_L1} * (CAST(clast.clast AS DOUBLE) / nn.n)
+                   ) * 1000000) AS BIGINT) * d.c) AS BIGINT) AS slp
+        FROM doctg d
+        JOIN c3 USING (w1, w2, w3)
+        JOIN cctx USING (w1, w2)
+        JOIN csuf USING (w2, w3)
+        JOIN cmid USING (w2)
+        JOIN clast USING (w3)
+        CROSS JOIN nn
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_trigrams,
+           slp / 1000000.0 / n_trigrams AS avg_logprob,
+           round(exp(-(slp / 1000000.0 / n_trigrams)), 2) AS ppl
+    FROM scored
+    """,
+)
+def lm_trigram_jm_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jelinek-Mercer interpolated TRIGRAM language-model score — the
+    smoothing discipline above lm_bigram_score's add-one proxy (r10
+    VERDICT item 4; the public method: Jelinek & Mercer 1980, the
+    baseline interpolation of Chen & Goodman 1996, and the smoothing
+    family KenLM/CCNet-style quality scoring actually uses):
+    P(w3 | w1 w2) = {_JM_L3}*P_ML(w3|w1w2) + {_JM_L2}*P_ML(w3|w2)
+    + {_JM_L1}*P_ML(w3), with every maximum-likelihood term estimated
+    on the corpus's own trigram event stream (count ratios over the
+    trigram table and its context/suffix/middle/last marginals — each
+    level sums to 1 over w3, so the mixture is a proper distribution).
+    Fixed lambdas, not EM-held-out-tuned: both engines then score the
+    IDENTICAL model, which is what makes the oracle exact; kenLM's
+    modified-Kneser-Ney is the production refinement of the same
+    interpolation shape. lm_bigram_score stays alongside as the
+    oracle-simple form.
+
+    Determinism (the lm_bigram_score recipe, one level deeper): every
+    ML term is an IEEE quotient of identical int64 counts; the mixture
+    is evaluated in a PINNED association ((l3*q3 + l2*q2) + l1*q1 —
+    spelled identically in both engines, so the ln argument is
+    bit-identical); each trigram's log-prob is quantized to micro-nats
+    as a LONG before the per-doc sum (order-independent), the mean is
+    the unrounded quotient of identical integers, and ppl rounds at 2
+    (the libm-exp boundary argument in lm_bigram_score's docstring).
+    The ln-ulp quantization residual (~1e-9/value) is the same
+    accepted tier-2 risk.
+
+    Scale shape: ONE trigram explode feeds the model counts AND the
+    per-doc scoring stream; all five marginals are map-side-partial
+    count aggregations on token keys (Zipf heads absorbed by partials);
+    the per-doc side pre-aggregates to (doc_id, trigram, count) before
+    the five model joins, so join volume is per-distinct-trigram-per-
+    doc, not per-occurrence. N rides as a broadcast one-row cross
+    join. No windows, no Python, no driver collect — at 100 TB this is
+    one scan + six uniform keyed shuffles, and the count tables ARE
+    the reusable trained model."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    t = d.select("doc_id", w.alias("w"))
+    tg = (
+        t.filter(F.size("w") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 2)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+            F.element_at("w", F.col("i") + 2).alias("w3"),
+        )
+    )
+    c3 = tg.groupBy("w1", "w2", "w3").agg(F.count(F.lit(1)).alias("c3"))
+    cctx = tg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cctx"))
+    csuf = tg.groupBy("w2", "w3").agg(F.count(F.lit(1)).alias("csuf"))
+    cmid = tg.groupBy("w2").agg(F.count(F.lit(1)).alias("cmid"))
+    clast = tg.groupBy("w3").agg(F.count(F.lit(1)).alias("clast"))
+    nn = tg.agg(F.count(F.lit(1)).alias("n"))
+    doctg = tg.groupBy("doc_id", "w1", "w2", "w3").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    mix = (
+        F.lit(_JM_L3) * (F.col("c3").cast("double") / F.col("cctx"))
+        + F.lit(_JM_L2) * (F.col("csuf").cast("double") / F.col("cmid"))
+    ) + F.lit(_JM_L1) * (F.col("clast").cast("double") / F.col("n"))
+    lp_micro = F.round(F.log(mix) * 1_000_000).cast("long")
+    scored = (
+        doctg.join(c3, ["w1", "w2", "w3"])
+        .join(cctx, ["w1", "w2"])
+        .join(csuf, ["w2", "w3"])
+        .join(cmid, ["w2"])
+        .join(clast, ["w3"])
+        .crossJoin(F.broadcast(nn))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_trigrams"),
+            F.sum(lp_micro * F.col("c")).alias("slp"),
+        )
+    )
+    avg_lp = F.col("slp") / F.lit(1_000_000.0) / F.col("n_trigrams")
+    return scored.select(
+        "doc_id",
+        "n_trigrams",
+        avg_lp.alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 2).alias("ppl"),
+    )
+
+
 _CM_D = 4  # sketch rows (independent hash seeds)
 _CM_W = 1024  # sketch width (buckets per row)
 _CM_TOPK = 20

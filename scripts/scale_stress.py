@@ -164,8 +164,42 @@ ZIPF10 = os.environ.get("SPARK_GRAFT_ZIPF10_DIR", "/tmp/cuttlefish_zipf_sf10")
 # member measures its sf10 decade on the realistic zipf vocabulary
 # below, where pair volume is dup-planting-bound like a real crawl.
 SF10_QUERIES = ["substring_dedup", "line_dedup"]
-SF10_ZIPF_QUERIES = ["dedup_clusters", "minhash_shingles", "ngram_jaccard",
+SF10_ZIPF_QUERIES = ["dedup_clusters", "dedup_clusters_banded",
+                     "minhash_shingles", "ngram_jaccard",
                      "ngram_jaccard_topk", "minhash_accuracy"]
+
+
+def band_exponent(spark) -> None:
+    """--band-exp: candidate-stream volume of the three LSH bandings
+    across the zipf sf1->sf10 decade (r11: the 'Done' evidence for
+    wiring the banding knob into the operators — the b=2,r=2 exponent
+    was measured at 2.03 in r10; the scaled setting must hold ~<= 1.2).
+    Counts the band-join candidate stream itself (pre-payload, the
+    quantity that grows superlinearly), not the verified edges."""
+    import math
+    import time as _t
+
+    from cuttlefish_spark.operators.dedup import (
+        _band_candidates,
+        _token_signatures,
+    )
+
+    out: dict = {}
+    for label, d in (("zipf_sf1", ZIPF1), ("zipf_sf10", ZIPF10)):
+        row = {}
+        for cfg, r in (("b2r2", 2), ("b1r4", 4), ("b1r8", 8)):
+            sig = _token_signatures(spark, d, wide=(r == 8))
+            t0 = _t.monotonic()
+            n = _band_candidates(sig, rows_per_band=r, payload=False).count()
+            row[cfg] = {"candidates": n, "sec": round(_t.monotonic() - t0, 1)}
+        out[label] = row
+    for cfg in ("b2r2", "b1r4", "b1r8"):
+        e = math.log10(
+            max(out["zipf_sf10"][cfg]["candidates"], 1)
+            / max(out["zipf_sf1"][cfg]["candidates"], 1)
+        )
+        out[f"candidate_exp_{cfg}"] = round(e, 2)
+    print(json.dumps({"band_exponent": out}), flush=True)
 
 
 def generate_docs(out_dir: str, n_docs: int, zipf: bool) -> None:
@@ -362,7 +396,15 @@ def main() -> int:
     tpch = "--tpch" in sys.argv
     sf10 = "--sf10" in sys.argv
     sf10_zipf = "--sf10-zipf" in sys.argv
+    band_exp = "--band-exp" in sys.argv
     skip_gen = "--skip-gen" in sys.argv
+
+    if band_exp:
+        for d, n in ((ZIPF1, DOCS_N), (ZIPF10, 10 * DOCS_N)):
+            if not (skip_gen and os.path.exists(f"{d}/documents.parquet")):
+                generate_docs(d, n, zipf=True)
+        band_exponent(spark)
+        return 0
 
     def need(path: str) -> bool:
         return not (skip_gen and os.path.exists(path))
