@@ -3661,3 +3661,110 @@ def rho_loss_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
             (red > 0).alias("selected"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# quality_signal_agreement — cross-signal audit of the quality ladder
+# ---------------------------------------------------------------------------
+
+_QSA_FINAL = f"""qs AS (
+        SELECT doc_id,
+               (CASE WHEN n_tokens BETWEEN 50 AND 1000 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN chars_per_token BETWEEN 3 AND 10 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN punct_ratio < 0.1 THEN 0.25 ELSE 0.0 END
+                + CASE WHEN stopword_ratio > 0.02 THEN 0.25 ELSE 0.0 END)
+               >= 0.75 AS qs_pass
+        FROM (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(n_chars AS DOUBLE) / len(toks) END
+                       AS chars_per_token,
+                   CASE WHEN n_chars > 0
+                        THEN CAST(n_punct AS DOUBLE) / n_chars ELSE 0.0 END
+                       AS punct_ratio,
+                   CASE WHEN len(toks) > 0
+                        THEN CAST(len(list_filter(toks,
+                             t -> list_contains({{stop_en}}, t))) AS DOUBLE)
+                             / len(toks)
+                        ELSE 0.0 END AS stopword_ratio
+            FROM (
+                SELECT doc_id,
+                       CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                            ELSE regexp_split_to_array(trim(lower(text)), '\\s+')
+                       END AS toks,
+                       length(text) AS n_chars,
+                       length(regexp_replace(text, '[^!?.,;:]', '', 'g'))
+                           AS n_punct
+                FROM documents
+            )
+        )
+    )
+    SELECT (s.y = 1) AS gopher_keep,
+           (s.score > 0) AS clf_predicted,
+           qs.qs_pass,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(count(*) AS DOUBLE) / nn.n AS share
+    FROM s{_QC_T} s
+    JOIN qs USING (doc_id)
+    CROSS JOIN nn
+    GROUP BY 1, 2, 3, nn.n"""
+
+
+def _qsa_oracle() -> str:
+    final = "," + _QSA_FINAL.replace("{stop_en}", _sql_list(STOPWORDS["en"]))
+    return "WITH " + ",\n    ".join(_qc_ctes(_QC_T)) + f"\n    {final}"
+
+
+@query("quality_signal_agreement", layer="C", oracle=_qsa_oracle())
+def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-signal AGREEMENT audit of the quality ladder — the check a
+    production pipeline runs before composing filters (the
+    Dolma/FineWeb-class ablation discipline: quality signals are only
+    stackable if their disagreement structure is understood; a filter
+    that mostly re-fires an earlier one buys nothing, one that fires
+    anti-correlated needs a reason). One row per cell of the 2x2x2
+    cross-tab between the three rungs this engine ships: the Gopher
+    rule verdict (gopher_quality_rules' keep), the TRAINED classifier's
+    prediction (quality_classifier_ngram, score > 0 — trained ON the
+    Gopher labels, so its agreement with rung 1 is training fit
+    measured on an interpretable grid), and the heuristic
+    quality_score at the 3-of-4-indicators bar (quality >= 0.75, an
+    exact 0.25-step double).
+
+    Shares the memoized classifier (_qc_train — no retraining) and
+    restates the other two signals' closed forms; the oracle embeds
+    the full unrolled 24-step training CTE chain (_qc_ctes, the
+    pretrain_data_e2e pattern) so DuckDB re-derives all three signals
+    independently.
+
+    Scale shape: one scoring pass over the checkpointed feature table
+    (broadcast model join), one heuristic scan, one join on doc_id,
+    and an 8-cell aggregate — map-side partials collapse everything
+    before the shuffle. share = count/corpus as IEEE quotients of
+    identical integers."""
+    from cuttlefish_spark.operators.text import quality_score
+
+    w, n, feats, labels = _qc_train(spark, sf_dir)
+    scored = _qc_score(spark, feats, labels, w).select(
+        "doc_id",
+        (F.col("y") == 1).alias("gopher_keep"),
+        (F.col("score") > 0).alias("clf_predicted"),
+    )
+    qs = quality_score(spark, sf_dir).select(
+        "doc_id", (F.col("quality") >= 0.75).alias("qs_pass")
+    )
+    return (
+        scored.join(qs, "doc_id")
+        .groupBy("gopher_keep", "clf_predicted", "qs_pass")
+        .agg(F.count(F.lit(1)).alias("n_docs"))
+        .select(
+            "gopher_keep",
+            "clf_predicted",
+            "qs_pass",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            (F.col("n_docs").cast("double") / F.lit(n).cast("double")).alias(
+                "share"
+            ),
+        )
+    )

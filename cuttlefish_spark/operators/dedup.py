@@ -1519,6 +1519,129 @@ def minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).select("r.*")
 
 
+# S-curve hit probabilities P[candidate | true Jaccard j] = 1-(1-j^r)^b
+# per banding config, computed ONCE here in Python and interpolated as
+# the SAME literal into the Spark plan and the oracle SQL — identical
+# by construction, no cross-engine libm pow.
+def _s_curve(b: int, r: int, j: float) -> float:
+    return 1.0 - (1.0 - j**r) ** b
+
+
+_LSH_CONFIGS = [("b2_r2", 2, 2), ("b1_r4", 1, 4), ("b1_r8", 1, 8)]
+
+
+def _lsh_plan_oracle() -> str:
+    def cnt(alias: str, grp: str) -> str:
+        return (
+            f"{alias} AS (SELECT CAST(COALESCE(sum(n * (n - 1) // 2), 0)"
+            f" AS BIGINT) AS p FROM (SELECT count(*) AS n FROM sig"
+            f" WHERE band1 IS NOT NULL GROUP BY {grp}))"
+        )
+
+    rows = []
+    for cfg, b, r in _LSH_CONFIGS:
+        pairs = "c1.p + c2.p" if r == 2 else ("c4.p" if r == 4 else "c8.p")
+        exact = "false" if r == 2 else "true"
+        rows.append(
+            f"SELECT '{cfg}' AS config, CAST({b} AS BIGINT) AS n_bands,"
+            f" CAST({r} AS BIGINT) AS rows_per_band,"
+            f" {pairs} AS candidate_pairs, {exact} AS exact,"
+            f" CAST({pairs} AS DOUBLE) / nd.n AS pairs_per_doc,"
+            f" {_s_curve(b, r, 0.7)!r}e0 AS p_cand_j07,"
+            f" {_s_curve(b, r, 0.9)!r}e0 AS p_cand_j09"
+            f" FROM c1, c2, c4, c8, nd"
+        )
+    return (
+        f"""
+    WITH sig AS ({_TOKSIG_WIDE_SQL}),
+    {cnt("c1", "band1")},
+    {cnt("c2", "band2")},
+    {cnt("c4", "band1 || band2")},
+    {cnt("c8", "band1 || band2 || band3 || band4")},
+    nd AS (SELECT CAST(count(*) AS BIGINT) AS n FROM documents)
+    """
+        + "\n    UNION ALL\n    ".join(rows)
+    )
+
+
+@query("lsh_banding_plan", layer="C", oracle=_lsh_plan_oracle())
+def lsh_banding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding COST PLANNER — the query a 100 TB user runs BEFORE
+    dedup to pick the knob dedup_clusters_banded wires in: for each
+    supported banding (b=2,r=2 / b=1,r=4 / b=1,r=8) it prices the
+    candidate join from the corpus's own band-value frequency tables
+    (candidate pairs = sum over band values of C(n_v, 2) — computed in
+    O(corpus) with NO pair join ever running; that avoidance is the
+    whole point of a planner) and reports the theoretical S-curve hit
+    rates P[candidate | j] = 1-(1-j^r)^b at j = 0.7 (the operators'
+    verification threshold) and j = 0.9 (the planted-dup regime). The
+    b=2,r=2 pair count is the union bound over its two bands (`exact`
+    = false — pairs colliding on both bands count twice); the single-
+    band configs are exact. Read it as: candidate cost vs recall at
+    the threshold — exactly the published trade Lee et al. 2021 tune
+    (20x20 at web scale) and the sf1->sf10 zipf decade measured
+    (exponents 2.03 / 1.56 / 1.02, PLANS.md Notes).
+
+    Determinism: pair counts are exact int64 from identical md5-window
+    band values (blank docs' NULL bands excluded in both engines);
+    per-doc ratios are IEEE quotients of identical integers; the
+    S-curve constants are computed ONCE in Python and interpolated as
+    the same literal into both plans — no cross-engine pow.
+
+    Scale shape: four count-aggregations over the (checkpointed, wide)
+    signature table with map-side partials on high-cardinality band
+    keys, four scalar sums, a 3-row explode. Strictly cheaper than any
+    single band join it prices."""
+    sig = _token_signatures(spark, sf_dir, wide=True)
+    nn = sig.filter(F.col("band1").isNotNull())
+
+    def pairs(grp: F.Column, alias: str) -> DataFrame:
+        return (
+            nn.groupBy(grp.alias("v"))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .agg(
+                F.coalesce(
+                    F.sum((F.col("n") * (F.col("n") - 1)) / 2).cast("long"),
+                    F.lit(0),
+                ).alias(alias)
+            )
+        )
+
+    d = load_table(spark, sf_dir, "documents").agg(
+        F.count(F.lit(1)).alias("nd")
+    )
+    combined = (
+        pairs(F.col("band1"), "c1")
+        .crossJoin(pairs(F.col("band2"), "c2"))
+        .crossJoin(pairs(F.concat("band1", "band2"), "c4"))
+        .crossJoin(pairs(F.concat("band1", "band2", "band3", "band4"), "c8"))
+        .crossJoin(F.broadcast(d))
+    )
+
+    def row(cfg: str, b: int, r: int):
+        p = (
+            (F.col("c1") + F.col("c2"))
+            if r == 2
+            else (F.col("c4") if r == 4 else F.col("c8"))
+        )
+        return F.struct(
+            F.lit(cfg).alias("config"),
+            F.lit(b).cast("long").alias("n_bands"),
+            F.lit(r).cast("long").alias("rows_per_band"),
+            p.alias("candidate_pairs"),
+            F.lit(r != 2).alias("exact"),
+            (p.cast("double") / F.col("nd")).alias("pairs_per_doc"),
+            F.lit(_s_curve(b, r, 0.7)).alias("p_cand_j07"),
+            F.lit(_s_curve(b, r, 0.9)).alias("p_cand_j09"),
+        )
+
+    return combined.select(
+        F.explode(
+            F.array(*[row(cfg, b, r) for cfg, b, r in _LSH_CONFIGS])
+        ).alias("r")
+    ).select("r.*")
+
+
 _SS_W = 8  # rolling-window width in tokens
 _SS_MIN_OCC = 2  # a window is "duplicated" when it occurs this often corpus-wide
 
@@ -2001,4 +2124,170 @@ def source_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
                 / (F.col("na") + F.col("nb") - F.col("n_shared"))
             ).alias("jaccard"),
         )
+    )
+
+
+@query(
+    "substring_dedup_apply",
+    layer="C",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    seg AS (
+        SELECT doc_id, i AS pos,
+               CAST('0x' || substr(
+                   md5(array_to_string(w[i : i + {_SS_W} - 1], ' ')),
+                   1, 15) AS BIGINT) AS h
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - {_SS_W} + 1)) AS i
+              FROM t WHERE len(w) >= {_SS_W})
+    ),
+    occ AS (SELECT h, count(*) AS n_occ FROM seg GROUP BY h),
+    dup AS (
+        SELECT seg.doc_id, seg.pos
+        FROM seg JOIN occ USING (h)
+        WHERE occ.n_occ >= {_SS_MIN_OCC}
+    ),
+    isl AS (
+        SELECT doc_id, pos,
+               CASE WHEN pos - lag(pos) OVER (PARTITION BY doc_id
+                                              ORDER BY pos) <= {_SS_W}
+                    THEN 0 ELSE 1 END AS brk
+        FROM dup
+    ),
+    grp AS (
+        SELECT doc_id, pos,
+               SUM(brk) OVER (PARTITION BY doc_id ORDER BY pos
+                              ROWS UNBOUNDED PRECEDING) AS g
+        FROM isl
+    ),
+    spans AS (
+        SELECT doc_id, min(pos) AS s, max(pos) + {_SS_W} - 1 AS e
+        FROM grp GROUP BY doc_id, g
+    ),
+    sp_arr AS (
+        SELECT t.doc_id,
+               list({{'s': sp.s, 'e': sp.e}}) FILTER (sp.s IS NOT NULL)
+                   AS spans
+        FROM t LEFT JOIN spans sp USING (doc_id)
+        GROUP BY t.doc_id
+    ),
+    kept AS (
+        SELECT t.doc_id,
+               list_filter(
+                   list_transform(generate_series(1, len(t.w)),
+                                  i -> {{'i': i, 'tok': t.w[i]}}),
+                   x -> COALESCE(len(list_filter(sa.spans,
+                                 s2 -> x.i BETWEEN s2.s AND s2.e)), 0) = 0
+               ) AS ks,
+               len(t.w) AS n_before
+        FROM t JOIN sp_arr sa USING (doc_id)
+        WHERE len(t.w) >= 1
+    )
+    SELECT doc_id,
+           CAST(n_before AS BIGINT) AS n_tokens_before,
+           CAST(len(ks) AS BIGINT) AS n_tokens_after,
+           md5(COALESCE(array_to_string(list_transform(ks, x -> x.tok), ' '),
+                        '')) AS cleaned_md5
+    FROM kept
+    """,
+)
+def substring_dedup_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The APPLY half of exact-substring dedup (Lee et al. 2021 cut
+    the spans from the training text, not just flag them):
+    substring_dedup_spans' maximal duplicated spans are removed from
+    each document's token stream, and the row reports before/after
+    token counts plus the md5 of the CLEANED text — the oracle proves
+    the reconstructed document byte-for-byte, not just the counts.
+    Docs with no duplicated spans pass through intact (cleaned_md5 =
+    md5 of the normalized original).
+
+    Span application is positional set-subtraction, all inside array
+    expressions: each doc carries its (start, end) span list as a
+    broadcast-sized array column (collect_list over the per-doc spans
+    — O(spans per doc), not corpus-wide), and a single
+    filter(transform(sequence...)) drops tokens whose 1-based position
+    falls inside any span. No per-token join, no window beyond the
+    span derivation shared with substring_dedup_spans.
+
+    Scale shape: the detection half is substring_dedup_spans'
+    (window-hash counts + per-doc islands); the apply half is one
+    LEFT join of docs to their grouped span arrays (uniform doc_id
+    key) and a narrow map. Output is one row per doc. At 100 TB this
+    is the operator whose output feeds the tokenizer — which is why
+    the md5-of-text contract matters more here than anywhere else."""
+    from pyspark.sql import Window
+
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    base = d.select("doc_id", w.alias("w"), F.size(w).alias("n_tokens"))
+    seg = (
+        base.filter(F.col("n_tokens") >= _SS_W)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n_tokens") - (_SS_W - 1))
+            ).alias("pos"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            "pos",
+            hash60(F.array_join(F.slice(F.col("w"), F.col("pos"), _SS_W), " ")).alias(
+                "h"
+            ),
+        )
+    )
+    occ = seg.groupBy("h").agg(F.count(F.lit(1)).alias("n_occ"))
+    dup = seg.join(occ.filter(F.col("n_occ") >= _SS_MIN_OCC), "h").select(
+        "doc_id", "pos"
+    )
+    by_doc = Window.partitionBy("doc_id").orderBy("pos")
+    brk = (
+        F.when(F.col("pos") - F.lag("pos").over(by_doc) <= _SS_W, F.lit(0))
+        .otherwise(F.lit(1))
+        .alias("brk")
+    )
+    grp = dup.select("doc_id", "pos", brk).select(
+        "doc_id",
+        "pos",
+        F.sum("brk").over(by_doc.rowsBetween(Window.unboundedPreceding, 0)).alias("g"),
+    )
+    spans = (
+        grp.groupBy("doc_id", "g")
+        .agg(
+            F.min("pos").alias("s"),
+            (F.max("pos") + (_SS_W - 1)).alias("e"),
+        )
+        .groupBy("doc_id")
+        .agg(F.collect_list(F.struct("s", "e")).alias("spans"))
+    )
+    # typed empty array: a bare F.array() is array<string> and the
+    # coalesce silently null-poisons the struct lambda for span-less docs
+    empty = F.expr("CAST(array() AS array<struct<s:int,e:int>>)")
+    joined = base.join(spans, "doc_id", "left").withColumn(
+        "spans", F.coalesce("spans", empty)
+    )
+    kept = F.filter(
+        F.transform(
+            F.sequence(F.lit(1), F.col("n_tokens")),
+            lambda i: F.struct(i.alias("i"), F.element_at("w", i).alias("tok")),
+        ),
+        lambda x: ~F.exists(
+            F.col("spans"),
+            lambda sp: (x["i"] >= sp["s"]) & (x["i"] <= sp["e"]),
+        ),
+    )
+    return joined.filter(F.col("n_tokens") >= 1).select(
+        "doc_id",
+        F.col("n_tokens").cast("long").alias("n_tokens_before"),
+        F.size(kept).cast("long").alias("n_tokens_after"),
+        F.md5(
+            F.array_join(F.transform(kept, lambda x: x["tok"]), " ")
+        ).alias("cleaned_md5"),
     )

@@ -469,3 +469,291 @@ def multimodal_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         yield from _image_resize(with_payload(pdf) for pdf in batches)
 
     return d.select("doc_id").mapInPandas(gen_and_resize, schema=_RESIZE_SCHEMA)
+
+
+# ---------------------------------------------------------------------------
+# image_phash_dedup — perceptual-hash image dedup (r10 VERDICT item 6)
+# ---------------------------------------------------------------------------
+
+_PH_MAXH = 3  # max Hamming distance for a near-dup edge
+# int64-safe xorshift-multiply texture mix (every intermediate < 2^63,
+# so numpy int64 and DuckDB BIGINT agree without wraparound):
+#   x0 = (b*2654435761 + j*2246822519) % 2^32
+#   x1 = x0 XOR (x0 >> 15); x2 = (x1*49157) % 2^32
+#   x3 = x2 XOR (x2 >> 13); v = (x3 >> 8) % 256
+_PH_M1, _PH_M2, _PH_M3 = 2654435761, 2246822519, 49157
+_M32 = 1 << 32
+
+
+def _phash_base(doc_id: int) -> tuple[int, int]:
+    """(base image id, variant): doc_id % 40 == 1 -> near-dup of the
+    group base (one perturbed byte), == 2 -> exact copy, else its own
+    base image. The planted-dup schedule of the image corpus."""
+    r = doc_id % 40
+    return (doc_id - r, r) if r in (1, 2) else (doc_id, 0)
+
+
+def _phash_dims(b: int) -> tuple[int, int]:
+    """12..18 x 12..16 px — large enough that the 9x8 dHash sample
+    grid hits DISTINCT pixels (w >= 9, h >= 8; the 4..8 px
+    multimodal_decode images collapse sample positions and degrade
+    the hash — measured before choosing these dims)."""
+    return 12 + (b % 7), 12 + ((b // 7) % 5)
+
+
+def _phash_vals(b: int, n: int, perturb: bool) -> "np.ndarray":
+    j = np.arange(n, dtype=np.int64)
+    x = (b * _PH_M1 + j * _PH_M2) % _M32
+    x = x ^ (x >> 15)
+    x = (x * _PH_M3) % _M32
+    x = x ^ (x >> 13)
+    v = (x >> 8) % 256
+    if perturb:
+        v = v.copy()
+        v[0] = (v[0] + 128) % 256
+    return v.astype(np.uint8)
+
+
+def _phash_payload(doc_id: int) -> bytes:
+    b, r = _phash_base(doc_id)
+    w, h = _phash_dims(b)
+    v = _phash_vals(b, w * h * 3, r == 1)
+    return f"P6\n{w} {h}\n255\n".encode() + v.tobytes()
+
+
+_PHASH_SCHEMA = StructType(
+    [
+        StructField("doc_id", LongType()),
+        StructField("b0", LongType()),
+        StructField("b1", LongType()),
+        StructField("b2", LongType()),
+        StructField("b3", LongType()),
+    ]
+)
+
+
+def _image_dhash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    """Arrow-batched REAL-decode + dHash: parse each payload with
+    _decode_ppm (magic/header/buffer), grayscale = exact per-pixel RGB
+    sum, 8x9 nearest-neighbor sample grid, bit(i,j) = g(i,j) > g(i,j+1)
+    — 64 bits emitted as four 16-bit band ints (bit 63 in a single
+    BIGINT would go negative; the bands are what the LSH join keys on
+    anyway)."""
+    for pdf in batches:
+        out: dict[str, list] = {f.name: [] for f in _PHASH_SCHEMA.fields}
+        for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+            w, h, px = _decode_ppm(bytes(payload))
+            g = px.astype(np.int64).sum(axis=2)
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(9) * w) // 9
+            s = g[np.ix_(ys, xs)]
+            bits = (s[:, :8] > s[:, 1:]).astype(np.int64)  # (8 rows, 8 cols)
+            flat = bits.reshape(64)
+            out["doc_id"].append(doc_id)
+            for k in range(4):
+                band = int((flat[16 * k : 16 * (k + 1)] << np.arange(16)).sum())
+                out[f"b{k}"].append(band)
+        yield pd.DataFrame(out)
+
+
+_PH_MIX_SQL = f"""
+        SELECT doc_id, i, jj,
+               CASE WHEN r = 1 AND j = 0 THEN (v + 128) % 256 ELSE v END AS v
+        FROM (
+            SELECT doc_id, i, jj, j, r, (x3 >> 8) % 256 AS v
+            FROM (
+                SELECT doc_id, i, jj, j, r,
+                       xor(x2, x2 >> 13) AS x3
+                FROM (
+                    SELECT doc_id, i, jj, j, r,
+                           (xor(x0, x0 >> 15) * {_PH_M3}) % {_M32} AS x2
+                    FROM (
+                        SELECT doc_id, i, jj, j, r,
+                               (b * {_PH_M1} + j * {_PH_M2}) % {_M32} AS x0
+                        FROM samples
+                    )
+                )
+            )
+        )
+"""
+
+_PHASH_ORACLE = f"""
+    WITH RECURSIVE ids AS (
+        SELECT doc_id, doc_id % 40 AS r,
+               CASE WHEN doc_id % 40 IN (1, 2)
+                    THEN doc_id - doc_id % 40 ELSE doc_id END AS b
+        FROM documents
+    ),
+    dim AS (
+        SELECT doc_id, r, b,
+               12 + (b % 7) AS w, 12 + ((b // 7) % 5) AS h
+        FROM ids
+    ),
+    samples AS (
+        SELECT d.doc_id, d.r, d.b, gi.i, gj.jj,
+               (((gi.i * d.h) // 8) * d.w + ((gj.jj * d.w) // 9)) * 3 + c.c AS j
+        FROM dim d
+        CROSS JOIN (SELECT unnest(generate_series(0, 7)) AS i) gi
+        CROSS JOIN (SELECT unnest(generate_series(0, 8)) AS jj) gj
+        CROSS JOIN (SELECT unnest(generate_series(0, 2)) AS c) c
+    ),
+    px AS ({_PH_MIX_SQL}),
+    g AS (SELECT doc_id, i, jj, sum(v) AS g FROM px GROUP BY doc_id, i, jj),
+    bt AS (
+        SELECT a.doc_id, a.i, a.jj AS bj,
+               CASE WHEN a.g > b.g THEN 1 ELSE 0 END AS bit
+        FROM g a JOIN g b ON b.doc_id = a.doc_id AND b.i = a.i
+                         AND b.jj = a.jj + 1
+        WHERE a.jj < 8
+    ),
+    hx AS (
+        SELECT doc_id,
+               CAST(sum(CASE WHEN (i * 8 + bj) // 16 = 0
+                        THEN bit << ((i * 8 + bj) % 16) ELSE 0 END) AS BIGINT) AS b0,
+               CAST(sum(CASE WHEN (i * 8 + bj) // 16 = 1
+                        THEN bit << ((i * 8 + bj) % 16) ELSE 0 END) AS BIGINT) AS b1,
+               CAST(sum(CASE WHEN (i * 8 + bj) // 16 = 2
+                        THEN bit << ((i * 8 + bj) % 16) ELSE 0 END) AS BIGINT) AS b2,
+               CAST(sum(CASE WHEN (i * 8 + bj) // 16 = 3
+                        THEN bit << ((i * 8 + bj) % 16) ELSE 0 END) AS BIGINT) AS b3
+        FROM bt GROUP BY doc_id
+    ),
+    bands AS (
+        SELECT doc_id, 0 AS k, b0 AS band FROM hx
+        UNION ALL SELECT doc_id, 1, b1 FROM hx
+        UNION ALL SELECT doc_id, 2, b2 FROM hx
+        UNION ALL SELECT doc_id, 3, b3 FROM hx
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a JOIN bands b
+          ON a.k = b.k AND a.band = b.band AND a.doc_id < b.doc_id
+    ),
+    e AS (
+        SELECT c.doc_a, c.doc_b
+        FROM cand c
+        JOIN hx ha ON ha.doc_id = c.doc_a
+        JOIN hx hb ON hb.doc_id = c.doc_b
+        WHERE bit_count(xor(ha.b0, hb.b0)) + bit_count(xor(ha.b1, hb.b1))
+            + bit_count(xor(ha.b2, hb.b2)) + bit_count(xor(ha.b3, hb.b3))
+            <= {_PH_MAXH}
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM e
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM e
+    ),
+    cc AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT s.b AS node, cc.lbl FROM cc JOIN sym s ON s.a = cc.node
+    )
+    SELECT h.doc_id,
+           printf('%04x%04x%04x%04x', h.b3, h.b2, h.b1, h.b0) AS phash,
+           r.cluster_id, (r.cluster_id = h.doc_id) AS is_canonical
+    FROM hx h
+    JOIN (SELECT node AS doc_id, min(lbl) AS cluster_id
+          FROM cc GROUP BY node) r USING (doc_id)
+"""
+
+
+@query("image_phash_dedup", layer="C", oracle=_PHASH_ORACLE)
+def image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perceptual-hash IMAGE dedup — the dedup family's missing
+    modality (r10 VERDICT item 6): every document carries a
+    deterministic textured binary-PPM payload (xorshift-multiply pixel
+    mix; ~1/40 of docs are planted EXACT copies of their group base
+    and another 1/40 are NEAR-dups with one perturbed byte), the
+    Arrow-batched mapInPandas pass REALLY decodes each payload
+    (_decode_ppm: magic, header, buffer — the multimodal_decode
+    contract) and computes the public dHash (difference hash: 9x8
+    grayscale sample grid, bit = left > right — the standard
+    average/difference-hash recipe of imagehash/pHash lore), emitted
+    as four 16-bit bands. Near-dup candidates come from the SimHash
+    machinery's Hamming-LSH: pairs colliding on ANY band (pigeonhole:
+    Hamming <= {_PH_MAXH} over 64 bits cannot disagree in all 4
+    bands), verified by exact Hamming <= {_PH_MAXH} via xor +
+    bit_count, then clustered with the shared star-contraction CC
+    (_cc_min_label — dedup_clusters' closure) into
+    (doc_id, phash, cluster_id, is_canonical).
+
+    Why textured payloads instead of multimodal_decode's gradient
+    images: measured at 5k docs, the gradient formula collapses 3,014
+    docs onto dHash 0 (a constant ramp IS perceptually one image) —
+    banding would go quadratic for data reasons, not operator reasons.
+    The mix here yields 4,785 distinct hashes / 5k docs, max band
+    bucket 7, and all 375 verified pairs (250 planted) caught; every
+    arithmetic step is int64-exact so DuckDB replays the hash from the
+    generative formula alone — the oracle proves decode+hash inverts
+    the encoding, never touching the bytes.
+
+    Scale shape: payload synthesis + decode + hash are row-local
+    inside one mapInPandas (no shuffle, no driver bytes); the LSH is 4
+    narrow equi-joins on 16-bit band keys (union'd long-form, one
+    hash-join + DISTINCT); verification touches only candidate pairs
+    (4 ints each side); the closure is the shared 3-shuffle CC. At
+    100 TB the dHash is 8 bytes/image — the standard first rung before
+    expensive embedding-based image dedup."""
+    d = load_table(spark, sf_dir, "documents")
+
+    def gen_and_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        def with_payload(pdf: pd.DataFrame) -> pd.DataFrame:
+            return pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "payload": [_phash_payload(int(i)) for i in pdf["doc_id"]],
+                }
+            )
+
+        yield from _image_dhash(with_payload(pdf) for pdf in batches)
+
+    hx = (
+        d.select("doc_id")
+        .mapInPandas(gen_and_hash, schema=_PHASH_SCHEMA)
+        .localCheckpoint(eager=True)
+    )
+    bands = None
+    for k in range(4):
+        part = hx.select(
+            "doc_id", F.lit(k).alias("k"), F.col(f"b{k}").alias("band")
+        )
+        bands = part if bands is None else bands.unionByName(part)
+    a = bands.select(F.col("doc_id").alias("doc_a"), "k", "band")
+    b = bands.select(F.col("doc_id").alias("doc_b"), "k", "band")
+    cand = (
+        a.join(b, ["k", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .select("doc_a", "doc_b")
+        .distinct()
+    )
+    ha = hx.select(
+        F.col("doc_id").alias("doc_a"),
+        *[F.col(f"b{k}").alias(f"a{k}") for k in range(4)],
+    )
+    hb = hx.select(
+        F.col("doc_id").alias("doc_b"),
+        *[F.col(f"b{k}").alias(f"c{k}") for k in range(4)],
+    )
+    hamming = sum(
+        F.bit_count(F.col(f"a{k}").bitwiseXOR(F.col(f"c{k}"))) for k in range(4)
+    )
+    e = (
+        cand.join(ha, "doc_a")
+        .join(hb, "doc_b")
+        .filter(hamming <= _PH_MAXH)
+        .select("doc_a", "doc_b")
+    )
+    from cuttlefish_spark.operators.dedup import _cc_min_label
+
+    comp = _cc_min_label(hx.select(F.col("doc_id").alias("node")), e)
+    return (
+        hx.join(comp.withColumnRenamed("node", "doc_id"), "doc_id")
+        .select(
+            "doc_id",
+            F.format_string("%04x%04x%04x%04x", "b3", "b2", "b1", "b0").alias(
+                "phash"
+            ),
+            "cluster_id",
+            (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+        )
+    )

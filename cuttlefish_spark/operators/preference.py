@@ -332,3 +332,76 @@ def preference_pairs_dpo(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit("val"))
         .alias("split"),
     )
+
+
+_BON_N = 8  # candidate pool size per prompt group
+
+_BON_ORACLE = f"""
+    WITH cand AS (
+        SELECT doc_id // {_BON_N} AS prompt_id, doc_id,
+               n_chars AS reward,
+               n_chars * {_BON_N} + ({_BON_N} - 1 - doc_id % {_BON_N}) AS k
+        FROM documents
+    )
+    SELECT prompt_id,
+           CAST(count(*) AS BIGINT) AS n_candidates,
+           max_by(doc_id, k) AS chosen_id,
+           CAST(max(reward) AS BIGINT) AS chosen_reward,
+           min(doc_id) AS ref_id,
+           CAST(min_by(reward, doc_id) AS BIGINT) AS ref_reward,
+           CAST(max(reward) - min_by(reward, doc_id) AS BIGINT) AS uplift
+    FROM cand
+    GROUP BY prompt_id
+"""
+
+
+@query("best_of_n_selection", layer="C", oracle=_BON_ORACLE)
+def best_of_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Best-of-n / rejection-sampling materialization — the third
+    consumer of the preference layer (r10 VERDICT item 9; public
+    recipe: Stiennon et al. 2020 / Nakano et al. 2021 best-of-n
+    sampling, and the rejection-sampling fine-tuning round of Touvron
+    et al. 2023 Llama 2): documents are grouped into prompts of
+    {_BON_N} candidates (prompt_id = doc_id // {_BON_N} — the
+    deterministic stand-in for n policy samples per prompt), the
+    reward model is the same length signal bradley_terry_strength and
+    preference_pairs_dpo rank on, and each prompt keeps its
+    argmax-reward candidate — the per-prompt winning row IS the
+    rejection-sampling SFT dataset. The reference-policy comparison
+    rides along: ref = the group's first draw (min doc_id, "the
+    sample you would have taken without best-of-n"), and `uplift` =
+    chosen_reward - ref_reward is the standard BoN reward-gain
+    statistic.
+
+    Determinism: rewards are exact integers; the argmax is a single
+    max_by on the packed key reward * {_BON_N} + ({_BON_N}-1 -
+    doc_id % {_BON_N}) — group members have distinct doc_id mod
+    {_BON_N}, so keys never tie and equal rewards break to the
+    SMALLEST doc_id in both engines identically. No floats anywhere.
+
+    Scale shape: ONE groupBy over the corpus on a uniform
+    high-cardinality key (n/{_BON_N} prompts), all aggregates
+    map-side-partial (max/min/max_by/min_by/count) — a single
+    shuffle; no window, no join. At 100 TB this is the cheapest query
+    in the preference family and the one that runs every RLHF
+    iteration."""
+    d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
+    cand = d.select(
+        (F.col("doc_id") / _BON_N).cast("long").alias("prompt_id"),
+        "doc_id",
+        F.col("n_chars").alias("reward"),
+        (
+            F.col("n_chars") * _BON_N
+            + (F.lit(_BON_N - 1) - F.col("doc_id") % _BON_N)
+        ).alias("k"),
+    )
+    return cand.groupBy("prompt_id").agg(
+        F.count(F.lit(1)).alias("n_candidates"),
+        F.expr("max_by(doc_id, k)").alias("chosen_id"),
+        F.max("reward").cast("long").alias("chosen_reward"),
+        F.min("doc_id").alias("ref_id"),
+        F.expr("min_by(reward, doc_id)").cast("long").alias("ref_reward"),
+        (F.max("reward") - F.expr("min_by(reward, doc_id)"))
+        .cast("long")
+        .alias("uplift"),
+    )

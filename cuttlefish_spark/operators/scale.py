@@ -78,6 +78,85 @@ def range_join_bucketed(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "range_join_events",
+    layer="B",
+    oracle="""
+    WITH purch AS (
+        SELECT event_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT ts AS ts_c, value,
+               date_trunc('minute', ts) AS bucket
+        FROM events WHERE event_type = 'click'
+    ),
+    p AS (
+        SELECT event_id, ts,
+               unnest(generate_series(
+                   date_trunc('minute', ts - INTERVAL 2 MINUTE),
+                   date_trunc('minute', ts),
+                   INTERVAL 1 MINUTE)) AS bucket
+        FROM purch
+    )
+    SELECT p.event_id AS purchase_id,
+           CAST(count(*) AS BIGINT) AS n_clicks,
+           CAST(SUM(CAST(c.value AS DECIMAL(18,6))) AS DOUBLE) AS sum_value
+    FROM p JOIN clicks c USING (bucket)
+    WHERE c.ts_c >= p.ts - INTERVAL 2 MINUTE AND c.ts_c < p.ts
+    GROUP BY p.event_id
+    """,
+)
+def range_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pure time-range join on OVERLAPPING streams — the value-tested
+    twin of range_join_bucketed (r11 ADVICE: the orders/events date
+    spans in the driver corpus are disjoint, so that query's output is
+    empty at every sf and its residual predicate was plan-pinned but
+    never value-exercised; both streams here come from the events
+    table, overlapping by construction): each purchase is matched to
+    every click in the preceding 2 minutes — no user key, time is the
+    ONLY join dimension, which is what makes it a range join rather
+    than the interval joins' equi+range shape.
+
+    Same executed plan as range_join_bucketed: the range predicate
+    becomes an equi-join by exploding each purchase into its 3 covered
+    minute-buckets and keying clicks by their minute, with the exact
+    [ts-2min, ts) residual applied after the hash join — a naive
+    inequality join plans as BroadcastNestedLoop, O(n*m). Aggregates
+    ride DECIMAL(18,6) (dec_sum) so the per-purchase sums are
+    order-independent across engines and partitionings.
+
+    Scale shape: one explode (3x the purchase stream, narrow), one
+    hash join on minute keys (uniform, high-cardinality over a real
+    time range), map-side-partial aggregation on purchase ids. Bucket
+    granularity is the knob: pick it so avg rows/bucket stays O(events
+    per window), which keeps candidate volume linear in output."""
+    ev = load_table(spark, sf_dir, "events")
+    purch = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id",
+        "ts",
+        F.explode(
+            F.sequence(
+                F.date_trunc("minute", F.col("ts") - F.expr("INTERVAL 2 MINUTE")),
+                F.date_trunc("minute", F.col("ts")),
+                F.expr("INTERVAL 1 MINUTE"),
+            )
+        ).alias("bucket"),
+    )
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        F.col("ts").alias("ts_c"),
+        "value",
+        F.date_trunc("minute", F.col("ts")).alias("bucket"),
+    )
+    joined = purch.join(clicks, "bucket").filter(
+        (F.col("ts_c") >= F.col("ts") - F.expr("INTERVAL 2 MINUTE"))
+        & (F.col("ts_c") < F.col("ts"))
+    )
+    return joined.groupBy(F.col("event_id").alias("purchase_id")).agg(
+        F.count(F.lit(1)).alias("n_clicks"),
+        dec_sum(F.col("value"), alias="sum_value"),
+    )
+
+
+@query(
     "skew_salted_agg",
     layer="B",
     oracle="""

@@ -2195,3 +2195,233 @@ def ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(_PQ_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# kcenter_coreset — k-Center greedy data selection (Sener & Savarese 2018)
+# ---------------------------------------------------------------------------
+
+_KC_K = 8  # greedy rounds (selected points beyond the seed)
+
+
+def _kc_oracle() -> str:
+    d2 = _D2_DUCK.format(a="p.v", b="s.v")
+    ctes = [
+        "vecs AS MATERIALIZED (SELECT vec_id,"
+        " CAST(embedding AS DOUBLE[]) AS v FROM embeddings)",
+        "sel0 AS (SELECT vec_id, v FROM vecs WHERE vec_id = 0)",
+    ]
+    for r in range(1, _KC_K + 1):
+        ctes.append(f"""d{r} AS (
+            SELECT p.vec_id, min(round({d2}, 6)) AS m
+            FROM vecs p JOIN sel{r - 1} s ON TRUE
+            GROUP BY p.vec_id)""")
+        ctes.append(f"""a{r} AS (
+            SELECT CAST({r} AS BIGINT) AS round, vec_id, m AS radius
+            FROM d{r} ORDER BY m DESC, vec_id LIMIT 1)""")
+        ctes.append(f"""sel{r} AS (
+            SELECT vec_id, v FROM sel{r - 1}
+            UNION ALL
+            SELECT a.vec_id, vecs.v FROM a{r} a JOIN vecs USING (vec_id))""")
+    rows = ["SELECT CAST(0 AS BIGINT) AS round, CAST(0 AS BIGINT)"
+            " AS selected_id, CAST(NULL AS DOUBLE) AS coverage_radius"]
+    rows += [f"SELECT round, vec_id AS selected_id, radius FROM a{r}"
+             for r in range(1, _KC_K + 1)]
+    return "WITH " + ",\n    ".join(ctes) + "\n    " + "\n    UNION ALL ".join(rows)
+
+
+@query("kcenter_coreset", layer="C", oracle=_kc_oracle())
+def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-Center GREEDY coreset selection over the embedding corpus —
+    the geometric data-selection rung next to the distributional ones
+    (DSIR/DoReMi/RHO already on this engine): Sener & Savarese 2018
+    ("Active Learning for CNNs: A Core-Set Approach") select the point
+    FARTHEST from the current selection each round, so the chosen set
+    2-approximates the minimax coverage radius — the standard public
+    recipe for picking a small diverse training subset from a large
+    embedding pool. Output: one row per round with the selected vector
+    and the coverage radius at selection time (the radius column IS
+    the diminishing-returns curve a user reads to choose k).
+
+    Determinism: seed = vec_id 0; distances are the pinned
+    (aa - 2ab) + bb sequential-fold squared-L2 rounded to 6 (the
+    embedding_kmeans discipline); the per-round argmax is
+    max(struct(d_min, -vec_id)) — exact tie-break to the smallest id,
+    matching the oracle's ORDER BY m DESC, vec_id. The oracle unrolls
+    all {_KC_K} rounds as CTEs and re-derives the identical
+    trajectory.
+
+    Scale shape: each round is ONE job — the corpus joined to a
+    BROADCAST <= {_KC_K}+1-row selected set, a per-point min, and a
+    1-row argmax collect (the model, O(k) total driver traffic — the
+    bpe_train_merges bound). At 100 TB, production k-center runs
+    exactly this loop with the d_min column persisted and updated
+    incrementally (min(old_dmin, dist-to-newest) — one broadcast of
+    ONE vector per round); the unrolled re-min here keeps the oracle
+    static while the plan shape is identical."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    ).localCheckpoint(eager=True)
+
+    def d2(a, b):
+        return (dot(a, a) - F.lit(2.0) * dot(a, b)) + dot(b, b)
+
+    selected: list[tuple[int, int, float | None]] = [(0, 0, None)]
+    sel_ids = [0]
+    for r in range(1, _KC_K + 1):
+        sel = vecs.filter(F.col("vec_id").isin(sel_ids)).select(
+            F.col("v").alias("sv")
+        )
+        dmin = (
+            vecs.join(F.broadcast(sel))
+            .select(
+                "vec_id",
+                F.round(d2(F.col("v"), F.col("sv")), 6).alias("d"),
+            )
+            .groupBy("vec_id")
+            .agg(F.min("d").alias("m"))
+        )
+        top = dmin.agg(
+            F.max(F.struct(F.col("m"), (-F.col("vec_id")).alias("nid"))).alias("t")
+        ).collect()[0]["t"]
+        chosen, radius = -top["nid"], float(top["m"])
+        selected.append((r, int(chosen), radius))
+        sel_ids.append(int(chosen))
+    return spark.createDataFrame(
+        selected, "round long, selected_id long, coverage_radius double"
+    )
+
+
+# ---------------------------------------------------------------------------
+# hard_negative_mining — ANN-bucketed hard negatives for retrieval training
+# ---------------------------------------------------------------------------
+
+_HN_ANCHORS = 8  # anchors = vec_id < 8
+_HN_K = 3        # hard negatives kept per anchor
+
+
+def _hn_oracle() -> str:
+    bits = _bucket_bits_sql()
+    cos = (
+        "round(list_dot_product(s.v, a.av)"
+        " / (sqrt(list_dot_product(s.v, s.v))"
+        " * sqrt(list_dot_product(a.av, a.av))), 6)"
+    )
+    return f"""
+    WITH t AS (
+        SELECT vec_id, label, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (SELECT vec_id, label, v, concat({bits}) AS bucket FROM t),
+    a AS (SELECT vec_id AS anchor_id, label AS anchor_label, bucket,
+                 v AS av
+          FROM sig WHERE vec_id < {_HN_ANCHORS}),
+    j AS (
+        SELECT a.anchor_id, a.anchor_label,
+               s.vec_id AS neg_id, s.label AS neg_label,
+               {cos} AS cosine
+        FROM a JOIN sig s USING (bucket)
+        WHERE s.label <> a.anchor_label
+    ),
+    r AS (
+        SELECT *, row_number() OVER (PARTITION BY anchor_id
+                                     ORDER BY cosine DESC, neg_id) AS rnk
+        FROM j
+    )
+    SELECT anchor_id, anchor_label, CAST(rnk AS BIGINT) AS rank,
+           neg_id, neg_label, cosine
+    FROM r WHERE rnk <= {_HN_K}
+    """
+
+
+@query("hard_negative_mining", layer="C", oracle=_hn_oracle())
+def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HARD-negative mining for retrieval/embedding training — the
+    dataset-construction step of DPR-class dual-encoder training
+    (Karpukhin et al. 2020: the negatives that matter are the ones the
+    index confuses with the anchor, not random draws — which
+    negative_sampling already provides as the baseline): for each
+    anchor (vec_id < {_HN_ANCHORS}), the top-{_HN_K} most-cosine-similar
+    vectors with a DIFFERENT label, candidates restricted to the
+    anchor's sign-random-projection LSH bucket (embedding_lsh_bucket's
+    machinery — same deterministic +-1 hyperplanes, same
+    quantize-before-sign discipline).
+
+    Why bucketed: production mines hard negatives from an ANN index
+    precisely because scoring every anchor against the corpus is the
+    n^2 this family never does; the bucket bounds per-anchor
+    candidates at ~n/2^{N_PLANES}, which also makes the per-anchor
+    top-k a BOUNDED in-memory sort (array_sort over the collected
+    bucket-mates — ~n/256 structs, not a rank window over the corpus).
+    Ties break to the smaller vec_id via the struct sort key
+    (-cosine, vec_id), matching the oracle's ORDER BY exactly.
+
+    Scale shape: one Arrow-batched signature pass (one numpy matmul
+    per batch), anchors broadcast (8 rows), one keyed join on the
+    bucket, one groupBy(anchor) with a bounded collect_list, a 3-slice
+    explode. At 100 TB the bucket key is the IVF cell and the
+    per-anchor candidate bound is the index's nprobe contract."""
+    e = load_table(spark, sf_dir, "embeddings")
+    t = e.select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+    def _signatures(batches):
+        import numpy as np
+        import pandas as pd
+
+        planes_t = np.array(_plane_weights()).T  # 64 x N_PLANES
+        for pdf in batches:
+            m = np.stack(pdf["v"].to_numpy())
+            bits = np.round(m @ planes_t, 6) >= 0
+            yield pd.DataFrame(
+                {
+                    "vec_id": pdf["vec_id"],
+                    "label": pdf["label"],
+                    "bucket": [
+                        "".join("1" if b else "0" for b in row) for row in bits
+                    ],
+                    "v": pdf["v"],
+                }
+            )
+
+    sig = t.mapInPandas(
+        _signatures,
+        schema="vec_id bigint, label int, bucket string, v array<double>",
+    )
+    anchors = F.broadcast(
+        sig.filter(F.col("vec_id") < _HN_ANCHORS).select(
+            F.col("vec_id").alias("anchor_id"),
+            F.col("label").alias("anchor_label"),
+            "bucket",
+            F.col("v").alias("av"),
+        )
+    )
+    scored = (
+        sig.join(anchors, "bucket")
+        .filter(F.col("label") != F.col("anchor_label"))
+        .select(
+            "anchor_id",
+            "anchor_label",
+            F.struct(
+                (-F.round(cosine_sim(F.col("v"), F.col("av")), 6)).alias("nc"),
+                F.col("vec_id").alias("neg_id"),
+                F.col("label").alias("neg_label"),
+            ).alias("s"),
+        )
+    )
+    topk = scored.groupBy("anchor_id", "anchor_label").agg(
+        F.slice(F.array_sort(F.collect_list("s")), 1, _HN_K).alias("top")
+    )
+    return topk.select(
+        "anchor_id",
+        "anchor_label",
+        F.posexplode("top").alias("p", "s"),
+    ).select(
+        "anchor_id",
+        "anchor_label",
+        (F.col("p") + 1).cast("long").alias("rank"),
+        F.col("s.neg_id").alias("neg_id"),
+        F.col("s.neg_label").alias("neg_label"),
+        (-F.col("s.nc")).alias("cosine"),
+    )

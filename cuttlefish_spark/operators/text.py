@@ -127,6 +127,311 @@ def lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
     return s.select("*", pred.alias("predicted_lang"))
 
 
+# ---------------------------------------------------------------------------
+# lang_id_learned — TRAINED language classifier (fastText-style), the
+# learned rung above the stopword heuristic (r10 VERDICT item 5)
+# ---------------------------------------------------------------------------
+
+_LID_D = 128          # hashed char-trigram buckets; bucket _LID_D = bias
+_LID_T = 12           # full-batch gradient steps (one-vs-rest, all classes)
+_LID_SCALE = 1 << 20  # fixed-point scale (2^20)
+_LID_CLASSES = ["de", "en", "es", "fr", "zh"]  # alphabetical = tie order
+
+
+def _lid_lr_div(t: int) -> int:
+    """quality_classifier_ngram's step-decay schedule (halve every 4
+    steps; power-of-2 so every update is an exact integer floordiv)."""
+    return 1 << (t // 4)
+
+
+_LID_CACHE: dict[tuple, tuple] = {}
+
+
+def _lid_feature_sql() -> str:
+    """DuckDB twin of _lid_feats: salted-md5 hashing of char TRIGRAMS
+    of the trimmed lowercased text into _LID_D buckets, plus the
+    constant bias feature (bucket _LID_D, cnt 1) on every doc."""
+    return rf"""
+            SELECT doc_id, bucket, CAST(count(*) AS BIGINT) AS cnt
+            FROM (
+              SELECT doc_id,
+                     CAST('0x' || substr(md5('lid:' || substr(s, i, 3)), 1, 15)
+                          AS BIGINT) % {_LID_D} AS bucket
+              FROM (SELECT doc_id, s,
+                           unnest(generate_series(1, length(s) - 2)) AS i
+                    FROM (SELECT doc_id, trim(lower(text)) AS s FROM documents)
+                    WHERE length(s) >= 3)
+            ) GROUP BY doc_id, bucket
+            UNION ALL
+            SELECT doc_id, CAST({_LID_D} AS BIGINT) AS bucket,
+                   CAST(1 AS BIGINT) AS cnt
+            FROM documents
+"""
+
+
+def _lid_oracle() -> str:
+    """Unrolled one-vs-rest fixed-point training + argmax prediction +
+    heuristic disagreement report, pure SQL (the _qc_oracle pattern
+    with a class dimension — every reduction an int64 SUM)."""
+    D, S, T = _LID_D, _LID_SCALE, _LID_T
+    cls_vals = ", ".join(f"'{c}'" for c in _LID_CLASSES)
+    idx_vals = ", ".join(str(i) for i in range(len(_LID_CLASSES)))
+    ctes = [
+        "lbl AS MATERIALIZED (SELECT doc_id, lang FROM documents)",
+        f"cls AS (SELECT unnest([{cls_vals}]) AS cls,"
+        f" unnest([{idx_vals}]) AS idx)",
+        "nn AS (SELECT CAST(count(*) AS BIGINT) AS n FROM lbl)",
+        f"ft AS MATERIALIZED ({_lid_feature_sql()})",
+        f"w0 AS (SELECT c.cls, b.bucket, CAST(0 AS BIGINT) AS w FROM cls c"
+        f" CROSS JOIN (SELECT unnest(generate_series(0, {D})) AS bucket) b)",
+    ]
+    for t in range(T + 1):
+        ctes.append(f"""s{t} AS MATERIALIZED (
+            SELECT f.doc_id, w.cls, CAST(sum(f.cnt * w.w) AS BIGINT) AS score
+            FROM ft f JOIN w{t} w USING (bucket)
+            GROUP BY f.doc_id, w.cls)""")
+        if t == T:
+            break
+        ctes.append(f"""p{t} AS MATERIALIZED (
+            SELECT s.doc_id, s.cls,
+                   greatest(CAST(0 AS BIGINT), least(CAST({S} AS BIGINT),
+                            {S // 2} + (s.score >> 2)))
+                   - CASE WHEN l.lang = s.cls THEN {S} ELSE 0 END AS resid
+            FROM s{t} s JOIN lbl l USING (doc_id))""")
+        m = f"(nn.n * {_lid_lr_div(t)})"
+        ctes.append(f"""g{t} AS MATERIALIZED (
+            SELECT pp.cls, f.bucket,
+                   CAST(sum(pp.resid * f.cnt) AS BIGINT) AS g
+            FROM ft f JOIN p{t} pp USING (doc_id)
+            GROUP BY pp.cls, f.bucket)""")
+        ctes.append(f"""w{t + 1} AS MATERIALIZED (
+            SELECT w.cls, w.bucket,
+                   w.w - CASE WHEN g.g IS NULL THEN 0
+                         ELSE (g.g - ((g.g % {m}) + {m}) % {m}) // {m}
+                         END AS w
+            FROM w{t} w CROSS JOIN nn
+            LEFT JOIN g{t} g ON g.cls = w.cls AND g.bucket = w.bucket)""")
+    scores = ",\n           ".join(
+        f"CAST(len(list_intersect(toks, {_sql_list(ws)})) AS BIGINT) AS score_{lang}"
+        for lang, ws in STOPWORDS.items()
+    )
+    best = "greatest(score_en, score_fr, score_es, score_de)"
+    hpred = (
+        "CASE WHEN " + best + " = 0 THEN 'unknown' "
+        + " ".join(
+            f"WHEN score_{lang} = {best} THEN '{lang}'" for lang in STOPWORDS
+        )
+        + " END"
+    )
+    return (
+        "WITH " + ",\n    ".join(ctes) + f""",
+    pred AS (
+        SELECT s.doc_id,
+               max_by(s.cls, s.score * 8 + (7 - c.idx)) AS pred_learned
+        FROM s{T} s JOIN cls c ON c.cls = s.cls
+        GROUP BY s.doc_id
+    ),
+    hx AS (
+        SELECT doc_id, {hpred} AS pred_heuristic
+        FROM (SELECT doc_id, {scores}
+              FROM (SELECT doc_id, {_TOKS_SQL} AS toks FROM documents))
+    )
+    SELECT pred_learned, pred_heuristic,
+           (pred_learned = pred_heuristic) AS agree,
+           CAST(count(*) AS BIGINT) AS n_docs,
+           CAST(sum(CASE WHEN pred_learned = l.lang THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_label_match,
+           CAST(count(*) AS DOUBLE) / nn.n AS share
+    FROM pred p
+    JOIN hx h USING (doc_id)
+    JOIN lbl l USING (doc_id)
+    CROSS JOIN nn
+    GROUP BY pred_learned, pred_heuristic, nn.n"""
+    )
+
+
+def _lid_feats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, bucket, cnt): salted-md5 hashing of char trigrams of
+    the trimmed lowercased text into _LID_D buckets (the fastText
+    lang-ID feature family — Joulin et al. 2016 use char n-grams for
+    lid.176), plus the constant bias feature per doc."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    s = F.trim(F.lower(F.col("text")))
+    base = d.select("doc_id", s.alias("s"))
+    tri = (
+        base.filter(F.length("s") >= 3)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("s") - 2)).alias("i"),
+            "s",
+        )
+        .select(
+            "doc_id",
+            (
+                hash60(
+                    F.concat(F.lit("lid:"), F.col("s").substr(F.col("i"), F.lit(3)))
+                )
+                % _LID_D
+            ).alias("bucket"),
+        )
+        .groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    bias = base.select(
+        "doc_id",
+        F.lit(_LID_D).cast("long").alias("bucket"),
+        F.lit(1).cast("long").alias("cnt"),
+    )
+    return tri.unionByName(bias)
+
+
+def _lid_model_df(spark: SparkSession, w: dict) -> DataFrame:
+    return spark.createDataFrame(
+        [(c, b, int(w[(c, b)])) for c in _LID_CLASSES for b in range(_LID_D + 1)],
+        "cls string, bucket long, w long",
+    )
+
+
+def _lid_scores(feats: DataFrame, wdf: DataFrame) -> DataFrame:
+    """(doc_id, cls, score): exact int64 dot products for ALL classes
+    in one broadcast join — the class dimension rides the 5x(D+1)-row
+    model, not a per-class job."""
+    return (
+        feats.join(F.broadcast(wdf), "bucket")
+        .groupBy("doc_id", "cls")
+        .agg(F.sum(F.col("cnt") * F.col("w")).cast("long").alias("score"))
+    )
+
+
+def _lid_train(spark: SparkSession, sf_dir: str) -> tuple:
+    """_LID_T one-vs-rest full-batch steps, fixed-point int64 — the
+    _qc_train loop with a class dimension: per step ONE job computes
+    every class's scores (broadcast 5x129-row model join), residuals
+    (hard sigmoid, label match per class), and the (cls, bucket)
+    gradient, ending in one O(classes x buckets) collect."""
+    from cuttlefish_spark.io import memo_key, memo_put
+
+    key = memo_key(spark, sf_dir, "documents")
+    if key in _LID_CACHE:
+        return _LID_CACHE[key]
+    feats = (
+        _lid_feats(spark, sf_dir).repartition("doc_id").localCheckpoint(eager=True)
+    )
+    labels = (
+        spread(spark, load_table(spark, sf_dir, "documents"))
+        .select("doc_id", "lang")
+        .repartition("doc_id")
+        .localCheckpoint(eager=True)
+    )
+    n = labels.count()
+    w = {(c, b): 0 for c in _LID_CLASSES for b in range(_LID_D + 1)}
+    S = _LID_SCALE
+    for t in range(_LID_T):
+        scores = _lid_scores(feats, _lid_model_df(spark, w))
+        p = F.greatest(
+            F.lit(0).cast("long"),
+            F.least(F.lit(S).cast("long"), F.lit(S // 2) + F.shiftright("score", 2)),
+        )
+        resid = scores.join(labels, "doc_id").select(
+            "doc_id",
+            "cls",
+            (p - (F.col("lang") == F.col("cls")).cast("long") * S).alias("resid"),
+        )
+        g_rows = (
+            feats.join(resid, "doc_id")
+            .groupBy("cls", "bucket")
+            .agg(F.sum(F.col("resid") * F.col("cnt")).alias("g"))
+            .collect()
+        )
+        m = n * _lid_lr_div(t)
+        for row in g_rows:  # Python // floors — matches the pmod oracle
+            w[(row["cls"], row["bucket"])] -= int(row["g"]) // m
+    memo_put(_LID_CACHE, key, (w, n, feats, labels))
+    return w, n, feats, labels
+
+
+@query("lang_id_learned", layer="C", oracle=_lid_oracle())
+def lang_id_learned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LEARNED language ID — the fastText-style rung above lang_id's
+    stopword heuristic (r10 VERDICT item 5; public recipe: Joulin et
+    al. 2016, whose lid.176 model is a linear classifier over hashed
+    char-n-gram features — here char TRIGRAMS into {_LID_D} buckets),
+    trained one-vs-rest on the corpus's own lang labels with the
+    quality_classifier_ngram fixed-point loop generalized to a class
+    dimension: {_LID_T} full-batch steps, hard-sigmoid link, int64
+    everywhere, so Spark and DuckDB train the bit-identical model.
+    Prediction is the argmax class by trained score, ties broken in
+    fixed alphabetical class order via the packed integer key
+    score*8 + (7 - idx) fed to max_by (scores of different classes
+    never tie on the key).
+
+    The output is the DISAGREEMENT REPORT against the heuristic: one
+    row per (pred_learned, pred_heuristic) cell with its doc count,
+    how many learned predictions match the true label, the cell's
+    corpus share, and an `agree` flag — sum share over agree = the
+    agreement rate the two rungs have, the audit a pipeline runs
+    before swapping classifiers. On THIS corpus the text is
+    synthesized independently of the lang column (the same vocabulary
+    for all languages), so the learned model converges to its bias
+    (majority-class predictions) — the separability bound is the
+    corpus's, not the estimator's (quality_classifier_ngram documents
+    the same bound); real corpora separate on char n-grams strongly.
+
+    Scale shape: the corpus collapses once to the hashed feature table
+    (checkpointed, doc_id-partitioned); each step is ONE job — a
+    broadcast {len(_LID_CLASSES)}x{_LID_D + 1}-row model join (classes
+    ride the model table, NOT per-class jobs), an exchange-free doc
+    aggregate + labels join, and a (cls, bucket) gradient aggregate
+    collapsing map-side to O(classes x buckets) rows before one
+    bounded collect. Inference is one more broadcast join + argmax;
+    the heuristic side is lang_id's scan. Overflow bound as
+    quality_classifier_ngram's."""
+    w, n, feats, labels = _lid_train(spark, sf_dir)
+    scores = _lid_scores(feats, _lid_model_df(spark, w))
+    idx = F.when(F.col("cls") == _LID_CLASSES[0], 0)
+    for i, c in enumerate(_LID_CLASSES[1:], start=1):
+        idx = idx.when(F.col("cls") == c, i)
+    pred = (
+        scores.withColumn("k", F.col("score") * 8 + (F.lit(7) - idx))
+        .groupBy("doc_id")
+        .agg(F.expr("max_by(cls, k)").alias("pred_learned"))
+    )
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    toks = F.array_distinct(tokens(F.col("text")))
+    hs = d.select(
+        "doc_id",
+        *[_overlap(toks, ws).alias(f"score_{lang}") for lang, ws in STOPWORDS.items()],
+    )
+    best = F.greatest(*[F.col(f"score_{lang}") for lang in STOPWORDS])
+    hpred = F.when(best == 0, "unknown")
+    for lang in STOPWORDS:
+        hpred = hpred.when(F.col(f"score_{lang}") == best, lang)
+    hx = hs.select("doc_id", hpred.alias("pred_heuristic"))
+    return (
+        pred.join(hx, "doc_id")
+        .join(labels, "doc_id")
+        .groupBy("pred_learned", "pred_heuristic")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum(
+                F.when(F.col("pred_learned") == F.col("lang"), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_label_match"),
+        )
+        .select(
+            "pred_learned",
+            "pred_heuristic",
+            (F.col("pred_learned") == F.col("pred_heuristic")).alias("agree"),
+            F.col("n_docs").cast("long").alias("n_docs"),
+            "n_label_match",
+            (F.col("n_docs").cast("double") / F.lit(n).cast("double")).alias(
+                "share"
+            ),
+        )
+    )
+
+
 @query(
     "quality_score",
     layer="C",
@@ -1536,6 +1841,138 @@ def lm_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_KN_D = 0.75  # absolute discount — exactly representable (3/4)
+
+
+@query(
+    "lm_kneser_ney_score",
+    layer="C",
+    oracle=rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+               END AS w
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, w[i] AS w1, w[i + 1] AS w2
+        FROM (SELECT doc_id, w,
+                     unnest(generate_series(1, len(w) - 1)) AS i
+              FROM t WHERE len(w) >= 2)
+    ),
+    big AS (SELECT w1, w2, count(*) AS c12 FROM bg GROUP BY w1, w2),
+    lft AS (SELECT w1, CAST(sum(c12) AS BIGINT) AS c1,
+                   CAST(count(*) AS BIGINT) AS n1w1
+            FROM big GROUP BY w1),
+    rgt AS (SELECT w2, CAST(count(*) AS BIGINT) AS nctx FROM big GROUP BY w2),
+    nt AS (SELECT CAST(count(*) AS BIGINT) AS ntypes FROM big),
+    docbg AS (
+        SELECT doc_id, w1, w2, count(*) AS c FROM bg GROUP BY ALL
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(sum(d.c) AS BIGINT) AS n_bigrams,
+               CAST(sum(CAST(round(ln(
+                       ((big.c12 - {_KN_D}) / lft.c1)
+                       + (({_KN_D} * lft.n1w1) / lft.c1)
+                         * (CAST(rgt.nctx AS DOUBLE) / nt.ntypes)
+                   ) * 1000000) AS BIGINT) * d.c) AS BIGINT) AS slp
+        FROM docbg d
+        JOIN big USING (w1, w2)
+        JOIN lft USING (w1)
+        JOIN rgt USING (w2)
+        CROSS JOIN nt
+        GROUP BY d.doc_id
+    )
+    SELECT doc_id, n_bigrams,
+           slp / 1000000.0 / n_bigrams AS avg_logprob,
+           round(exp(-(slp / 1000000.0 / n_bigrams)), 2) AS ppl
+    FROM scored
+    """,
+)
+def lm_kneser_ney_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interpolated Kneser-Ney bigram scoring — the smoothing KenLM
+    (and therefore CCNet's perplexity filter) actually implements
+    (Kneser & Ney 1995; the interpolated form of Chen & Goodman 1996),
+    completing the LM-quality ladder: add-one (lm_bigram_score) ->
+    Jelinek-Mercer interpolation (lm_trigram_jm_score) -> absolute
+    discounting with CONTINUATION counts:
+
+        P(w2|w1) = max(c(w1 w2) - D, 0) / c(w1 .)
+                   + (D * N1+(w1 .) / c(w1 .)) * (N1+(. w2) / N1+(. .))
+
+    with fixed discount D = {_KN_D}. The continuation distribution
+    scores w2 by how many DISTINCT contexts it follows, not how often
+    it occurs — the published insight that demotes burst-frequent but
+    context-bound tokens ("Francisco") that plain interpolation
+    overweights. Scoring runs on the training corpus itself, so
+    c12 >= 1 and the max(.,0) never binds (c12 - 0.75 > 0; noted so
+    the oracle can omit the clamp).
+
+    Determinism: every count is int64; D = 0.75 is exactly
+    representable, so (c12 - D) is an exact double; the three-factor
+    mixture is evaluated in one PINNED association spelled identically
+    in both engines, quantized to micro-nats per bigram before the
+    order-independent per-doc sum (the lm_bigram_score recipe, same
+    tier-2 ln-ulp residual), mean as unrounded integer quotient, ppl
+    rounded at 2.
+
+    Scale shape: identical to lm_bigram_score — ONE bigram explode
+    feeds the type table and the per-doc stream; left/right/type
+    marginals are map-side-partial aggregations over the TYPE table
+    (already collapsed, tiny); the per-doc side pre-aggregates to
+    (doc_id, bigram, count) before the three model joins. The trained
+    (big, lft, rgt) frames are the persistable KN model."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    w = tokens(F.col("text"))
+    t = d.select("doc_id", w.alias("w"))
+    bg = (
+        t.filter(F.size("w") >= 2)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.size("w") - 1)).alias("i"),
+            "w",
+        )
+        .select(
+            "doc_id",
+            F.element_at("w", F.col("i")).alias("w1"),
+            F.element_at("w", F.col("i") + 1).alias("w2"),
+        )
+    )
+    big = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    lft = big.groupBy("w1").agg(
+        F.sum("c12").alias("c1"), F.count(F.lit(1)).alias("n1w1")
+    )
+    rgt = big.groupBy("w2").agg(F.count(F.lit(1)).alias("nctx"))
+    nt = big.agg(F.count(F.lit(1)).alias("ntypes"))
+    docbg = bg.groupBy("doc_id", "w1", "w2").agg(F.count(F.lit(1)).alias("c"))
+    p = (
+        (F.col("c12") - F.lit(_KN_D)) / F.col("c1")
+    ) + (
+        (F.lit(_KN_D) * F.col("n1w1")) / F.col("c1")
+    ) * (F.col("nctx").cast("double") / F.col("ntypes"))
+    lp_micro = F.round(F.log(p) * 1_000_000).cast("long")
+    scored = (
+        docbg.join(big, ["w1", "w2"])
+        .join(lft, ["w1"])
+        .join(rgt, ["w2"])
+        .crossJoin(F.broadcast(nt))
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").alias("n_bigrams"),
+            F.sum(lp_micro * F.col("c")).alias("slp"),
+        )
+    )
+    avg_lp = F.col("slp") / F.lit(1_000_000.0) / F.col("n_bigrams")
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        avg_lp.alias("avg_logprob"),
+        F.round(F.exp(-avg_lp), 2).alias("ppl"),
+    )
+
+
 # Jelinek-Mercer interpolation weights (trigram, bigram, unigram) —
 # fixed, not EM-tuned, so both engines score the identical model.
 _JM_L3, _JM_L2, _JM_L1 = 0.6, 0.3, 0.1
@@ -2263,4 +2700,91 @@ def span_corruption_mask(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("masked_hash_sum"),
+    )
+
+
+_ENT_LOW = 2.5  # nats; repetitive/boilerplate docs sit well below
+
+
+@query(
+    "char_entropy_filter",
+    layer="C",
+    oracle=rf"""
+    WITH ch AS (
+        SELECT doc_id, substr(s, i, 1) AS c
+        FROM (SELECT doc_id, s, unnest(generate_series(1, length(s))) AS i
+              FROM (SELECT doc_id, lower(text) AS s FROM documents)
+              WHERE length(s) >= 1)
+    ),
+    cnt AS (SELECT doc_id, c, count(*) AS k FROM ch GROUP BY doc_id, c),
+    h AS (
+        SELECT doc_id,
+               CAST(sum(k) AS BIGINT) AS n_chars_used,
+               CAST(count(*) AS BIGINT) AS n_distinct_chars,
+               CAST(sum(CAST(round(ln(k) * 1000000) AS BIGINT) * k)
+                    AS BIGINT) AS slp
+        FROM cnt GROUP BY doc_id
+    )
+    SELECT doc_id, n_chars_used, n_distinct_chars,
+           (CAST(round(ln(n_chars_used) * 1000000) AS BIGINT)
+            - CAST(slp AS DOUBLE) / n_chars_used) / 1000000.0
+               AS entropy_nats,
+           ((CAST(round(ln(n_chars_used) * 1000000) AS BIGINT)
+             - CAST(slp AS DOUBLE) / n_chars_used) / 1000000.0)
+               < {_ENT_LOW} AS low_entropy
+    FROM h
+    """,
+)
+def char_entropy_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Character-entropy quality signal — the cheap repetition/
+    boilerplate detector of the public rule suites (character-level
+    Shannon entropy appears in the RedPajama-Data/Dolma rule
+    inventories next to the Gopher ratios): per document, the entropy
+    of its lowercased character distribution,
+    H = ln(n) - (1/n) * sum_c k_c ln k_c (nats), with the low-entropy
+    flag at {_ENT_LOW} — a doc dominated by a few characters (ASCII-art
+    walls, repeated separators, single-char spam) scores far below
+    natural text.
+
+    Determinism: character counts are exact ints from identical
+    1-char substring explodes; each ln(k_c) is quantized to micro-nats
+    as a LONG before the per-doc k_c-weighted sum (order-independent —
+    the lm_bigram_score recipe on the character alphabet), ln(n) is
+    quantized the same way, and the final H combines them in one
+    pinned expression of identical integers, emitted unrounded. Empty
+    docs emit no row (no characters — same rows in both engines).
+
+    Scale shape: one character explode (narrow: doc_id + 1-char
+    string), a (doc, char) count with map-side partials (alphabet-
+    bounded per doc), a per-doc fold. No joins, no windows, no Python.
+    At 100 TB this is the first filter in the funnel precisely because
+    it is one scan."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    s = F.lower(F.col("text"))
+    ch = (
+        d.select("doc_id", s.alias("s"))
+        .filter(F.length("s") >= 1)
+        .select(
+            "doc_id",
+            F.explode(F.sequence(F.lit(1), F.length("s"))).alias("i"),
+            "s",
+        )
+        .select("doc_id", F.col("s").substr(F.col("i"), F.lit(1)).alias("c"))
+    )
+    cnt = ch.groupBy("doc_id", "c").agg(F.count(F.lit(1)).alias("k"))
+    lnq = lambda col: F.round(F.log(col) * 1_000_000).cast("long")  # noqa: E731
+    h = cnt.groupBy("doc_id").agg(
+        F.sum("k").cast("long").alias("n_chars_used"),
+        F.count(F.lit(1)).cast("long").alias("n_distinct_chars"),
+        F.sum(lnq(F.col("k")) * F.col("k")).cast("long").alias("slp"),
+    )
+    ent = (
+        lnq(F.col("n_chars_used")) - F.col("slp").cast("double") / F.col("n_chars_used")
+    ) / F.lit(1_000_000.0)
+    return h.select(
+        "doc_id",
+        "n_chars_used",
+        "n_distinct_chars",
+        ent.alias("entropy_nats"),
+        (ent < _ENT_LOW).alias("low_entropy"),
     )

@@ -5,7 +5,15 @@ at sf0.01, and compare against oracle_sql() via DuckDB exactly like
 CORRECTNESS_r{N}: row count, schema column names, order-insensitive
 value hash.
 
-Usage: python scripts/driver_sim.py [sf_dir]
+Usage: python scripts/driver_sim.py [sf_dir] [--full ROUND]
+
+--full N (r10 VERDICT item 10, the round-close mode): in addition to
+the console report, write FULLCHECK_r{{N}}.json — the full-surface
+sf0.01 hash verdict for EVERY registered query, committed alongside
+the round's driver artifacts. With 220+ queries and a ~50-slot driver
+window, the driver's own full recheck period is ~4.5 rounds; this
+file closes the sf0.01-hash tier every round (the sf1 gate already
+value-checks all queries at scale).
 """
 
 from __future__ import annotations
@@ -72,7 +80,13 @@ def main() -> None:
             "`git add` + commit them before anything else (the rotation "
             "reads committed files only; see README round close-out)."
         )
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
+    argv = sys.argv[1:]
+    full_round = None
+    if "--full" in argv:
+        i = argv.index("--full")
+        full_round = int(argv[i + 1])
+        argv = argv[:i] + argv[i + 2 :]
+    sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     # Vanilla session — deliberately NOT cuttlefish_spark.session.get_spark.
     # Semantics configs (ANSI, timezone, Arrow, nanos) stay at Spark
     # defaults: catching config-dependence bugs is this script's job.
@@ -109,15 +123,18 @@ def main() -> None:
     # loudly; the canonical sf0.01 run never sets this.
     skip = set(filter(None, os.environ.get("SPARK_SIM_SKIP_ORACLE", "").split(",")))
     ok = bad = rows_only = 0
+    report: dict[str, dict] = {}
     for name in sorted(qs):
         if name in skip:
             n_rows = qs[name](spark, sf_dir).count()
             print(f"{name:24s} SKIPPED-ORACLE (engine ran: {n_rows} rows)")
+            report[name] = {"err": "oracle_skipped", "spark_rows": n_rows}
             rows_only += 1
             continue
         sdf = qs[name](spark, sf_dir).toPandas()
         if name not in oracles:
             print(f"{name:24s} rows-only: {len(sdf)} rows")
+            report[name] = {"err": "no_oracle", "spark_rows": len(sdf)}
             rows_only += 1
             continue
         odf = con.execute(oracles[name]).df()
@@ -129,10 +146,24 @@ def main() -> None:
             ok += 1
         else:
             bad += 1
+        report[name] = {
+            "rows_match": count_ok,
+            "schema_match": cols_ok,
+            "hash_match": hash_ok,
+            "spark_rows": len(sdf),
+            "oracle_rows": len(odf),
+            "err": None,
+        }
         print(
             f"{name:24s} {status}  rows={len(sdf)}/{len(odf)} cols={cols_ok} hash={hash_ok}"
         )
     print(f"\n{ok} oracle-match, {rows_only} rows-only, {bad} MISMATCH")
+    if full_round is not None:
+        import json
+
+        out = Path(REPO) / f"FULLCHECK_r{full_round}.json"
+        out.write_text(json.dumps(report, indent=1, sort_keys=True) + "\n")
+        print(f"wrote {out} ({len(report)} queries)")
     sys.exit(1 if bad else 0)
 
 

@@ -305,6 +305,140 @@ TPCH_QUERIES = [f"sql_frontend_q{i}" for i in range(1, 23)]
 
 N_ORD, N_LI, N_CUST, N_SUPP, N_PART = 1_500_000, 6_000_000, 150_000, 10_000, 200_000
 
+# --tpch10 (r10 VERDICT item 7): the join-heavy relational core's
+# second scale decade — sf1 (6M lineitem) -> sf10 (60M lineitem), the
+# four many-join TPC-H shapes plus the two custom join strategies.
+TPCH10 = os.environ.get("SPARK_GRAFT_TPCH10_DIR", "/tmp/cuttlefish_tpch10")
+TPCH10_QUERIES = [
+    "sql_frontend_q5",
+    "sql_frontend_q8",
+    "sql_frontend_q9",
+    "sql_frontend_q21",
+    "asof_join",
+    "range_join_bucketed",
+]
+EV10_N, EV10_USERS = 10_000_000, 150_000
+
+
+def generate_tpch10() -> None:
+    """10x generate_tpch (60M lineitem / 15M orders / 1.5M customer /
+    100k supplier / 2M part, same marginals) + 10x the sf1 gate's
+    events table (10M rows / 150k users, same marginals) under TPCH10.
+    Fact tables are written in chunks through ParquetWriter so peak
+    memory stays ~1 chunk, not the table."""
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(TPCH10, exist_ok=True)
+    n_ord, n_li = 10 * N_ORD, 10 * N_LI
+    n_cust, n_supp, n_part = 10 * N_CUST, 10 * N_SUPP, 10 * N_PART
+
+    d0 = np.datetime64("1995-01-01").astype("datetime64[us]").astype(np.int64)
+    d1 = np.datetime64("2001-08-01").astype("datetime64[us]").astype(np.int64)
+
+    def ts(n):
+        return rng.integers(d0, d1, size=n).astype("datetime64[us]")
+
+    pq.write_table(pa.table({
+        "r_regionkey": pa.array(np.arange(5, dtype=np.int32)),
+        "r_name": pa.array(["AFRICA", "AMERICA", "ASIA", "EUROPE", "MIDDLE EAST"]),
+    }), f"{TPCH10}/region.parquet")
+    pq.write_table(pa.table({
+        "n_nationkey": pa.array(np.arange(25, dtype=np.int32)),
+        "n_name": pa.array([f"NATION_{i}" for i in range(25)]),
+        "n_regionkey": pa.array((np.arange(25) % 5).astype(np.int32)),
+    }), f"{TPCH10}/nation.parquet")
+    pq.write_table(pa.table({
+        "c_custkey": pa.array(np.arange(n_cust, dtype=np.int64)),
+        "c_name": pa.array([f"Customer#{i:09d}" for i in range(n_cust)]),
+        "c_nationkey": pa.array(rng.integers(0, 25, n_cust).astype(np.int32)),
+        "c_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_cust), 2)),
+        "c_mktsegment": pa.array(rng.choice(
+            ["AUTOMOBILE", "BUILDING", "FURNITURE", "HOUSEHOLD", "MACHINERY"],
+            n_cust)),
+    }), f"{TPCH10}/customer.parquet")
+    pq.write_table(pa.table({
+        "s_suppkey": pa.array(np.arange(n_supp, dtype=np.int64)),
+        "s_name": pa.array([f"Supplier#{i:09d}" for i in range(n_supp)]),
+        "s_nationkey": pa.array(rng.integers(0, 25, n_supp).astype(np.int32)),
+        "s_acctbal": pa.array(np.round(rng.uniform(-1000, 10000, n_supp), 2)),
+    }), f"{TPCH10}/supplier.parquet")
+    adjs = ["small", "red", "blue", "hot", "old", "new", "big", "dim"]
+    nouns = ["ring", "widget", "bolt", "gear", "gizmo", "cap", "cog", "pin"]
+    names = [f"{a} {n}" for a in adjs for n in nouns]
+    pq.write_table(pa.table({
+        "p_partkey": pa.array(np.arange(n_part, dtype=np.int64)),
+        "p_name": pa.array(rng.choice(names, n_part)),
+        "p_brand": pa.array([f"Brand#{i}" for i in rng.integers(1, 26, n_part)]),
+        "p_type": pa.array(rng.choice(
+            ["MEDIUM", "STANDARD", "LARGE", "PROMO", "SMALL", "ECONOMY"], n_part)),
+        "p_size": pa.array(rng.integers(1, 51, n_part).astype(np.int32)),
+        "p_retailprice": pa.array(np.round(rng.uniform(900, 1000, n_part), 2)),
+    }), f"{TPCH10}/part.parquet")
+
+    def chunked(path: str, total: int, chunk: int, make):
+        writer = None
+        done = 0
+        while done < total:
+            n = min(chunk, total - done)
+            t = make(done, n)
+            if writer is None:
+                writer = pq.ParquetWriter(path, t.schema)
+            writer.write_table(t)
+            done += n
+        writer.close()
+
+    def make_orders(start, n):
+        return pa.table({
+            "o_orderkey": pa.array(np.arange(start, start + n, dtype=np.int64)),
+            "o_custkey": pa.array(rng.integers(0, n_cust, n)),
+            "o_orderstatus": pa.array(rng.choice(["P", "O", "F"], n)),
+            "o_totalprice": pa.array(np.round(rng.uniform(1000, 500000, n), 2)),
+            "o_orderdate": pa.array(ts(n)),
+            "o_orderpriority": pa.array(rng.choice(
+                ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"],
+                n)),
+        })
+
+    chunked(f"{TPCH10}/orders.parquet", n_ord, 5_000_000, make_orders)
+
+    def make_lineitem(start, n):
+        qty = rng.integers(1, 51, n).astype(np.float64)
+        return pa.table({
+            "l_orderkey": pa.array(rng.integers(0, n_ord, n)),
+            "l_partkey": pa.array(rng.integers(0, n_part, n)),
+            "l_suppkey": pa.array(rng.integers(0, n_supp, n)),
+            "l_linenumber": pa.array(rng.integers(1, 8, n).astype(np.int32)),
+            "l_quantity": pa.array(qty),
+            "l_extendedprice": pa.array(np.round(qty * rng.uniform(900, 2100, n), 2)),
+            "l_discount": pa.array(rng.integers(0, 11, n) / 100.0),
+            "l_tax": pa.array(rng.integers(0, 9, n) / 100.0),
+            "l_returnflag": pa.array(rng.choice(["N", "A", "R"], n)),
+            "l_linestatus": pa.array(rng.choice(["O", "F"], n)),
+            "l_shipdate": pa.array(ts(n)),
+        })
+
+    chunked(f"{TPCH10}/lineitem.parquet", n_li, 10_000_000, make_lineitem)
+
+    t0 = np.datetime64("2024-01-01").astype("datetime64[us]").astype(np.int64)
+    t1 = np.datetime64("2024-01-31").astype("datetime64[us]").astype(np.int64)
+
+    def make_events(start, n):
+        ks = rng.integers(0, 100, n)
+        return pa.table({
+            "event_id": pa.array(np.arange(start, start + n, dtype=np.int64)),
+            "ts": pa.array(rng.integers(t0, t1, n).astype("datetime64[us]")),
+            "user_id": pa.array(rng.integers(0, EV10_USERS, n)),
+            "event_type": pa.array(rng.choice(
+                ["signup", "purchase", "view", "click", "error"], n)),
+            "value": pa.array(np.round(rng.uniform(0, 560, n), 2)),
+            "props": pa.array([f'{{"k": {k}}}' for k in ks]),
+        })
+
+    chunked(f"{TPCH10}/events.parquet", EV10_N, 5_000_000, make_events)
+
 
 def generate_tpch() -> None:
     """10x star schema with sf0.1's marginals (profiled empirically:
@@ -394,6 +528,7 @@ def main() -> int:
         "scale-stress", cpus=os.environ.get("SPARK_GRAFT_CPUS", 32)
     )
     tpch = "--tpch" in sys.argv
+    tpch10 = "--tpch10" in sys.argv
     sf10 = "--sf10" in sys.argv
     sf10_zipf = "--sf10-zipf" in sys.argv
     band_exp = "--band-exp" in sys.argv
@@ -423,6 +558,19 @@ def main() -> int:
             generate_docs(ZIPF10, 10 * DOCS_N, zipf=True)
         scale_pairs = [("zipf_sf1", ZIPF1), ("zipf_sf10", ZIPF10)]
         default_queries = SF10_ZIPF_QUERIES
+    elif tpch10:
+        if need(f"{SF1}/lineitem.parquet"):
+            generate_tpch()
+        if need(f"{SF1}/events.parquet"):
+            sys.exit(
+                f"{SF1}/events.parquet missing — run "
+                "scripts/sf1_oracle_gate.py first (it generates the 1M-row "
+                "sf1 events table the asof/range decade compares against)"
+            )
+        if need(f"{TPCH10}/lineitem.parquet"):
+            generate_tpch10()
+        scale_pairs = [("sf1", SF1), ("sf10", TPCH10)]
+        default_queries = TPCH10_QUERIES
     elif tpch:
         if need(f"{SF1}/lineitem.parquet"):
             generate_tpch()

@@ -301,6 +301,37 @@ GATE_QUERIES = [
     "vocab_topk",
     "weighted_sampling",
     "zorder_layout",
+    # r10: the selection/preference/graph/tokenizer additions
+    "doremi_mixture_weights",
+    "rho_loss_selection",
+    "host_label_propagation",
+    "bradley_terry_strength",
+    "preference_pairs_dpo",
+    "wordpiece_train_merges",
+    "wordpiece_encode_stats",
+    "packing_efficiency_audit",
+    "bloom_filter_join",
+    "distribution_drift_psi",
+    "streaming_drift_psi",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    # r11: banding knob (subset — identical-set pair volume, like
+    # dedup_clusters), removal spans, JM trigram LM, learned lang-ID,
+    # perceptual-hash image dedup, best-of-n
+    "dedup_clusters_banded",
+    "substring_dedup_spans",
+    "lm_trigram_jm_score",
+    "lang_id_learned",
+    "image_phash_dedup",
+    "best_of_n_selection",
+    "range_join_events",
+    "lm_kneser_ney_score",
+    "lsh_banding_plan",
+    "quality_signal_agreement",
+    "char_entropy_filter",
+    "kcenter_coreset",
+    "substring_dedup_apply",
+    "hard_negative_mining",
 ]
 
 SUBSET_QUERIES = {
@@ -310,6 +341,11 @@ SUBSET_QUERIES = {
     "minhash_accuracy",
     # same candidate pipeline, same DuckDB oracle cost shape (r10)
     "minhash_banding_sweep",
+    # r11: identical-set classes collide on ALL bands at any r, so the
+    # banded variant's oracle edge volume is the same
+    # sum-of-squared-class-sizes as dedup_clusters' (223k pairs at 15k
+    # docs, 2.8M at 50k)
+    "dedup_clusters_banded",
 }
 
 # --- scaled-fixture gates (r8 VERDICT item 7) -------------------------
@@ -501,13 +537,19 @@ def union_find_clusters(edges_a, edges_b, doc_ids):
     return pd.DataFrame(rows, columns=["doc_id", "cluster_id", "is_canonical"])
 
 
-def dedup_clusters_oracle(sf_dir: str):
-    """Edges from the committed oracle's edge SQL; closure in Python."""
+def dedup_clusters_oracle(sf_dir: str, banded: bool = False):
+    """Edges from the committed oracle's edge SQL; closure in Python
+    (the recursive CTE is super-quadratic on this corpus's clique-heavy
+    near-dup graph; the edge SQL + union-find re-derivation is the
+    independent check at scale). banded=True swaps in the wide
+    signature + b=1,r=8 edge predicate of dedup_clusters_banded."""
     import cuttlefish_spark.operators.dedup as dd
     from tests.oracle_harness import run_oracle
 
+    sig_sql = dd._TOKSIG_WIDE_SQL if banded else dd._TOKSIG_SQL
+    edge_sql = dd._CLUSTER_EDGE_B1R8_SQL if banded else dd._CLUSTER_EDGE_SQL
     edges = run_oracle(
-        f"WITH sig AS ({dd._TOKSIG_SQL}), e AS ({dd._CLUSTER_EDGE_SQL}) "
+        f"WITH sig AS ({sig_sql}), e AS ({edge_sql}) "
         "SELECT doc_a, doc_b FROM e",
         sf_dir,
         pragmas=PRAGMAS,
@@ -570,6 +612,9 @@ def main() -> int:
             if name == "dedup_clusters":
                 want = dedup_clusters_oracle(sf_dir)
                 row["oracle"] = "edge-SQL + union-find closure"
+            elif name == "dedup_clusters_banded":
+                want = dedup_clusters_oracle(sf_dir, banded=True)
+                row["oracle"] = "edge-SQL (b1r8) + union-find closure"
             elif scaled:
                 want = run_oracle(scaled[1](), sf_dir, pragmas=PRAGMAS)
             else:
