@@ -3768,3 +3768,97 @@ def quality_signal_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# bpe_vocab_prune_audit — the vocab-size ablation curve
+# ---------------------------------------------------------------------------
+
+_VPA_DEPTHS = (0, _BPE_MERGES // 2, _BPE_MERGES)
+
+
+def _vpa_oracle() -> str:
+    rows = "\n    UNION ALL ".join(
+        f"""SELECT CAST({k} AS BIGINT) AS n_merges,
+           CAST(count(DISTINCT sym) AS BIGINT) AS n_distinct_tokens,
+           CAST(sum(freq) AS BIGINT) AS total_tokens,
+           tw.w AS total_words,
+           CAST(sum(freq) AS DOUBLE) / tw.w AS tokens_per_word
+    FROM (SELECT word, freq, unnest(syms) AS sym FROM seq{k})
+    CROSS JOIN tw GROUP BY tw.w"""
+        for k in _VPA_DEPTHS
+    )
+    return (
+        "WITH "
+        + ",\n    ".join(_bpe_ctes(_BPE_MERGES))
+        + ",\n    tw AS (SELECT CAST(sum(freq) AS BIGINT) AS w FROM seq0)\n    "
+        + rows
+    )
+
+
+@query("bpe_vocab_prune_audit", layer="C", oracle=_vpa_oracle())
+def bpe_vocab_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer VOCAB-SIZE ablation — the fertility-vs-vocabulary
+    curve a tokenizer report leads with (the public trade every
+    tokenizer paper tunes: more merges -> fewer tokens per word ->
+    shorter sequences, at the cost of vocab/embedding size; see the
+    vocab-size ablations in SentencePiece/GPT-2-class reports): the
+    corpus encoded at 0, {_BPE_MERGES // 2}, and {_BPE_MERGES} trained
+    merges, each row reporting distinct tokens in use, total corpus
+    tokens, and fertility (tokens per word). The marginal fertility
+    drop per added merge IS the prune criterion — merges past the
+    elbow buy nothing and a pruned vocab frees embedding rows.
+
+    Depth-k encodes reuse _bpe_train's per-(corpus, depth) memo — the
+    depth-{_BPE_MERGES} run is shared with bpe_train_merges /
+    bpe_token_stats, the depth-{_BPE_MERGES // 2} run trains its own
+    (bounded: {_BPE_MERGES // 2} driver argmax rows), and depth 0 is
+    the raw char split with no training at all. The oracle derives all
+    three from ONE unrolled CTE chain (seq0/seq{_BPE_MERGES // 2}/
+    seq{_BPE_MERGES} are successive intermediates of the same
+    derivation — cheaper than three chains and structurally different
+    from the Spark side's memoized folds).
+
+    Scale shape: each row is one explode + aggregate over the
+    O(vocabulary) word table (never the corpus — the _bpe_train
+    factorization), with total_words folded in as a broadcast scalar.
+    Fertility is the IEEE quotient of identical integers."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    words = (
+        d.select(F.explode(tokens(F.col("text"))).alias("word"))
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+    )
+    seq0 = words.select(
+        "word",
+        "freq",
+        F.expr(
+            "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
+        ).alias("syms"),
+    )
+    frames = {0: seq0}
+    for k in _VPA_DEPTHS[1:]:
+        frames[k] = _bpe_train(spark, sf_dir, k)[1]
+    tw = seq0.agg(F.sum("freq").alias("w"))
+    out = None
+    for k, seq in frames.items():
+        row = (
+            seq.select("word", "freq", F.explode("syms").alias("sym"))
+            .crossJoin(F.broadcast(tw))
+            .groupBy("w")
+            .agg(
+                F.countDistinct("sym").cast("long").alias("n_distinct_tokens"),
+                F.sum("freq").cast("long").alias("total_tokens"),
+            )
+            .select(
+                F.lit(k).cast("long").alias("n_merges"),
+                "n_distinct_tokens",
+                "total_tokens",
+                F.col("w").cast("long").alias("total_words"),
+                (F.col("total_tokens").cast("double") / F.col("w")).alias(
+                    "tokens_per_word"
+                ),
+            )
+        )
+        out = row if out is None else out.unionByName(row)
+    return out

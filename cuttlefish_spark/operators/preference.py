@@ -44,15 +44,23 @@ def _bt_oracle() -> str:
     """Unrolled MM iterations as CTEs (the embedding_kmeans pattern:
     an iterative estimator becomes oracle-checkable by fixing init,
     iteration count, and float-parity arithmetic)."""
+    # m PROJECTS the join key (a.doc_id + off) before the join and is
+    # MATERIALIZED: joining on the raw expression planned as a nested
+    # loop (50k x 3 x 50k compares, ~96 s at sf1) and the un-
+    # materialized CTE was re-inlined into each of pairs'/wins' four
+    # UNION arms — 4 x 96 s was the REAL cost the r10 ADVICE item
+    # attributed to the correlated denominator (measured: projected +
+    # materialized form evaluates in ~0.1 s).
     ctes = [
-        f"""m AS (
-        SELECT a.source AS sa, b.source AS sb,
-               CASE WHEN a.n_chars > b.n_chars THEN a.source
+        f"""m AS MATERIALIZED (
+        SELECT x.sa, b.source AS sb,
+               CASE WHEN x.ca > b.n_chars THEN x.sa
                     ELSE b.source END AS winner
-        FROM documents a
-        JOIN ({_OFFS_SQL}) o ON TRUE
-        JOIN documents b ON b.doc_id = a.doc_id + o.off
-        WHERE a.n_chars <> b.n_chars AND a.source <> b.source
+        FROM (SELECT a.doc_id + o.off AS idb, a.source AS sa,
+                     a.n_chars AS ca
+              FROM documents a JOIN ({_OFFS_SQL}) o ON TRUE) x
+        JOIN documents b ON b.doc_id = x.idb
+        WHERE x.ca <> b.n_chars AND x.sa <> b.source
     )""",
         """pairs AS (
         SELECT i, j, CAST(COUNT(*) AS BIGINT) AS n_ij FROM (
@@ -256,13 +264,14 @@ _DPO_SPLIT_MOD = 10
 _DPO_TRAIN_SHARDS = 8  # hash % 10 < 8 -> train (80/20)
 
 _DPO_ORACLE = f"""
-    WITH m AS (
-        SELECT a.doc_id AS ida, a.source AS sa, a.n_chars AS ca,
+    WITH m AS MATERIALIZED (
+        SELECT x.ida, x.sa, x.ca,
                b.doc_id AS idb, b.source AS sb, b.n_chars AS cb
-        FROM documents a
-        JOIN ({_OFFS_SQL}) o ON TRUE
-        JOIN documents b ON b.doc_id = a.doc_id + o.off
-        WHERE a.n_chars <> b.n_chars AND a.source <> b.source
+        FROM (SELECT a.doc_id AS ida, a.doc_id + o.off AS key_b,
+                     a.source AS sa, a.n_chars AS ca
+              FROM documents a JOIN ({_OFFS_SQL}) o ON TRUE) x
+        JOIN documents b ON b.doc_id = x.key_b
+        WHERE x.ca <> b.n_chars AND x.sa <> b.source
     ),
     pairs AS (
         SELECT CASE WHEN ca > cb THEN ida ELSE idb END AS chosen_id,

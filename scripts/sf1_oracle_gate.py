@@ -332,6 +332,7 @@ GATE_QUERIES = [
     "kcenter_coreset",
     "substring_dedup_apply",
     "hard_negative_mining",
+    "bpe_vocab_prune_audit",
 ]
 
 SUBSET_QUERIES = {
