@@ -3862,3 +3862,280 @@ def bpe_vocab_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out = row if out is None else out.unionByName(row)
     return out
+
+
+# ---------------------------------------------------------------------------
+# dsir_resample — the RESAMPLING half of DSIR (systematic, deterministic)
+# ---------------------------------------------------------------------------
+
+_DSIR_N_DIV = 10  # target sample size = corpus size // 10
+
+_DSIR_RESAMPLE_SQL = f"""
+    WITH imp AS MATERIALIZED ({_DSIR_SQL}),
+    wts AS (SELECT doc_id, greatest(importance, 0) + 1 AS w FROM imp),
+    cum AS (
+        SELECT doc_id, w,
+               sum(w) OVER (ORDER BY doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cw
+        FROM wts
+    ),
+    tot AS (SELECT CAST(sum(w) AS BIGINT) AS tw,
+                   CAST(count(*) // {_DSIR_N_DIV} AS BIGINT) AS n
+            FROM wts)
+    SELECT doc_id,
+           CAST(w AS BIGINT) AS weight,
+           CAST(cw AS BIGINT) AS cum_weight,
+           CAST((CAST(cw AS HUGEINT) * n) // tw
+                - (CAST(cw - w AS HUGEINT) * n) // tw AS BIGINT) AS n_copies,
+           ((CAST(cw AS HUGEINT) * n) // tw
+                - (CAST(cw - w AS HUGEINT) * n) // tw) > 0 AS selected
+    FROM cum, tot
+"""
+
+
+@query("dsir_resample", layer="C", oracle=_DSIR_RESAMPLE_SQL)
+def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The RESAMPLING half of DSIR (Xie et al. 2023 select by sampling
+    proportionally to importance; dsir_importance's deterministic gate
+    was the declared variant — this completes the paper's actual step
+    with the deterministic member of the resampling family): SYSTEMATIC
+    resampling (Kitagawa 1996; the stratified/systematic scheme of the
+    particle-filter literature) over per-doc importance weights
+    w = max(importance, 0) + 1, drawing n = corpus/{_DSIR_N_DIV}
+    slots: doc copies = floor(cw*n/W) - floor((cw-w)*n/W) over the
+    doc_id-ordered cumulative weight cw — copies sum to EXACTLY n, high-
+    importance docs repeat (the upsampling DSIR wants), zero-importance
+    docs keep a floor chance via the +1. Fully deterministic: no RNG,
+    same selection on every engine/partitioning — the property that
+    makes the sampled corpus itself reproducible, which production
+    pipelines value over the Gumbel-noise draw.
+
+    The cumulative weight is the engine's two-phase distributed prefix
+    sum (operators/twophase.py — no global ordered window); the
+    stride arithmetic rides DECIMAL(38,0)/HUGEINT products (cw*n
+    overflows int64 once W*n passes ~9e18 — i.e. at real corpus
+    scale), floor-divided identically in both engines (non-negative
+    operands, so truncation = floor).
+
+    Scale shape: dsir_importance's scoring pass (one bigram explode,
+    {_DSIR_B}-key model, broadcast join) + one two-phase prefix sum +
+    a broadcast 1-row total. Output one row per doc with its copy
+    count — the materialization a sampler actually consumes."""
+    from cuttlefish_spark.operators.twophase import two_phase_prefix_sum
+
+    imp = dsir_importance(spark, sf_dir).select(
+        "doc_id",
+        (F.greatest(F.col("importance"), F.lit(0)) + 1).alias("w"),
+    ).withColumn("g", F.lit("all"))
+    cum = two_phase_prefix_sum(spark, imp, "g", [F.col("doc_id")], "w")
+    tot = imp.agg(
+        F.sum("w").cast("long").alias("tw"),
+        (F.count(F.lit(1)) / _DSIR_N_DIV).cast("long").alias("n"),
+    )
+    j = cum.crossJoin(F.broadcast(tot))
+    # `div` = exact integral division on DECIMAL(38,0) products —
+    # floor(decimal_mul / tw) would round the quotient to the result
+    # scale BEFORE flooring and can flip a stride boundary; div cannot.
+    copies = F.expr(
+        "CAST(CAST(cum AS DECIMAL(38,0)) * n div tw AS BIGINT)"
+        " - CAST(CAST(cum - w AS DECIMAL(38,0)) * n div tw AS BIGINT)"
+    )
+    return j.select(
+        "doc_id",
+        F.col("w").cast("long").alias("weight"),
+        F.col("cum").cast("long").alias("cum_weight"),
+        copies.alias("n_copies"),
+        (copies > 0).alias("selected"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# tfidf_kmeans_clusters — topic clustering over hashed tf-idf vectors
+# ---------------------------------------------------------------------------
+
+_TFK_D = 16  # hashed tf-idf dimensions
+_TFK_K = 4   # clusters
+
+_TFK_SQL = rf"""
+    WITH tf AS MATERIALIZED (
+        SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
+        FROM (
+            SELECT doc_id,
+                   unnest(CASE WHEN trim(lower(text)) = '' THEN []::VARCHAR[]
+                          ELSE regexp_split_to_array(trim(lower(text)), '\s+')
+                          END) AS tok
+            FROM documents
+        ) GROUP BY doc_id, tok
+    ),
+    df AS (SELECT tok, CAST(count(*) AS BIGINT) AS df FROM tf GROUP BY tok),
+    nn AS (SELECT CAST(count(DISTINCT doc_id) AS BIGINT) AS n FROM tf),
+    idf AS (
+        SELECT tok,
+               CAST(round(ln(CAST(nn.n AS DOUBLE) / df) * 1000000)
+                    AS BIGINT) AS idf_q
+        FROM df, nn
+    ),
+    sparse AS (
+        SELECT tf.doc_id,
+               CAST('0x' || substr(md5('tfk:' || tf.tok), 1, 15) AS BIGINT)
+                   % {_TFK_D} AS b,
+               CAST(sum(tf.tf * idf.idf_q) AS BIGINT) AS x
+        FROM tf JOIN idf USING (tok)
+        GROUP BY tf.doc_id,
+                 CAST('0x' || substr(md5('tfk:' || tf.tok), 1, 15) AS BIGINT)
+                     % {_TFK_D}
+    ),
+    docs1 AS (SELECT DISTINCT doc_id FROM tf),
+    vec AS MATERIALIZED (
+        SELECT d.doc_id, dims.b, COALESCE(s.x, 0) AS x
+        FROM docs1 d
+        CROSS JOIN (SELECT unnest(generate_series(0, {_TFK_D} - 1)) AS b) dims
+        LEFT JOIN sparse s ON s.doc_id = d.doc_id AND s.b = dims.b
+    ),
+    init AS (SELECT doc_id FROM docs1 ORDER BY doc_id LIMIT {_TFK_K}),
+    c0 AS (
+        SELECT CAST(dense_rank() OVER (ORDER BY v.doc_id) - 1 AS BIGINT) AS k,
+               v.b, v.x AS c
+        FROM (SELECT vec.* FROM vec JOIN init USING (doc_id)) v
+    ),
+    d1 AS (
+        SELECT v.doc_id, c.k,
+               CAST(sum(CAST((v.x - c.c) AS DECIMAL(38,0)) * (v.x - c.c))
+                    AS DECIMAL(38,0)) AS d2
+        FROM vec v JOIN c0 c USING (b)
+        GROUP BY v.doc_id, c.k
+    ),
+    a1 AS (
+        -- argmin packed into one DECIMAL (min_by has no struct key in
+        -- DuckDB): k < 8, so min(d2*8 + k) recovers (min d2, tie min k)
+        SELECT doc_id,
+               CAST(min(CAST(d2 AS HUGEINT) * 8 + k) % 8 AS BIGINT) AS k
+        FROM d1 GROUP BY doc_id
+    ),
+    c1 AS (
+        SELECT a.k, v.b,
+               CAST(CAST(sum(v.x) AS DECIMAL(38,0)) // count(*) AS BIGINT) AS c
+        FROM a1 a JOIN vec v USING (doc_id)
+        GROUP BY a.k, v.b
+    ),
+    d2t AS (
+        SELECT v.doc_id, c.k,
+               CAST(sum(CAST((v.x - c.c) AS DECIMAL(38,0)) * (v.x - c.c))
+                    AS DECIMAL(38,0)) AS d2
+        FROM vec v JOIN c1 c USING (b)
+        GROUP BY v.doc_id, c.k
+    )
+    SELECT doc_id,
+           CAST(min(CAST(d2 AS HUGEINT) * 8 + k) % 8 AS BIGINT) AS cluster_id,
+           CAST((min(CAST(d2 AS HUGEINT) * 8 + k) // 8) // 1000000000000
+                AS BIGINT) AS d2_tera
+    FROM d2t GROUP BY doc_id
+"""
+
+
+@query("tfidf_kmeans_clusters", layer="C", oracle=_TFK_SQL)
+def tfidf_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TOPIC clustering over hashed tf-idf document vectors — the
+    corpus-organization rung the embedding family's k-means
+    (embedding_kmeans) provides only when embeddings exist; real
+    curation pipelines cluster raw TEXT first (cluster-balanced
+    sampling, SemDeDup-style within-cluster pruning, DSIR's domain
+    strata all start from exactly this: TF-IDF + k-means, the
+    Sculley-2010-web-scale-k-means lineage): documents become
+    {_TFK_D}-dim hashed tf-idf vectors and one Lloyd round from the
+    deterministic first-{_TFK_K}-docs init assigns every doc a
+    cluster, emitting (doc_id, cluster_id, scaled squared distance).
+
+    ENTIRELY integer arithmetic — the embedding_kmeans float
+    discipline taken one step further: tf counts are ints, idf is
+    micro-nat-quantized (round(ln(N/df)*1e6) as LONG — the
+    lm_bigram_score recipe), vector components x[b] = sum tf*idf_q are
+    exact int64, squared distances accumulate in DECIMAL(38,0) (the
+    per-dim square passes 2^63 once docs are long and corpora large),
+    centroid updates are exact integer floor-mean (sum div count),
+    and argmins break ties on cluster id via min_by over the (d2, k)
+    pair. exp/log appear once, inside the quantization. Blank docs
+    (no tokens) carry no vector and emit no row in both engines.
+
+    Scale shape: tf/df are token-keyed map-side-partial counts; the
+    dense vector table is docs x {_TFK_D} narrow ints; each
+    assignment is a broadcast join against {_TFK_K}x{_TFK_D} centroid
+    rows + a per-doc argmin (hash agg, no window); the update is one
+    (k, b)-keyed aggregate. Two assignment passes + one update =
+    three joins total, no iteration-by-convergence (fixed rounds keep
+    the oracle static — embedding_kmeans' contract)."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    tf = (
+        d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    dfreq = tf.groupBy("tok").agg(F.count(F.lit(1)).alias("df"))
+    nn = tf.agg(F.countDistinct("doc_id").alias("n"))
+    idf = dfreq.crossJoin(F.broadcast(nn)).select(
+        "tok",
+        F.round(F.log(F.col("n").cast("double") / F.col("df")) * 1_000_000)
+        .cast("long")
+        .alias("idf_q"),
+    )
+    sparse = (
+        tf.join(idf, "tok")
+        .select(
+            "doc_id",
+            (hash60(F.concat(F.lit("tfk:"), F.col("tok"))) % _TFK_D).alias("b"),
+            (F.col("tf") * F.col("idf_q")).alias("xx"),
+        )
+        .groupBy("doc_id", "b")
+        .agg(F.sum("xx").cast("long").alias("x"))
+    )
+    docs1 = tf.select("doc_id").distinct()
+    dims = spark.range(_TFK_D).select(F.col("id").cast("long").alias("b"))
+    vec = (
+        docs1.crossJoin(F.broadcast(dims))
+        .join(sparse, ["doc_id", "b"], "left")
+        .select("doc_id", "b", F.coalesce("x", F.lit(0)).cast("long").alias("x"))
+        .localCheckpoint(eager=True)
+    )
+    init_ids = [
+        r["doc_id"]
+        for r in docs1.orderBy("doc_id").limit(_TFK_K).collect()
+    ]
+    c0 = vec.filter(F.col("doc_id").isin(init_ids)).select(
+        F.col("doc_id").alias("init_id"), "b", F.col("x").alias("c")
+    )
+    rank_map = {int(v): i for i, v in enumerate(sorted(init_ids))}
+    k_col = F.when(F.col("init_id") == sorted(init_ids)[0], 0)
+    for v, i in list(rank_map.items())[1:]:
+        k_col = k_col.when(F.col("init_id") == v, i)
+    c0 = c0.select(k_col.cast("long").alias("k"), "b", "c")
+
+    def assign(cents: DataFrame) -> DataFrame:
+        d2 = (
+            vec.join(F.broadcast(cents), "b")
+            .groupBy("doc_id", "k")
+            .agg(
+                F.sum(
+                    (F.col("x") - F.col("c")).cast("decimal(38,0)")
+                    * (F.col("x") - F.col("c"))
+                ).alias("d2")
+            )
+        )
+        return d2.groupBy("doc_id").agg(
+            F.min(F.struct("d2", "k")).alias("m")
+        ).select("doc_id", F.col("m.k").alias("k"), F.col("m.d2").alias("d2"))
+
+    a1 = assign(c0).select("doc_id", "k")
+    c1 = (
+        a1.join(vec, "doc_id")
+        .groupBy("k", "b")
+        .agg(
+            F.expr("CAST(CAST(sum(x) AS DECIMAL(38,0)) div count(*) AS BIGINT)")
+            .alias("c")
+        )
+    )
+    final = assign(c1)
+    return final.select(
+        "doc_id",
+        F.col("k").alias("cluster_id"),
+        F.expr("CAST(d2 div 1000000000000 AS BIGINT)").alias("d2_tera"),
+    )

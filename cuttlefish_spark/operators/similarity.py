@@ -375,16 +375,33 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
         )
     )
-    sim = cosine_sim(F.col("v"), F.col("c")).alias("centroid_sim")
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("centroid_sim").desc(), F.col("centroid_id")
+    # argmax cell as min(struct(-sim, cid, ...)) — a hash aggregation
+    # with map-side partial min instead of a per-vec rank window (the
+    # pq_adc_topk r10 rewrite; the r11 emb10 decade measured the window
+    # form at time_exp 1.15 / 44.8 s at 200k vectors — the per-group
+    # sort, plus the whole n x K crossJoin re-running for BOTH
+    # consumers of `assigned`). The struct's trailing label/v fields
+    # never decide: centroid_id is unique per group. localCheckpoint
+    # materializes the assignment once for the probe lookup AND the
+    # cell scan — at 100 TB this is the write-partitioned-by-cell step.
+    cand = F.struct(
+        (-cosine_sim(F.col("v"), F.col("c"))).alias("ns"),
+        F.col("centroid_id").alias("centroid_id"),
+        F.col("label").alias("label"),
+        F.col("v").alias("v"),
     )
     assigned = (
         vecs.crossJoin(cents)
-        .select("vec_id", "label", "v", "centroid_id", sim)
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "centroid_sim")
+        .select("vec_id", cand.alias("cand"))
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.label").alias("label"),
+            F.col("b.v").alias("v"),
+            F.col("b.centroid_id").alias("centroid_id"),
+        )
+        .localCheckpoint(eager=True)
     )
     probe_cell = F.broadcast(
         assigned.filter(F.col("vec_id") == 0).select(

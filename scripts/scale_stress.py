@@ -169,6 +169,40 @@ SF10_ZIPF_QUERIES = ["dedup_clusters", "dedup_clusters_banded",
                      "ngram_jaccard_topk", "minhash_accuracy"]
 
 
+# --emb10 (r11): the ANN/serving ladder's second scale decade — 20k
+# (sf1) -> 200k vectors, same N(0, 0.125^2) 64-dim distribution.
+EMB10 = os.environ.get("SPARK_GRAFT_EMB10_DIR", "/tmp/cuttlefish_emb10")
+EMB10_QUERIES = [
+    "embedding_cosine_topk",
+    "ann_ivf_topk",
+    "ann_ivf_multiprobe",
+    "pq_adc_topk",
+    "ivfpq_topk",
+    "embedding_kmeans",
+    "kcenter_coreset",
+    "hard_negative_mining",
+]
+
+
+def generate_emb10() -> None:
+    import numpy as np
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    rng = np.random.default_rng(SEED)
+    os.makedirs(EMB10, exist_ok=True)
+    n = 10 * EMB_N
+    emb = rng.normal(0.0, 0.125, size=(n, 64)).astype(np.float32)
+    pq.write_table(
+        pa.table({
+            "vec_id": pa.array(np.arange(n, dtype=np.int64)),
+            "embedding": pa.array(list(emb), type=pa.list_(pa.float32())),
+            "label": pa.array(rng.integers(0, 10, size=n).astype(np.int32)),
+        }),
+        f"{EMB10}/embeddings.parquet",
+    )
+
+
 def band_exponent(spark) -> None:
     """--band-exp: candidate-stream volume of the three LSH bandings
     across the zipf sf1->sf10 decade (r11: the 'Done' evidence for
@@ -558,6 +592,13 @@ def main() -> int:
             generate_docs(ZIPF10, 10 * DOCS_N, zipf=True)
         scale_pairs = [("zipf_sf1", ZIPF1), ("zipf_sf10", ZIPF10)]
         default_queries = SF10_ZIPF_QUERIES
+    elif "--emb10" in sys.argv:
+        if need(f"{SF1}/embeddings.parquet"):
+            generate(spark)
+        if need(f"{EMB10}/embeddings.parquet"):
+            generate_emb10()
+        scale_pairs = [("sf1", SF1), ("sf10", EMB10)]
+        default_queries = EMB10_QUERIES
     elif tpch10:
         if need(f"{SF1}/lineitem.parquet"):
             generate_tpch()

@@ -333,6 +333,8 @@ GATE_QUERIES = [
     "substring_dedup_apply",
     "hard_negative_mining",
     "bpe_vocab_prune_audit",
+    "dsir_resample",
+    "tfidf_kmeans_clusters",
 ]
 
 SUBSET_QUERIES = {
