@@ -77,3 +77,57 @@ def test_phash_planted_dups_cluster_together(spark, sf_dir):
         r = d % 40
         if r in (1, 2) and (d - r) in out:
             assert c == out[d - r], f"doc {d} not clustered with base {d - r}"
+
+
+def test_dsir_resample_copies_sum_to_target(spark, sf_dir):
+    """Systematic resampling must emit EXACTLY n = corpus//10 copies
+    (the telescoping floor identity), all non-negative."""
+    out = SPECS["dsir_resample"].fn(spark, sf_dir).toPandas()
+    n_docs = len(out)
+    assert int(out["n_copies"].sum()) == n_docs // 10
+    assert (out["n_copies"] >= 0).all()
+    assert bool((out["selected"] == (out["n_copies"] > 0)).all())
+
+
+def test_kcenter_radius_nonincreasing(spark, sf_dir):
+    """Greedy k-center's coverage radius is monotonically
+    non-increasing: min-dist to a growing set can only shrink, so the
+    max over points shrinks too."""
+    out = (
+        SPECS["kcenter_coreset"]
+        .fn(spark, sf_dir)
+        .orderBy("round")
+        .toPandas()
+    )
+    radii = out["coverage_radius"].dropna().tolist()
+    assert all(a >= b for a, b in zip(radii, radii[1:])), radii
+    assert out["selected_id"].is_unique
+
+
+def test_tfidf_kmeans_cluster_ids_bounded(spark, sf_dir):
+    out = SPECS["tfidf_kmeans_clusters"].fn(spark, sf_dir).toPandas()
+    assert out["cluster_id"].between(0, 3).all()
+    assert (out["d2_tera"] >= 0).all()
+
+
+def test_best_of_n_uplift_nonnegative(spark, sf_dir):
+    out = SPECS["best_of_n_selection"].fn(spark, sf_dir).toPandas()
+    assert (out["uplift"] >= 0).all()
+    assert (out["chosen_reward"] >= out["ref_reward"]).all()
+
+
+def test_substring_spans_within_bounds(spark, sf_dir):
+    from cuttlefish_spark.operators.dedup import _SS_W
+
+    spans = SPECS["substring_dedup_spans"].fn(spark, sf_dir).toPandas()
+    assert (spans["span_start"] >= 1).all()
+    assert (spans["span_tokens"] >= _SS_W).all()
+    assert (spans["span_end"] - spans["span_start"] + 1
+            == spans["span_tokens"]).all()
+
+
+def test_kn_logprob_nonpositive(spark, sf_dir):
+    """Interpolated KN is a proper distribution: P <= 1, so the mean
+    log-prob cannot be positive."""
+    out = SPECS["lm_kneser_ney_score"].fn(spark, sf_dir).toPandas()
+    assert (out["avg_logprob"] <= 0).all()
