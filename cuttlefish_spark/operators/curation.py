@@ -2455,6 +2455,12 @@ _DSIR_SQL = rf"""
 """
 
 
+# Scored-importance memo: dsir_importance and dsir_resample share ONE
+# scoring pass per (session, corpus) — the persisted importance
+# manifest of a production DSIR pipeline (closes the r11 ADVICE low).
+_DSIR_CACHE: dict[tuple, DataFrame] = {}
+
+
 @query("dsir_importance", layer="C", oracle=_DSIR_SQL)
 def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     """DSIR — Data Selection via Importance Resampling (Xie et al.
@@ -2491,6 +2497,11 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
     constant-width model join — the cheapest data-selection rung in
     the ladder (the trained classifier costs 24 fixed-point steps;
     DSIR costs two corpus counts)."""
+    from cuttlefish_spark.io import memo_key, memo_put
+
+    key = memo_key(spark, sf_dir, "documents")
+    if key in _DSIR_CACHE:
+        return _DSIR_CACHE[key]
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     toks = d.select("doc_id", "source", tokens(F.col("text")).alias("w"))
     bucket = (
@@ -2559,7 +2570,7 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("cnt") * F.col("lr")).cast("long").alias("importance"),
         )
     )
-    return (
+    out = (
         d.select("doc_id", "source")
         .join(sc, "doc_id", "left")
         .select(
@@ -2569,7 +2580,13 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("importance", F.lit(0)).cast("long").alias("importance"),
             (F.coalesce("importance", F.lit(0)) >= 0).alias("keep"),
         )
+        # eager checkpoint = the materialized importance manifest; the
+        # memo hands the SAME frame to dsir_resample (and repeat calls)
+        # so the scoring pass runs once per session per corpus.
+        .localCheckpoint(eager=True)
     )
+    memo_put(_DSIR_CACHE, key, out)
+    return out
 
 
 # ---------------------------------------------------------------------------
