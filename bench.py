@@ -41,9 +41,22 @@ def main() -> None:
     argv = sys.argv[1:]
     median3 = "--median3" in argv
     record = "--record" in argv
+    # --record --round N additionally snapshots BENCH_FULL.json as
+    # BENCH_FULL_r{N}.json and git-stages both (r11 VERDICT item 1:
+    # round-close scripts stage their own outputs).
+    record_round = None
+    if "--round" in argv:
+        i = argv.index("--round")
+        try:
+            record_round = int(argv[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: bench.py --record --round N")
+        argv = argv[:i] + argv[i + 2 :]
     only = [a for a in argv if not a.startswith("--")]
     if record and (median3 or only):
         sys.exit("--record is the full-set round-close mode; no names/--median3")
+    if record_round is not None and not record:
+        sys.exit("--round only applies to --record runs")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     spark = get_spark("cuttlefish-bench")
@@ -218,12 +231,22 @@ def main() -> None:
                 },
                 "total_median3": round(sum(medians.values()), 3),
             }
-        with open(Path(REPO) / "BENCH_FULL.json", "w") as f:
+        full = Path(REPO) / "BENCH_FULL.json"
+        with open(full, "w") as f:
             json.dump(
                 {**out, "queries_cold": cold, "queries_hostnorm": hostnorm, **extra},
                 f,
                 indent=1,
                 sort_keys=True,
+            )
+        if record_round is not None:
+            import shutil
+            import subprocess
+
+            snap = Path(REPO) / f"BENCH_FULL_r{record_round}.json"
+            shutil.copyfile(full, snap)
+            subprocess.run(
+                ["git", "-C", REPO, "add", str(full), str(snap)], check=False
             )
     print(json.dumps(out))
 

@@ -3947,7 +3947,9 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
     cum = two_phase_prefix_sum(spark, imp, "g", [F.col("doc_id")], "w")
     tot = imp.agg(
         F.sum("w").cast("long").alias("tw"),
-        (F.count(F.lit(1)) / _DSIR_N_DIV).cast("long").alias("n"),
+        # Integral div (the oracle's `//`) — double-divide-then-truncate
+        # loses exactness past 2^53 counts.
+        F.expr(f"count(1) div {_DSIR_N_DIV}").alias("n"),
     )
     j = cum.crossJoin(F.broadcast(tot))
     # `div` = exact integral division on DECIMAL(38,0) products —

@@ -1596,13 +1596,17 @@ def lsh_banding_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     nn = sig.filter(F.col("band1").isNotNull())
 
     def pairs(grp: F.Column, alias: str) -> DataFrame:
+        # Integral `div`, not float `/`: float division + double summation
+        # loses exactness (and diverges from the oracle's `//`) once
+        # n*(n-1) or the running sum passes 2^53 — reachable at the
+        # 100 TB scale this planner prices.
         return (
             nn.groupBy(grp.alias("v"))
             .agg(F.count(F.lit(1)).alias("n"))
             .agg(
                 F.coalesce(
-                    F.sum((F.col("n") * (F.col("n") - 1)) / 2).cast("long"),
-                    F.lit(0),
+                    F.sum(F.expr("(n * (n - 1)) div 2")),
+                    F.lit(0).cast("long"),
                 ).alias(alias)
             )
         )

@@ -396,7 +396,9 @@ def best_of_n_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     iteration."""
     d = load_table(spark, sf_dir, "documents").select("doc_id", "n_chars")
     cand = d.select(
-        (F.col("doc_id") / _BON_N).cast("long").alias("prompt_id"),
+        # Integral div (the oracle's `//`) — exact at any id magnitude,
+        # unlike double-divide-then-truncate past 2^53.
+        F.expr(f"doc_id div {_BON_N}").alias("prompt_id"),
         "doc_id",
         F.col("n_chars").alias("reward"),
         (

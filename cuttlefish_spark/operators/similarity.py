@@ -384,8 +384,18 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # never decide: centroid_id is unique per group. localCheckpoint
     # materializes the assignment once for the probe lookup AND the
     # cell scan — at 100 TB this is the write-partitioned-by-cell step.
+    # NaN pin: a zero-norm vector or centroid makes cosine_sim NaN, and
+    # min(struct) would then order it GREATEST (never wins) where the
+    # pre-r11 row_number(sim.desc) window ordered NaN FIRST (always won).
+    # nanvl(+inf) states the intended rule explicitly — a zero-norm sim
+    # is the worst candidate, so such a vector assigns to the lowest
+    # centroid_id deterministically; DuckDB's NaN-greatest total order
+    # agrees, so the oracle contract holds even on degenerate inputs
+    # (the testdata itself is Gaussian — zero norms never occur there).
     cand = F.struct(
-        (-cosine_sim(F.col("v"), F.col("c"))).alias("ns"),
+        F.nanvl(
+            -cosine_sim(F.col("v"), F.col("c")), F.lit(float("inf"))
+        ).alias("ns"),
         F.col("centroid_id").alias("centroid_id"),
         F.col("label").alias("label"),
         F.col("v").alias("v"),

@@ -84,7 +84,10 @@ def main() -> None:
     full_round = None
     if "--full" in argv:
         i = argv.index("--full")
-        full_round = int(argv[i + 1])
+        try:
+            full_round = int(argv[i + 1])
+        except (IndexError, ValueError):
+            sys.exit("usage: driver_sim.py [sf_dir] --full ROUND  (ROUND = int)")
         argv = argv[:i] + argv[i + 2 :]
     sf_dir = argv[0] if argv else "/root/testdata/sf0.01"
     # Vanilla session — deliberately NOT cuttlefish_spark.session.get_spark.
@@ -160,10 +163,15 @@ def main() -> None:
     print(f"\n{ok} oracle-match, {rows_only} rows-only, {bad} MISMATCH")
     if full_round is not None:
         import json
+        import subprocess
 
         out = Path(REPO) / f"FULLCHECK_r{full_round}.json"
         out.write_text(json.dumps(report, indent=1, sort_keys=True) + "\n")
-        print(f"wrote {out} ({len(report)} queries)")
+        # Stage the artifact the moment it exists (r11 VERDICT item 1:
+        # two straight rounds left round artifacts untracked at close —
+        # the round-close scripts now stage their own outputs).
+        subprocess.run(["git", "-C", REPO, "add", str(out)], check=False)
+        print(f"wrote + staged {out} ({len(report)} queries)")
     sys.exit(1 if bad else 0)
 
 

@@ -69,6 +69,25 @@ def main() -> int:
     MANIFEST.write_text(
         json.dumps(dict(sorted(out.items())), indent=1, sort_keys=True) + "\n"
     )
+    # Stage the manifest AND any not-yet-tracked round artifacts (r11
+    # VERDICT item 1: round-close scripts stage their own outputs so a
+    # close-out can't forget them; the commit itself stays explicit).
+    import subprocess
+
+    arts = [str(MANIFEST)] + [
+        str(p)
+        for pat in (
+            f"CORRECTNESS_r{rnd}.json",
+            f"BENCH_r{rnd}.json",
+            f"BENCH_FULL_r{rnd}.json",
+            f"FULLCHECK_r{rnd}.json",
+            "BENCH_FULL.json",
+        )
+        for p in [REPO / pat]
+        if p.exists()
+    ]
+    subprocess.run(["git", "-C", str(REPO), "add", *arts], check=False)
+    print(f"staged: {[Path(a).name for a in arts]}")
     print(
         json.dumps(
             {
