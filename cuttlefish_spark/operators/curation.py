@@ -205,6 +205,398 @@ def _gopher_flags(d: DataFrame, extra: tuple = ()) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# gopher_repetition_rules — Rae 2021 §A1.2, the repetition half
+# ---------------------------------------------------------------------------
+
+# Published thresholds (Rae et al. 2021 Table A1): a doc is REMOVED
+# when the signal exceeds the bound, so keep-rules are `<=`.
+_GR_DUP_LINE_MAX = 0.30
+_GR_DUP_PARA_MAX = 0.30
+_GR_DUP_LINE_CHAR_MAX = 0.20
+_GR_DUP_PARA_CHAR_MAX = 0.20
+_GR_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
+_GR_DUP_MAX = {5: 0.15, 10: 0.10}
+_GR_PACK = 1 << 32  # (count, charlen) packed argmax base
+
+
+def _gr_shingle_sql(k: int, src: str = "toks") -> str:
+    """DuckDB twin of functions.word_shingles(toks, k): starts
+    1..L-k+1 (range stop exclusive), slice i..i+k-1 inclusive, '_'
+    join; empty below k tokens."""
+    return (
+        f"list_transform(range(1, greatest(len({src}) - {k - 2}, 1)), "
+        f"i -> array_to_string({src}[i:i+{k - 1}], '_'))"
+    )
+
+
+_GR_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN []::VARCHAR[]
+                    ELSE regexp_split_to_array(trim(lower(text)), '\s+') END AS toks,
+               regexp_split_to_array(text, '\n') AS lines,
+               regexp_split_to_array(text, '\n\n') AS paras
+        FROM documents
+    ),
+    s AS (
+        SELECT doc_id, toks,
+               len(lines) AS n_lines, len(paras) AS n_paras,
+               COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS tok_chars,
+               COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars,
+               COALESCE(list_sum(list_transform(paras, x -> length(x))), 0) AS para_chars,
+               list_sort(lines) AS lsl, list_sort(paras) AS lsp
+        FROM t
+    ),
+    sd AS (
+        SELECT *,
+               list_filter(lsl, (x, i) -> x = lsl[i - 1]) AS dl,
+               list_filter(lsp, (x, i) -> x = lsp[i - 1]) AS dp
+        FROM s
+    ),
+    base AS (
+        SELECT doc_id, toks, tok_chars, n_lines, n_paras,
+               CAST(len(dl) AS DOUBLE) / n_lines AS dup_line_frac,
+               CASE WHEN line_chars > 0 THEN
+                   CAST(COALESCE(list_sum(list_transform(dl, x -> length(x))), 0)
+                        AS DOUBLE) / line_chars ELSE 0.0 END AS dup_line_char_frac,
+               CAST(len(dp) AS DOUBLE) / n_paras AS dup_para_frac,
+               CASE WHEN para_chars > 0 THEN
+                   CAST(COALESCE(list_sum(list_transform(dp, x -> length(x))), 0)
+                        AS DOUBLE) / para_chars ELSE 0.0 END AS dup_para_char_frac
+        FROM sd
+    ),
+    sh AS (
+        SELECT doc_id, 2 AS n, unnest({_gr_shingle_sql(2)}) AS g FROM t
+        UNION ALL
+        SELECT doc_id, 3 AS n, unnest({_gr_shingle_sql(3)}) AS g FROM t
+        UNION ALL
+        SELECT doc_id, 4 AS n, unnest({_gr_shingle_sql(4)}) AS g FROM t
+    ),
+    topn AS (
+        SELECT doc_id, n,
+               max(cnt * {_GR_PACK} + (length(g) - n + 1)) AS packed
+        FROM (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cnt
+              FROM sh GROUP BY doc_id, n, g)
+        GROUP BY doc_id, n
+    ),
+    topw AS (
+        SELECT doc_id,
+               max(CASE WHEN n = 2 THEN (packed // {_GR_PACK}) * (packed % {_GR_PACK}) END) AS t2,
+               max(CASE WHEN n = 3 THEN (packed // {_GR_PACK}) * (packed % {_GR_PACK}) END) AS t3,
+               max(CASE WHEN n = 4 THEN (packed // {_GR_PACK}) * (packed % {_GR_PACK}) END) AS t4
+        FROM topn GROUP BY doc_id
+    ),
+    wins AS (
+        SELECT doc_id, 5 AS n,
+               unnest({_gr_shingle_sql(5)}) AS g,
+               unnest(range(1, greatest(len(toks) - 3, 1))) AS st
+        FROM t
+        UNION ALL
+        SELECT doc_id, 10 AS n,
+               unnest({_gr_shingle_sql(10)}) AS g,
+               unnest(range(1, greatest(len(toks) - 8, 1))) AS st
+        FROM t
+    ),
+    dupw AS (
+        SELECT doc_id, n, st FROM (
+            SELECT doc_id, n, st,
+                   count(*) OVER (PARTITION BY doc_id, n, g) AS cw
+            FROM wins
+        ) WHERE cw >= 2
+    ),
+    pos AS (
+        SELECT doc_id, i,
+               CAST(length(toks[i]) AS BIGINT) AS cl
+        FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
+    ),
+    covd AS (
+        SELECT p.doc_id, w.n, p.i, max(p.cl) AS cl
+        FROM pos p JOIN dupw w
+          ON w.doc_id = p.doc_id
+         AND w.st BETWEEN p.i - w.n + 1 AND p.i
+        GROUP BY p.doc_id, w.n, p.i
+    ),
+    covs AS (
+        SELECT doc_id, n, CAST(sum(cl) AS BIGINT) AS chars
+        FROM covd GROUP BY doc_id, n
+    ),
+    m AS (
+        SELECT b.doc_id, b.n_lines, b.n_paras, b.tok_chars,
+               b.dup_line_frac, b.dup_line_char_frac,
+               b.dup_para_frac, b.dup_para_char_frac,
+               CASE WHEN b.tok_chars > 0 THEN
+                   CAST(COALESCE(tw.t2, 0) AS DOUBLE) / b.tok_chars
+               ELSE 0.0 END AS top2gram_char_frac,
+               CASE WHEN b.tok_chars > 0 THEN
+                   CAST(COALESCE(tw.t3, 0) AS DOUBLE) / b.tok_chars
+               ELSE 0.0 END AS top3gram_char_frac,
+               CASE WHEN b.tok_chars > 0 THEN
+                   CAST(COALESCE(tw.t4, 0) AS DOUBLE) / b.tok_chars
+               ELSE 0.0 END AS top4gram_char_frac,
+               CASE WHEN b.tok_chars > 0 THEN
+                   CAST(COALESCE(c5.chars, 0) AS DOUBLE) / b.tok_chars
+               ELSE 0.0 END AS dup5gram_char_frac,
+               CASE WHEN b.tok_chars > 0 THEN
+                   CAST(COALESCE(c10.chars, 0) AS DOUBLE) / b.tok_chars
+               ELSE 0.0 END AS dup10gram_char_frac
+        FROM base b
+        LEFT JOIN topw tw ON tw.doc_id = b.doc_id
+        LEFT JOIN covs c5 ON c5.doc_id = b.doc_id AND c5.n = 5
+        LEFT JOIN covs c10 ON c10.doc_id = b.doc_id AND c10.n = 10
+    )
+    SELECT doc_id, n_lines, n_paras, tok_chars,
+           dup_line_frac, dup_line_char_frac,
+           dup_para_frac, dup_para_char_frac,
+           top2gram_char_frac, top3gram_char_frac, top4gram_char_frac,
+           dup5gram_char_frac, dup10gram_char_frac,
+           dup_line_frac <= {_GR_DUP_LINE_MAX} AS r_dup_line,
+           dup_line_char_frac <= {_GR_DUP_LINE_CHAR_MAX} AS r_dup_line_chars,
+           dup_para_frac <= {_GR_DUP_PARA_MAX} AS r_dup_para,
+           dup_para_char_frac <= {_GR_DUP_PARA_CHAR_MAX} AS r_dup_para_chars,
+           top2gram_char_frac <= {_GR_TOP_MAX[2]} AS r_top2gram,
+           top3gram_char_frac <= {_GR_TOP_MAX[3]} AS r_top3gram,
+           top4gram_char_frac <= {_GR_TOP_MAX[4]} AS r_top4gram,
+           dup5gram_char_frac <= {_GR_DUP_MAX[5]} AS r_dup5gram,
+           dup10gram_char_frac <= {_GR_DUP_MAX[10]} AS r_dup10gram,
+           dup_line_frac <= {_GR_DUP_LINE_MAX}
+               AND dup_line_char_frac <= {_GR_DUP_LINE_CHAR_MAX}
+               AND dup_para_frac <= {_GR_DUP_PARA_MAX}
+               AND dup_para_char_frac <= {_GR_DUP_PARA_CHAR_MAX}
+               AND top2gram_char_frac <= {_GR_TOP_MAX[2]}
+               AND top3gram_char_frac <= {_GR_TOP_MAX[3]}
+               AND top4gram_char_frac <= {_GR_TOP_MAX[4]}
+               AND dup5gram_char_frac <= {_GR_DUP_MAX[5]}
+               AND dup10gram_char_frac <= {_GR_DUP_MAX[10]} AS keep
+    FROM m
+"""
+
+
+@query("gopher_repetition_rules", layer="C", oracle=_GR_SQL)
+def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher's REPETITION rule set (Rae et al. 2021 §A1.2 / Table A1
+    — the second half of the published filter whose §A1.1 half is
+    gopher_quality_rules; r11 VERDICT item 1): per doc,
+
+    - duplicate line / paragraph FRACTION: occurrences beyond the
+      first of each repeated line (paragraph = '\\n\\n' block) over the
+      total count — computed with ZERO shuffles as equal-adjacent runs
+      of the sorted array (sum over values of cnt-1 = the number of
+      sorted positions equal to their predecessor);
+    - duplicate line / paragraph CHARACTER fraction: the same
+      occurrences weighted by their char length over total structure
+      chars;
+    - top n-gram character fraction (n = 2, 3, 4): chars claimed by
+      the single most frequent token n-gram (count x n-gram token
+      chars) over total token chars. "Top" is the lexicographic max of
+      (count, charlen) packed into one int64 (count * 2^32 + charlen)
+      so both engines pick the identical winner with pure integer
+      arithmetic — no string-order tiebreak;
+    - duplicate n-gram character fraction (n = 5, 10, the published
+      boundary widths): fraction of token chars COVERED by at least
+      one occurrence of a within-doc-repeated n-gram — overlaps
+      counted once via position-coverage (a token i is covered iff
+      some duplicated window starts in [i-n+1, i]), the same
+      gaps-and-islands discipline as substring_dedup_spans but
+      per-document.
+
+    Keep-thresholds are the paper's: 0.30/0.30 dup line/para frac,
+    0.20/0.20 char fracs, 0.20/0.18/0.16 top-{{2,3,4}}-gram, 0.15/0.10
+    dup-{{5,10}}-gram. `keep` is the conjunction — the gate
+    quality_filter_funnel-style pipelines compose AFTER the §A1.1
+    rules.
+
+    Exactness: every fraction is IEEE division of identical integers;
+    the argmax rides the packed int64; thresholds are decimal
+    literals. Scale shape: the line/para block is a pure per-row
+    column program (no shuffle at all); the n-gram blocks shuffle on
+    high-cardinality (doc_id, n, gram) keys with map-side partials,
+    then (doc_id, n) — bounded-doc-length work per row, no
+    low-cardinality hotspots, no Python. At 100 TB every stage is a
+    uniform keyed shuffle over ~doc-sized groups."""
+    d = spread(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id", "text"
+    )
+    base = d.select(
+        "doc_id",
+        tokens(F.col("text")).alias("toks"),
+        F.split(F.col("text"), "\n", -1).alias("line"),
+        F.split(F.col("text"), "\n\n", -1).alias("para"),
+    )
+
+    def chars_of(col) -> F.Column:
+        return F.aggregate(
+            col, F.lit(0).cast("long"), lambda a, x: a + F.length(x)
+        )
+
+    def dup_structure(name: str) -> list:
+        ls = F.array_sort(F.col(name))
+        # occurrences beyond the first = sorted elements equal to their
+        # predecessor (F.get is 0-based and NULL-safe at -1, mirroring
+        # DuckDB's 1-based lsl[i-1] with lsl[0] = NULL).
+        dups = F.filter(ls, lambda x, i: x == F.get(ls, i - 1))
+        n = F.size(name).cast("long")
+        total = chars_of(F.col(name))
+        return [
+            n.alias(f"n_{name}s"),
+            (F.size(dups).cast("double") / n).alias(f"dup_{name}_frac"),
+            F.when(total > 0, chars_of(dups).cast("double") / total)
+            .otherwise(0.0)
+            .alias(f"dup_{name}_char_frac"),
+        ]
+
+    stats = base.select(
+        "doc_id",
+        chars_of(F.col("toks")).alias("tok_chars"),
+        *dup_structure("line"),
+        *dup_structure("para"),
+    )
+
+    def tagged(ns: tuple) -> F.Column:
+        return F.explode(
+            F.flatten(
+                F.array(
+                    *[
+                        F.transform(
+                            word_shingles(F.col("toks"), k=n),
+                            lambda g, i, n=n: F.struct(
+                                F.lit(n).alias("n"),
+                                (i + 1).cast("long").alias("st"),
+                                g.alias("g"),
+                            ),
+                        )
+                        for n in ns
+                    ]
+                )
+            )
+        )
+
+    sh = base.select("doc_id", tagged((2, 3, 4)).alias("x")).select(
+        "doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g")
+    )
+    topn = (
+        sh.groupBy("doc_id", "n", "g")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id", "n")
+        .agg(
+            F.max(
+                F.col("cnt") * _GR_PACK
+                + (F.length("g") - F.col("n") + 1).cast("long")
+            ).alias("packed")
+        )
+    )
+    num = F.expr(f"(packed div {_GR_PACK}) * (packed % {_GR_PACK})")
+    topw = topn.groupBy("doc_id").agg(
+        *[
+            F.max(F.when(F.col("n") == n, num)).alias(f"t{n}")
+            for n in (2, 3, 4)
+        ]
+    )
+
+    from pyspark.sql import Window
+
+    wins = base.select("doc_id", tagged((5, 10)).alias("x")).select(
+        "doc_id",
+        F.col("x.n").alias("n"),
+        F.col("x.st").alias("st"),
+        F.col("x.g").alias("g"),
+    )
+    dupw = (
+        wins.withColumn(
+            "cw", F.count(F.lit(1)).over(Window.partitionBy("doc_id", "n", "g"))
+        )
+        .filter(F.col("cw") >= 2)
+        .select("doc_id", "n", "st")
+    )
+    pos = base.select(
+        "doc_id", F.posexplode("toks").alias("i0", "tok")
+    ).select(
+        "doc_id",
+        (F.col("i0") + 1).cast("long").alias("i"),
+        F.length("tok").cast("long").alias("cl"),
+    )
+
+    def covered(n: int) -> DataFrame:
+        dw = dupw.filter(F.col("n") == n).select(
+            F.col("doc_id").alias("w_doc"), "st"
+        )
+        return (
+            pos.join(
+                dw,
+                (pos.doc_id == dw.w_doc)
+                & (dw.st >= pos.i - (n - 1))
+                & (dw.st <= pos.i),
+                "leftsemi",
+            )
+            .groupBy("doc_id")
+            .agg(F.sum("cl").alias(f"cov{n}"))
+        )
+
+    j = (
+        stats.join(topw, "doc_id", "left")
+        .join(covered(5), "doc_id", "left")
+        .join(covered(10), "doc_id", "left")
+    )
+    den = F.col("tok_chars")
+
+    def frac(col: str) -> F.Column:
+        return (
+            F.when(
+                den > 0,
+                F.coalesce(F.col(col), F.lit(0).cast("long")).cast("double")
+                / den,
+            ).otherwise(0.0)
+        )
+
+    metrics = {
+        "dup_line_frac": F.col("dup_line_frac"),
+        "dup_line_char_frac": F.col("dup_line_char_frac"),
+        "dup_para_frac": F.col("dup_para_frac"),
+        "dup_para_char_frac": F.col("dup_para_char_frac"),
+        "top2gram_char_frac": frac("t2"),
+        "top3gram_char_frac": frac("t3"),
+        "top4gram_char_frac": frac("t4"),
+        "dup5gram_char_frac": frac("cov5"),
+        "dup10gram_char_frac": frac("cov10"),
+    }
+    bounds = {
+        "dup_line_frac": _GR_DUP_LINE_MAX,
+        "dup_line_char_frac": _GR_DUP_LINE_CHAR_MAX,
+        "dup_para_frac": _GR_DUP_PARA_MAX,
+        "dup_para_char_frac": _GR_DUP_PARA_CHAR_MAX,
+        "top2gram_char_frac": _GR_TOP_MAX[2],
+        "top3gram_char_frac": _GR_TOP_MAX[3],
+        "top4gram_char_frac": _GR_TOP_MAX[4],
+        "dup5gram_char_frac": _GR_DUP_MAX[5],
+        "dup10gram_char_frac": _GR_DUP_MAX[10],
+    }
+    rule_names = {
+        "dup_line_frac": "r_dup_line",
+        "dup_line_char_frac": "r_dup_line_chars",
+        "dup_para_frac": "r_dup_para",
+        "dup_para_char_frac": "r_dup_para_chars",
+        "top2gram_char_frac": "r_top2gram",
+        "top3gram_char_frac": "r_top3gram",
+        "top4gram_char_frac": "r_top4gram",
+        "dup5gram_char_frac": "r_dup5gram",
+        "dup10gram_char_frac": "r_dup10gram",
+    }
+    sel = j.select(
+        "doc_id",
+        F.col("n_lines"),
+        F.col("n_paras"),
+        F.col("tok_chars"),
+        *[c.alias(n) for n, c in metrics.items()],
+    )
+    keep = None
+    rules = []
+    for mname, rname in rule_names.items():
+        r = F.col(mname) <= bounds[mname]
+        rules.append(r.alias(rname))
+        keep = r if keep is None else (keep & r)
+    return sel.select("*", *rules, keep.alias("keep"))
+
+
+# ---------------------------------------------------------------------------
 # temperature_sampling
 # ---------------------------------------------------------------------------
 

@@ -681,103 +681,6 @@ def _cc_min_label(nodes: DataFrame, e: DataFrame) -> DataFrame:
     )
 
 
-def _cluster_over_bands(
-    spark: SparkSession, sf_dir: str, rows_per_band: int
-) -> DataFrame:
-    """Shared body of dedup_clusters (b=2,r=2) and dedup_clusters_banded
-    (b=1,r=4): exact-dup collapse, banded Jaccard >= 0.7 edges over the
-    representatives, min-label components, map-back through rep_id.
-
-    Exact-dup collapse first (the production fuzzy-dedup order): docs
-    with IDENTICAL token sets are Jaccard-interchangeable, so connected
-    components run over one representative per distinct set; members
-    inherit the rep's cluster at map-back. Semantically exact at EITHER
-    banding — equal nonempty sets share all four MinHash windows (hence
-    every band key) and have J = 1.0, so the oracle's full closure puts
-    every member in its rep's component anyway. On a dup-heavy crawl
-    this collapses the quadratic pair volume by the square of the dup
-    rate before any band join runs.
-
-    rep_id = min(doc_id) of its set group, so min over a component's
-    reps = min over all its docs — cluster_id keeps the full-corpus
-    min-doc-id contract."""
-    sig = _token_signatures(
-        spark, sf_dir, with_rep=True, wide=(rows_per_band == 8)
-    )
-    rep_sig = sig.filter(F.col("doc_id") == F.col("rep_id"))
-    e = (
-        _band_candidates(rep_sig, min_jaccard=0.7, rows_per_band=rows_per_band)
-        .filter(_hashed_jaccard() >= 0.7)
-        .select("doc_a", "doc_b")
-    )
-    comp = _cc_min_label(rep_sig.select(F.col("doc_id").alias("node")), e)
-    rep_cluster = comp.select(F.col("node").alias("rep_id"), "cluster_id")
-    out = sig.select("doc_id", "rep_id").join(rep_cluster, "rep_id")
-    return out.select(
-        "doc_id",
-        "cluster_id",
-        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
-    )
-
-
-@query(
-    "dedup_clusters",
-    layer="C",
-    oracle=f"""
-    WITH RECURSIVE sig AS ({_TOKSIG_SQL}),
-    e AS ({_CLUSTER_EDGE_SQL}),
-    sym AS (
-        SELECT doc_a AS a, doc_b AS b FROM e
-        UNION ALL
-        SELECT doc_b AS a, doc_a AS b FROM e
-    ),
-    r AS (
-        SELECT doc_id AS node, doc_id AS lbl FROM documents
-        UNION
-        SELECT s.b AS node, r.lbl FROM r JOIN sym s ON s.a = r.node
-    )
-    SELECT node AS doc_id, min(lbl) AS cluster_id,
-           (min(lbl) = node) AS is_canonical
-    FROM r GROUP BY node
-    """,
-)
-def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Connected components over near-duplicate edges -> dedup clusters
-    and a canonical keep-list. Pair-producing dedup ops
-    (minhash_shingles, simhash_dedup, ngram_jaccard, editdist_near_dup)
-    emit EDGES; a real corpus dedup needs the transitive closure —
-    similarity is not transitive, so A~B and B~C must collapse into one
-    cluster even when A~C fails the threshold. Every doc gets
-    cluster_id = min doc_id of its component (singletons keep their
-    own id); `is_canonical` marks the one row per cluster a training
-    pipeline keeps.
-
-    Edges are token-set Jaccard >= 0.7 over MinHash band candidates
-    (_token_band_candidates — the ngram_jaccard generator at a
-    recall-oriented threshold; NO low-cardinality block key), with a
-    length-ratio prefilter ahead of the O(|A|+|B|) intersect: J >= 0.7
-    forces 0.7 <= |A|/|B| <= 1/0.7, and the conjunct short-circuits
-    inside codegen, so mismatched-size pairs never pay the set math.
-
-    The closure runs as star contraction + tiny-graph iteration:
-    round 0 maps every node to min(self, min neighbor) in ONE
-    groupBy(node).min() over the edges (each label0 class is a star —
-    connected by construction), then the edge set is CONTRACTED to
-    distinct (label0(a), label0(b)) pairs — near-dup graphs are
-    clique-heavy, so this collapses orders of magnitude (510k edges ->
-    hundreds at sf0.1). Min-label propagation then iterates to fixpoint
-    on the contracted graph only (sum-of-labels is monotonically
-    non-increasing; unchanged sum = fixpoint), and a final join maps
-    doc -> star -> component. Full-size data is touched by exactly
-    three shuffles (edge join, star agg, label map-back); the
-    O(diameter) iterations run on the contracted remnant. At 100 TB you
-    repeat the contraction per round (large-star/small-star) and
-    checkpoint every few rounds to truncate lineage — same plan shape.
-    The DuckDB oracle runs the identical closure as a recursive CTE.
-    """
-    return _cluster_over_bands(spark, sf_dir, rows_per_band=2)
-
-
 def _mh2_sql(start: int) -> str:
     return f"list_min(list_transform(h2, x -> substr(x, {start}, 8)))"
 
@@ -817,6 +720,216 @@ _CLUSTER_EDGE_B1R8_SQL = """
           AND CAST(len(list_intersect(sa.hw, sb.hw)) AS DOUBLE)
                   / (len(sa.hw) + len(sb.hw) - len(list_intersect(sa.hw, sb.hw))) >= 0.7
 """
+
+# Adaptive-banding switch point: tighten b=2,r=2 -> b=1,r=8 when the
+# estimated r=2 candidate join exceeds this many pairs PER
+# REPRESENTATIVE (see _pick_banding's measured calibration).
+_ADAPT_MULT = 16
+
+# The decision statistic as DuckDB CTEs (expects `sig` =
+# _TOKSIG_WIDE_SQL): representatives (min doc_id per identical sorted
+# token-hash set, blanks excluded), then the planner's integral
+# sum-of-C(n,2) over both r=2 band-value frequency tables compared
+# against _ADAPT_MULT * n_reps. Shared by the dedup_clusters oracle and
+# scripts/sf1_oracle_gate.py's union-find path so every gate re-derives
+# the SAME branch decision the Spark operator takes.
+_ADAPT_DEC_SQL = f"""
+    rep AS (
+        SELECT min(doc_id) AS rep_id
+        FROM sig WHERE len(w) > 0
+        GROUP BY list_sort(hw)
+    ),
+    rsig AS (
+        SELECT s.* FROM sig s JOIN rep ON s.doc_id = rep.rep_id
+        WHERE s.band1 IS NOT NULL
+    ),
+    dec AS (
+        SELECT CASE WHEN
+            (SELECT COALESCE(sum((n * (n - 1)) // 2), 0)
+             FROM (SELECT count(*) AS n FROM rsig GROUP BY band1))
+          + (SELECT COALESCE(sum((n * (n - 1)) // 2), 0)
+             FROM (SELECT count(*) AS n FROM rsig GROUP BY band2))
+          > {_ADAPT_MULT} * (SELECT count(*) FROM rsig)
+        THEN 8 ELSE 2 END AS rpb
+    )
+"""
+
+
+def _pick_banding(rep_sig: DataFrame) -> int:
+    """The wired lsh_banding_plan decision (r11 VERDICT item 2): from
+    the representatives' band-value frequency tables, price the b=2,r=2
+    candidate join as sum over band values of C(n, 2) (union bound over
+    both bands — the planner's own statistic, integral arithmetic, NO
+    pair join ever runs) and return 8 (tight b=1,r=8 banding) when it
+    exceeds _ADAPT_MULT pairs per representative, else 2.
+
+    Measured calibration (r12, probe over the committed corpora):
+    r=2 est-pairs/rep = 158 at sf0.01 / 1246 at sf0.1 / 9622 at sf1
+    (the degenerate 31-word-vocab testdata — collision-heavy by
+    construction) vs 7.0 at zipf-sf1 / 74.5 at zipf-sf10 (realistic
+    50k-type vocabulary, dup-planting-bound until scale pushes band
+    collisions superlinear — the exponent-2.03 cliff). _ADAPT_MULT=16
+    therefore keeps the recall-oriented b=2,r=2 S-curve on clean
+    corpora and flips to the linear-exponent banding exactly where the
+    candidate stream would outgrow the true-pair floor.
+
+    Driver sync: one 1-row aggregate over the checkpointed signature
+    reps (two groupBys fused via a tagged explode) — O(scalars) driver
+    traffic, the same documented class as the two-phase boundary
+    offsets. The DuckDB oracle re-derives the identical integer
+    statistic, so the chosen branch can never diverge cross-engine."""
+    nn = rep_sig.filter(F.col("band1").isNotNull())
+    row = (
+        nn.select(
+            F.explode(
+                F.array(
+                    F.concat(F.lit("1:"), "band1"),
+                    F.concat(F.lit("2:"), "band2"),
+                )
+            ).alias("v")
+        )
+        .groupBy("v")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .agg(
+            F.coalesce(
+                F.sum(F.expr("(n * (n - 1)) div 2")), F.lit(0).cast("long")
+            ).alias("cand")
+        )
+        .crossJoin(F.broadcast(nn.agg(F.count(F.lit(1)).alias("n_reps"))))
+        .first()
+    )
+    return 8 if row.cand > _ADAPT_MULT * row.n_reps else 2
+
+
+def _cluster_over_bands(
+    spark: SparkSession, sf_dir: str, rows_per_band: int | None
+) -> DataFrame:
+    """Shared body of dedup_clusters (rows_per_band=None — ADAPTIVE:
+    _pick_banding chooses b=2,r=2 or b=1,r=8 from the corpus's own
+    band-value frequency tables) and dedup_clusters_banded (b=1,r=8
+    pinned): exact-dup collapse, banded Jaccard >= 0.7 edges over the
+    representatives, min-label components, map-back through rep_id.
+
+    Exact-dup collapse first (the production fuzzy-dedup order): docs
+    with IDENTICAL token sets are Jaccard-interchangeable, so connected
+    components run over one representative per distinct set; members
+    inherit the rep's cluster at map-back. Semantically exact at EITHER
+    banding — equal nonempty sets share all four MinHash windows (hence
+    every band key) and have J = 1.0, so the oracle's full closure puts
+    every member in its rep's component anyway. On a dup-heavy crawl
+    this collapses the quadratic pair volume by the square of the dup
+    rate before any band join runs.
+
+    rep_id = min(doc_id) of its set group, so min over a component's
+    reps = min over all its docs — cluster_id keeps the full-corpus
+    min-doc-id contract.
+
+    The adaptive path always builds the WIDE (two-family) signature so
+    either branch can run off the one checkpointed table — one extra
+    md5 map pass when the decision lands on r=2, nothing when it lands
+    on r=8 (which is exactly the corpus where the extra pass is
+    cheapest relative to the avoided candidate volume)."""
+    adaptive = rows_per_band is None
+    sig = _token_signatures(
+        spark, sf_dir, with_rep=True, wide=adaptive or rows_per_band == 8
+    )
+    rep_sig = sig.filter(F.col("doc_id") == F.col("rep_id"))
+    if adaptive:
+        rows_per_band = _pick_banding(rep_sig)
+    e = (
+        _band_candidates(rep_sig, min_jaccard=0.7, rows_per_band=rows_per_band)
+        .filter(_hashed_jaccard() >= 0.7)
+        .select("doc_a", "doc_b")
+    )
+    comp = _cc_min_label(rep_sig.select(F.col("doc_id").alias("node")), e)
+    rep_cluster = comp.select(F.col("node").alias("rep_id"), "cluster_id")
+    out = sig.select("doc_id", "rep_id").join(rep_cluster, "rep_id")
+    return out.select(
+        "doc_id",
+        "cluster_id",
+        (F.col("cluster_id") == F.col("doc_id")).alias("is_canonical"),
+    )
+
+
+@query(
+    "dedup_clusters",
+    layer="C",
+    oracle=f"""
+    WITH RECURSIVE sig AS ({_TOKSIG_WIDE_SQL}),
+    {_ADAPT_DEC_SQL},
+    e AS (
+        SELECT doc_a, doc_b FROM ({_CLUSTER_EDGE_SQL}) e2
+        WHERE (SELECT rpb FROM dec) = 2
+        UNION ALL
+        SELECT doc_a, doc_b FROM ({_CLUSTER_EDGE_B1R8_SQL}) e8
+        WHERE (SELECT rpb FROM dec) = 8
+    ),
+    sym AS (
+        SELECT doc_a AS a, doc_b AS b FROM e
+        UNION ALL
+        SELECT doc_b AS a, doc_a AS b FROM e
+    ),
+    r AS (
+        SELECT doc_id AS node, doc_id AS lbl FROM documents
+        UNION
+        SELECT s.b AS node, r.lbl FROM r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS doc_id, min(lbl) AS cluster_id,
+           (min(lbl) = node) AS is_canonical
+    FROM r GROUP BY node
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected components over near-duplicate edges -> dedup clusters
+    and a canonical keep-list. Pair-producing dedup ops
+    (minhash_shingles, simhash_dedup, ngram_jaccard, editdist_near_dup)
+    emit EDGES; a real corpus dedup needs the transitive closure —
+    similarity is not transitive, so A~B and B~C must collapse into one
+    cluster even when A~C fails the threshold. Every doc gets
+    cluster_id = min doc_id of its component (singletons keep their
+    own id); `is_canonical` marks the one row per cluster a training
+    pipeline keeps.
+
+    Edges are token-set Jaccard >= 0.7 over MinHash band candidates at
+    an ADAPTIVELY CHOSEN banding (r11 VERDICT item 2 — the flagship
+    entry point now wires lsh_banding_plan's decision in rather than
+    shipping the quadratic default): _pick_banding prices the b=2,r=2
+    candidate join from the representatives' band-value frequency
+    tables (integral sum of C(n,2), no pair join) and keeps the
+    recall-oriented b=2,r=2 S-curve only while it costs <= _ADAPT_MULT
+    candidate pairs per representative, switching to the measured
+    linear-exponent b=1,r=8 banding (candidate exp 1.02 vs 2.03 on the
+    zipf sf1->sf10 decade) beyond that — the 100x user gets the
+    scale-safe plan WITHOUT knowing to reach for the _banded variant.
+    The DuckDB oracle re-derives the identical integer decision
+    (_ADAPT_DEC_SQL) and the matching edge predicate, so the gate
+    checks the branch choice itself, not just either endpoint. Both
+    bandings apply the length-ratio prefilter ahead of the O(|A|+|B|)
+    intersect: J >= 0.7 forces 0.7 <= |A|/|B| <= 1/0.7, and the
+    conjunct short-circuits inside codegen, so mismatched-size pairs
+    never pay the set math.
+
+    (b=2,r=2 lives on as the explicit recall-audit setting via
+    _band_candidates(rows_per_band=2) and the minhash_banding_sweep /
+    lsh_banding_plan audit queries; dedup_clusters_banded pins r=8.)
+
+    The closure runs as star contraction + tiny-graph iteration:
+    round 0 maps every node to min(self, min neighbor) in ONE
+    groupBy(node).min() over the edges (each label0 class is a star —
+    connected by construction), then the edge set is CONTRACTED to
+    distinct (label0(a), label0(b)) pairs — near-dup graphs are
+    clique-heavy, so this collapses orders of magnitude (510k edges ->
+    hundreds at sf0.1). Min-label propagation then iterates to fixpoint
+    on the contracted graph only (sum-of-labels is monotonically
+    non-increasing; unchanged sum = fixpoint), and a final join maps
+    doc -> star -> component. Full-size data is touched by exactly
+    three shuffles (edge join, star agg, label map-back); the
+    O(diameter) iterations run on the contracted remnant. At 100 TB you
+    repeat the contraction per round (large-star/small-star) and
+    checkpoint every few rounds to truncate lineage — same plan shape.
+    The DuckDB oracle runs the identical closure as a recursive CTE.
+    """
+    return _cluster_over_bands(spark, sf_dir, rows_per_band=None)
 
 
 @query(

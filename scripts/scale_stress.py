@@ -213,21 +213,32 @@ def band_exponent(spark) -> None:
     import math
     import time as _t
 
+    from pyspark.sql import functions as F
+
     from cuttlefish_spark.operators.dedup import (
         _band_candidates,
+        _pick_banding,
         _token_signatures,
     )
 
     out: dict = {}
     for label, d in (("zipf_sf1", ZIPF1), ("zipf_sf10", ZIPF10)):
         row = {}
+        # The ADAPTIVE flagship's own rung (r11 VERDICT item 2 "Done"
+        # evidence): what dedup_clusters actually chooses and pays here.
+        wide = _token_signatures(spark, d, with_rep=True, wide=True)
+        choice = _pick_banding(wide.filter(F.col("doc_id") == F.col("rep_id")))
         for cfg, r in (("b2r2", 2), ("b1r4", 4), ("b1r8", 8)):
             sig = _token_signatures(spark, d, wide=(r == 8))
             t0 = _t.monotonic()
             n = _band_candidates(sig, rows_per_band=r, payload=False).count()
             row[cfg] = {"candidates": n, "sec": round(_t.monotonic() - t0, 1)}
+        row["adaptive"] = {
+            "rows_per_band": choice,
+            "candidates": row["b2r2" if choice == 2 else "b1r8"]["candidates"],
+        }
         out[label] = row
-    for cfg in ("b2r2", "b1r4", "b1r8"):
+    for cfg in ("b2r2", "b1r4", "b1r8", "adaptive"):
         e = math.log10(
             max(out["zipf_sf10"][cfg]["candidates"], 1)
             / max(out["zipf_sf1"][cfg]["candidates"], 1)

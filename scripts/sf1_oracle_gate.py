@@ -549,8 +549,24 @@ def dedup_clusters_oracle(sf_dir: str, banded: bool = False):
     import cuttlefish_spark.operators.dedup as dd
     from tests.oracle_harness import run_oracle
 
-    sig_sql = dd._TOKSIG_WIDE_SQL if banded else dd._TOKSIG_SQL
-    edge_sql = dd._CLUSTER_EDGE_B1R8_SQL if banded else dd._CLUSTER_EDGE_SQL
+    sig_sql = dd._TOKSIG_WIDE_SQL
+    if banded:
+        edge_sql = dd._CLUSTER_EDGE_B1R8_SQL
+    else:
+        # Adaptive flagship (r12): re-derive the banding decision in
+        # DuckDB (the same _ADAPT_DEC_SQL integer statistic the inline
+        # oracle and the Spark operator use), then run the chosen
+        # branch's edge SQL.
+        dec = run_oracle(
+            f"WITH sig AS ({sig_sql}), {dd._ADAPT_DEC_SQL} "
+            "SELECT rpb FROM dec",
+            sf_dir,
+            pragmas=PRAGMAS,
+        )
+        rpb = int(dec["rpb"].iloc[0])
+        edge_sql = (
+            dd._CLUSTER_EDGE_B1R8_SQL if rpb == 8 else dd._CLUSTER_EDGE_SQL
+        )
     edges = run_oracle(
         f"WITH sig AS ({sig_sql}), e AS ({edge_sql}) "
         "SELECT doc_a, doc_b FROM e",

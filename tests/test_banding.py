@@ -39,6 +39,32 @@ def test_banded_clusters_agree_on_exact_dups(spark, sf_dir):
         assert n_bad == 0, f"{col}: exact-dup group split across clusters"
 
 
+def test_adaptive_banding_decision(spark, sf_dir, tmp_path):
+    """_pick_banding must return 8 on the collision-heavy 31-word-vocab
+    testdata (measured 158+ est-pairs/rep at every SF) and 2 on a clean
+    high-entropy corpus (every doc a distinct token set, no band
+    collisions) — the two calibration regimes of _ADAPT_MULT."""
+    from cuttlefish_spark.operators.dedup import (
+        _pick_banding,
+        _token_signatures,
+    )
+
+    sig = _token_signatures(spark, sf_dir, with_rep=True, wide=True)
+    assert _pick_banding(sig.filter("doc_id = rep_id")) == 8
+
+    rows = [
+        (i, " ".join(f"uniq{i}_{j}" for j in range(20)), "en", "s", 1)
+        for i in range(50)
+    ]
+    clean = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "cleansf")
+    clean.write.parquet(d + "/documents.parquet")
+    sig2 = _token_signatures(spark, d, with_rep=True, wide=True)
+    assert _pick_banding(sig2.filter("doc_id = rep_id")) == 2
+
+
 def test_banded_candidates_are_subset(spark, sf_dir):
     """b=1,r=8 candidates must be a strict subset of b=2,r=2's: an
     8-window collision implies both 2-window band collisions (bands 1
