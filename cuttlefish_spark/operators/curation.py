@@ -241,7 +241,8 @@ _GR_SQL = rf"""
     s AS (
         SELECT doc_id, toks,
                len(lines) AS n_lines, len(paras) AS n_paras,
-               COALESCE(list_sum(list_transform(toks, x -> length(x))), 0) AS tok_chars,
+               CAST(COALESCE(list_sum(list_transform(toks, x -> length(x))), 0)
+                    AS BIGINT) AS tok_chars,
                COALESCE(list_sum(list_transform(lines, x -> length(x))), 0) AS line_chars,
                COALESCE(list_sum(list_transform(paras, x -> length(x))), 0) AS para_chars,
                list_sort(lines) AS lsl, list_sort(paras) AS lsp
@@ -277,6 +278,7 @@ _GR_SQL = rf"""
                max(cnt * {_GR_PACK} + (length(g) - n + 1)) AS packed
         FROM (SELECT doc_id, n, g, CAST(count(*) AS BIGINT) AS cnt
               FROM sh GROUP BY doc_id, n, g)
+        WHERE cnt >= 2
         GROUP BY doc_id, n
     ),
     topw AS (
@@ -387,7 +389,9 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       chars;
     - top n-gram character fraction (n = 2, 3, 4): chars claimed by
       the single most frequent token n-gram (count x n-gram token
-      chars) over total token chars. "Top" is the lexicographic max of
+      chars) over total token chars, scored only when that n-gram
+      occurs >= 2 times (a count-1 "top" is not repetition — an
+      all-unique doc scores 0). "Top" is the lexicographic max of
       (count, charlen) packed into one int64 (count * 2^32 + charlen)
       so both engines pick the identical winner with pure integer
       arithmetic — no string-order tiebreak;
@@ -451,31 +455,29 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         *dup_structure("para"),
     )
 
-    def tagged(ns: tuple) -> F.Column:
-        return F.explode(
-            F.flatten(
-                F.array(
-                    *[
-                        F.transform(
-                            word_shingles(F.col("toks"), k=n),
-                            lambda g, i, n=n: F.struct(
-                                F.lit(n).alias("n"),
-                                (i + 1).cast("long").alias("st"),
-                                g.alias("g"),
-                            ),
-                        )
-                        for n in ns
-                    ]
-                )
-            )
+    def _tag_one(n: int) -> F.Column:
+        return F.transform(
+            word_shingles(F.col("toks"), k=n),
+            lambda g, i: F.struct(
+                F.lit(n).alias("n"),
+                (i + 1).cast("long").alias("st"),
+                g.alias("g"),
+            ),
         )
+
+    def tagged(ns: tuple) -> F.Column:
+        return F.explode(F.flatten(F.array(*[_tag_one(n) for n in ns])))
 
     sh = base.select("doc_id", tagged((2, 3, 4)).alias("x")).select(
         "doc_id", F.col("x.n").alias("n"), F.col("x.g").alias("g")
     )
+    # A count-1 "top" n-gram is not repetition: an all-unique short doc
+    # must score 0, not charlen/tok_chars (which would fail the 0.20
+    # bound purely for being short).
     topn = (
         sh.groupBy("doc_id", "n", "g")
         .agg(F.count(F.lit(1)).alias("cnt"))
+        .filter(F.col("cnt") >= 2)
         .groupBy("doc_id", "n")
         .agg(
             F.max(

@@ -335,6 +335,9 @@ GATE_QUERIES = [
     "bpe_vocab_prune_audit",
     "dsir_resample",
     "tfidf_kmeans_clusters",
+    # r12: repetition rules, best-fit packing, bucketed layout,
+    # cluster pruning, incremental IVF
+    "gopher_repetition_rules",
 ]
 
 SUBSET_QUERIES = {

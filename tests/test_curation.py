@@ -380,3 +380,45 @@ def test_bpe_batched_first_round_matches_sequential(spark, sf_dir):
         for i in range(len(sets)):
             for j in range(i + 1, len(sets)):
                 assert not (sets[i] & sets[j]), (rnd, sets[i], sets[j])
+
+
+def test_gopher_repetition_hand_computed(spark, tmp_path):
+    """Pin gopher_repetition_rules' signal semantics on hand-computed
+    docs: top-2-gram char fraction and dup-5-gram coverage on a
+    repeating token stream, dup line/para fractions on repeated
+    structures (the oracle hash can't explain WHY a value is right;
+    this does)."""
+    from cuttlefish_spark.registry import load_all
+
+    rows = [
+        # tokens a b c a b c a b: top 2-gram a_b count 3, char len 2,
+        # tok_chars 8 -> top2 frac 6/8; 5-gram windows (starts 1..4)
+        # have window1 == window4 -> starts {1,4} cover positions 1..8
+        # -> dup5 frac 1.0
+        (0, "a b c a b c a b", "en", "s", 15),
+        # 4 lines, 'x' twice: 1 dup occurrence / 4 lines; chars 1/4
+        (1, "x\ny\nx\nz", "en", "s", 7),
+        # 3 paragraphs, 'p' twice -> dup_para_frac 1/3
+        (2, "p\n\nq\n\np", "en", "s", 7),
+        # no repetition at all -> every signal 0, keep = true
+        (3, "one two three four five", "en", "s", 23),
+    ]
+    df = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    d = str(tmp_path / "grsf")
+    df.write.parquet(d + "/documents.parquet")
+    out = (
+        load_all()["gopher_repetition_rules"].fn(spark, d)
+        .toPandas().set_index("doc_id").sort_index()
+    )
+    assert abs(out.loc[0, "top2gram_char_frac"] - 6 / 8) < 1e-9
+    assert abs(out.loc[0, "dup5gram_char_frac"] - 1.0) < 1e-9
+    assert abs(out.loc[1, "dup_line_frac"] - 0.25) < 1e-9
+    assert abs(out.loc[1, "dup_line_char_frac"] - 0.25) < 1e-9
+    assert abs(out.loc[2, "dup_para_frac"] - 1 / 3) < 1e-9
+    assert out.loc[3, ["dup_line_frac", "dup_para_frac",
+                       "dup5gram_char_frac", "dup10gram_char_frac",
+                       "top2gram_char_frac"]].eq(0.0).all()
+    assert bool(out.loc[3, "keep"])
+    assert not bool(out.loc[0, "keep"])  # 0.75 top2 + full dup5 coverage
