@@ -1072,6 +1072,249 @@ def packing_efficiency_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BIG_CUT = PACK_WINDOW // 2  # docs above this get singleton bins
+
+
+@query(
+    "sequence_packing_bestfit",
+    layer="C",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, source,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\\s+'))
+               END AS n_tok
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, source, n_tok,
+               least(n_tok, {PACK_WINDOW}) AS len_eff
+        FROM t WHERE n_tok > 0
+    ),
+    mx AS (
+        SELECT source, CAST(max(len_eff) AS BIGINT) AS mx
+        FROM p WHERE len_eff <= {_BIG_CUT} GROUP BY source
+    ),
+    sm AS (
+        SELECT p.source, p.len_eff, mx.mx,
+               SUM(p.len_eff) OVER (PARTITION BY p.source ORDER BY p.doc_id
+                                    ROWS UNBOUNDED PRECEDING) - p.len_eff
+                   AS cum_before
+        FROM p JOIN mx ON mx.source = p.source
+        WHERE p.len_eff <= {_BIG_CUT}
+    ),
+    sfill AS (
+        SELECT source, cum_before // ({PACK_WINDOW} - mx) AS bin,
+               CAST(sum(len_eff) AS BIGINT) AS fill,
+               CAST(count(*) AS BIGINT) AS n_in_bin
+        FROM sm GROUP BY source, cum_before // ({PACK_WINDOW} - mx)
+    ),
+    sagg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_small_bins,
+               CAST(max(fill) AS BIGINT) AS max_small_fill,
+               CAST(COALESCE(sum(CASE WHEN fill > {PACK_WINDOW}
+                                      THEN n_in_bin END), 0) AS BIGINT)
+                   AS n_split,
+               CAST(min(fill) AS BIGINT) AS min_small_fill
+        FROM sfill GROUP BY source
+    ),
+    bagg AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_big,
+               CAST(max(len_eff) AS BIGINT) AS max_big_fill
+        FROM p WHERE len_eff > {_BIG_CUT} GROUP BY source
+    ),
+    tot AS (
+        SELECT source, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(len_eff) AS BIGINT) AS total_tokens,
+               CAST(COALESCE(sum(CASE WHEN n_tok > {PACK_WINDOW} THEN 1 END),
+                             0) AS BIGINT) AS n_oversize
+        FROM p GROUP BY source
+    ),
+    cc AS (
+        SELECT source,
+               CAST(COALESCE(sum(CASE WHEN cum_before // {PACK_WINDOW}
+                        <> (cum_before + n_tok - 1) // {PACK_WINDOW}
+                        THEN 1 END), 0) AS BIGINT) AS n_split_docs_concat
+        FROM (
+            SELECT source, n_tok,
+                   SUM(n_tok) OVER (PARTITION BY source ORDER BY doc_id
+                                    ROWS UNBOUNDED PRECEDING) - n_tok
+                       AS cum_before
+            FROM t
+        ) WHERE n_tok > 0
+        GROUP BY source
+    )
+    SELECT tot.source, tot.n_docs, tot.total_tokens, tot.n_oversize,
+           COALESCE(sagg.n_small_bins, 0) + COALESCE(bagg.n_big, 0) AS n_bins,
+           greatest(COALESCE(sagg.max_small_fill, 0),
+                    COALESCE(bagg.max_big_fill, 0)) AS max_bin_fill,
+           COALESCE(sagg.n_split, 0) AS n_split_docs,
+           (tot.total_tokens + {PACK_WINDOW - 1}) // {PACK_WINDOW}
+               AS n_bins_concat,
+           cc.n_split_docs_concat,
+           round(CAST(tot.total_tokens AS DOUBLE)
+                 / ((COALESCE(sagg.n_small_bins, 0) + COALESCE(bagg.n_big, 0))
+                    * {PACK_WINDOW}), 6) AS utilization,
+           round(CAST(tot.total_tokens AS DOUBLE)
+                 / (((tot.total_tokens + {PACK_WINDOW - 1}) // {PACK_WINDOW})
+                    * {PACK_WINDOW}), 6) AS utilization_concat,
+           round(CAST(tot.total_tokens AS DOUBLE)
+                 / (((tot.total_tokens + {PACK_WINDOW - 1}) // {PACK_WINDOW})
+                    * {PACK_WINDOW})
+                 - CAST(tot.total_tokens AS DOUBLE)
+                 / ((COALESCE(sagg.n_small_bins, 0) + COALESCE(bagg.n_big, 0))
+                    * {PACK_WINDOW}), 6) AS util_delta
+    FROM tot
+    LEFT JOIN sagg ON sagg.source = tot.source
+    LEFT JOIN bagg ON bagg.source = tot.source
+    JOIN cc ON cc.source = tot.source
+    """,
+)
+def sequence_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ZERO-SPLIT sequence packing (Krell et al. 2021 'Efficient
+    sequence packing without cross-contamination' — the published
+    mitigation of the fragmentation cost packing_efficiency_audit
+    MEASURES; r11 VERDICT item 4 delivers the knob that audit had
+    nothing to recommend): documents are binned into
+    {PACK_WINDOW}-token windows such that NO document is ever cut by a
+    window boundary, and the report states the utilization price
+    head-to-head against concat-and-chunk (which always fills 100% of
+    every non-final window but splits ~split_frac of docs).
+
+    The bin-assignment discipline is HEADROOM PACKING — the
+    closed-form member of the first-fit family, chosen over literal
+    FFD/SPFHP because it has NO sequential state at all (FFD needs an
+    ordered pass over the corpus or its histogram; this is pure
+    arithmetic on a distributed prefix sum):
+
+    - big docs (len > {_BIG_CUT} = window/2): one bin each. Any two
+      overflow a window, so singleton bins are OPTIMAL for this tier
+      in isolation.
+    - small docs (len <= window/2): per source, in deterministic
+      doc_id order, bin = floor(cum_before / W') with headroom
+      W' = window - max_small_len(source). A bin's docs all start
+      inside one W' stripe, so fill <= W' - 1 + max <= window: zero
+      splits BY CONSTRUCTION — and the output proves it anyway
+      (n_split_docs counts docs in any bin with fill > window;
+      max_bin_fill <= window is visible). Full bins carry at least
+      W' - max tokens, so utilization >= 1 - 2*max/window (~90% at
+      the corpus's ~100-token docs) — the measured util_delta column
+      is the honest price of never splitting.
+
+    The prefix sum is the two-phase distributed discipline
+    (sequence_packing's), the per-source max is a broadcast scalar
+    join, and every downstream step is integer arithmetic — at 100 TB
+    this packs in ONE extra pass over what concat-and-chunk already
+    costs, with no driver loop and no per-source single-task sort
+    (SPFHP's histogram pass would need a sequential fold per source).
+
+    Output per source: doc/token totals, n_oversize (docs > window,
+    truncated into singleton bins), the bestfit bin count vs
+    n_bins_concat = ceil(tokens/window) (concat's count = the packing
+    lower bound), max_bin_fill, n_split_docs (= 0) vs
+    n_split_docs_concat, and both utilizations with util_delta =
+    utilization_concat - utilization."""
+    d = load_table(spark, sf_dir, "documents")
+    n_tok = F.size(tokens(F.col("text"))).cast("long")
+    t = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    p = t.filter(F.col("n_tok") > 0).withColumn(
+        "len_eff", F.least(F.col("n_tok"), F.lit(PACK_WINDOW)).cast("long")
+    )
+    small = p.filter(F.col("len_eff") <= _BIG_CUT)
+    big = p.filter(F.col("len_eff") > _BIG_CUT)
+
+    mx = small.groupBy("source").agg(F.max("len_eff").alias("mx"))
+    sm = (
+        two_phase_prefix_sum(
+            spark, small.select("doc_id", "source", "len_eff"),
+            "source", [F.col("doc_id")], "len_eff",
+        )
+        .withColumn("cum_before", F.col("cum") - F.col("len_eff"))
+        .join(F.broadcast(mx), "source")
+    )
+    sfill = sm.groupBy(
+        "source",
+        F.expr(f"cum_before div ({PACK_WINDOW} - mx)").alias("bin"),
+    ).agg(
+        F.sum("len_eff").cast("long").alias("fill"),
+        F.count(F.lit(1)).alias("n_in_bin"),
+    )
+    sagg = sfill.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_small_bins"),
+        F.max("fill").alias("max_small_fill"),
+        F.coalesce(
+            F.sum(F.when(F.col("fill") > PACK_WINDOW, F.col("n_in_bin"))),
+            F.lit(0),
+        ).cast("long").alias("n_split"),
+    )
+    bagg = big.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_big"),
+        F.max("len_eff").alias("max_big_fill"),
+    )
+    tot = p.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("len_eff").cast("long").alias("total_tokens"),
+        F.coalesce(
+            F.sum(F.when(F.col("n_tok") > PACK_WINDOW, F.lit(1))), F.lit(0)
+        ).cast("long").alias("n_oversize"),
+    )
+    cc = (
+        two_phase_prefix_sum(spark, t, "source", [F.col("doc_id")], "n_tok")
+        .withColumn("cum_before", F.col("cum") - F.col("n_tok"))
+        .filter(F.col("n_tok") > 0)
+        .groupBy("source")
+        .agg(
+            F.coalesce(
+                F.sum(
+                    F.when(
+                        F.expr(f"cum_before div {PACK_WINDOW}")
+                        != F.expr(
+                            f"(cum_before + n_tok - 1) div {PACK_WINDOW}"
+                        ),
+                        F.lit(1),
+                    )
+                ),
+                F.lit(0),
+            ).cast("long").alias("n_split_docs_concat")
+        )
+    )
+    j = (
+        tot.join(sagg, "source", "left")
+        .join(bagg, "source", "left")
+        .join(cc, "source")
+    )
+    n_bins = (
+        F.coalesce(F.col("n_small_bins"), F.lit(0))
+        + F.coalesce(F.col("n_big"), F.lit(0))
+    ).cast("long")
+    n_bins_concat = F.expr(
+        f"(total_tokens + {PACK_WINDOW - 1}) div {PACK_WINDOW}"
+    )
+    util = F.col("total_tokens").cast("double") / (n_bins * PACK_WINDOW)
+    util_cc = F.col("total_tokens").cast("double") / (
+        n_bins_concat * PACK_WINDOW
+    )
+    return j.select(
+        "source",
+        "n_docs",
+        "total_tokens",
+        "n_oversize",
+        n_bins.alias("n_bins"),
+        F.greatest(
+            F.coalesce(F.col("max_small_fill"), F.lit(0).cast("long")),
+            F.coalesce(F.col("max_big_fill"), F.lit(0).cast("long")),
+        ).alias("max_bin_fill"),
+        F.coalesce(F.col("n_split"), F.lit(0).cast("long")).alias(
+            "n_split_docs"
+        ),
+        n_bins_concat.alias("n_bins_concat"),
+        "n_split_docs_concat",
+        F.round(util, 6).alias("utilization"),
+        F.round(util_cc, 6).alias("utilization_concat"),
+        F.round(util_cc - util, 6).alias("util_delta"),
+    )
+
+
 _DECON_SHINGLES_SQL = r"""
         SELECT doc_id,
                CAST('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15)

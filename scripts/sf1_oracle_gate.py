@@ -338,6 +338,7 @@ GATE_QUERIES = [
     # r12: repetition rules, best-fit packing, bucketed layout,
     # cluster pruning, incremental IVF
     "gopher_repetition_rules",
+    "sequence_packing_bestfit",
 ]
 
 SUBSET_QUERIES = {

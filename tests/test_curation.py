@@ -422,3 +422,19 @@ def test_gopher_repetition_hand_computed(spark, tmp_path):
                        "top2gram_char_frac"]].eq(0.0).all()
     assert bool(out.loc[3, "keep"])
     assert not bool(out.loc[0, "keep"])  # 0.75 top2 + full dup5 coverage
+
+
+def test_bestfit_packing_invariants(spark, sf_dir):
+    """sequence_packing_bestfit's contract: ZERO split docs, no bin
+    overflow, and a bin count sandwiched between the lower bound
+    (concat's ceil(tokens/W)) and the trivial upper bound (one bin per
+    doc)."""
+    from cuttlefish_spark.operators.text import PACK_WINDOW
+    from cuttlefish_spark.registry import load_all
+
+    out = load_all()["sequence_packing_bestfit"].fn(spark, sf_dir).toPandas()
+    assert (out["n_split_docs"] == 0).all()
+    assert (out["max_bin_fill"] <= PACK_WINDOW).all()
+    assert (out["n_bins"] >= out["n_bins_concat"]).all()
+    assert (out["n_bins"] <= out["n_docs"]).all()
+    assert (out["util_delta"] >= 0).all()
