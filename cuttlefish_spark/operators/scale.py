@@ -435,6 +435,114 @@ def zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_BUCKETS = 8
+
+# Session-scoped memo of the written bucketed tables (io.memo_key
+# discipline): the point of the layout is write-ONCE-shuffle-never, so
+# repeat invocations in a session must pay the join, not the write.
+_bucket_memo: dict = {}
+
+
+@query(
+    "bucketed_join_layout",
+    layer="B",
+    oracle=f"""
+    SELECT o.o_orderstatus AS order_status,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(l.l_quantity AS DECIMAL(18,6))) AS DOUBLE) AS sum_qty,
+           CAST(CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,6))) * 1000000
+                     AS BIGINT) AS DOUBLE) / 1000000 AS sum_price,
+           CAST(0 AS BIGINT) AS n_exchanges_bucketed,
+           CAST(2 AS BIGINT) AS n_exchanges_shuffled,
+           CAST({_BUCKETS} AS BIGINT) AS n_buckets
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    GROUP BY 1
+    """,
+)
+def bucketed_join_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The bucketed-layout co-located join as a DRIVER-VERIFIABLE query
+    (r11 VERDICT item 5 — `tests/test_bucketing.py` proved the
+    write-once-shuffle-never plan, but no declared query pinned it):
+    lineitem and orders are written hash-bucketed AND bucket-sorted on
+    the join key into {_BUCKETS} buckets (io.write_bucketed), then the
+    fact-to-fact join runs as a SortMergeJoin with ZERO Exchange
+    operators — the shuffle happened once at write time and amortizes
+    over every subsequent join, the storage-layout play a 100 TB
+    deployment relies on for repeated l_orderkey = o_orderkey joins
+    where neither side broadcasts.
+
+    The PLAN CONTRACT is part of the verified output, zorder_layout
+    style: n_exchanges_bucketed / n_exchanges_shuffled are measured
+    from the two physical plans (count of Exchange nodes in the
+    bucketed join vs the plain shuffled SMJ on the raw parquet) and
+    the oracle states them as the literals 0 and 2 — if bucketing ever
+    stops eliminating the shuffle under the driver's vanilla session,
+    the hash gate fails. The analytic columns (per-order-status row
+    count, dec_sum qty/price over the joined rows) prove the join
+    RESULT equals the plain join's, which is what the oracle computes.
+
+    Write cost is paid once per (session, corpus) via the memo_key
+    discipline — the second invocation reads the bucketed layout only,
+    which is exactly the amortization story. Scale shape: the join is
+    a zipper merge of co-bucketed sorted runs ({_BUCKETS} tasks here;
+    thousands at scale), no network at all; the final 3-key aggregate
+    is a map-side-partial groupBy."""
+    import hashlib
+    import os
+    import tempfile
+
+    from cuttlefish_spark.io import memo_key, write_bucketed
+    from cuttlefish_spark.plans import checks
+
+    def proj_li(df):
+        return df.select("l_orderkey", "l_quantity", "l_extendedprice")
+
+    def proj_o(df):
+        return df.select("o_orderkey", "o_orderstatus")
+
+    key = memo_key(spark, sf_dir, "lineitem") + memo_key(spark, sf_dir, "orders")
+    names = _bucket_memo.get(key)
+    if names is None:
+        sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        li_name, o_name = f"bkt_lineitem_{sfx}", f"bkt_orders_{sfx}"
+        base = os.path.join(tempfile.gettempdir(), f"cuttlefish_bucketed_{sfx}")
+        write_bucketed(
+            proj_li(load_table(spark, sf_dir, "lineitem")),
+            li_name, os.path.join(base, "lineitem"), "l_orderkey",
+            buckets=_BUCKETS,
+        )
+        write_bucketed(
+            proj_o(load_table(spark, sf_dir, "orders")),
+            o_name, os.path.join(base, "orders"), "o_orderkey",
+            buckets=_BUCKETS,
+        )
+        _bucket_memo[key] = names = (li_name, o_name)
+
+    bl, bo = spark.table(names[0]), spark.table(names[1])
+    joined = bl.hint("merge").join(bo, bl.l_orderkey == bo.o_orderkey)
+    li0, o0 = (
+        proj_li(load_table(spark, sf_dir, "lineitem")),
+        proj_o(load_table(spark, sf_dir, "orders")),
+    )
+    plain = li0.hint("merge").join(o0, li0.l_orderkey == o0.o_orderkey)
+    n_ex_bucketed = checks.count_exchanges(joined)
+    n_ex_shuffled = checks.count_exchanges(plain)
+    return (
+        joined.groupBy(F.col("o_orderstatus").alias("order_status"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            dec_sum(F.col("l_quantity"), alias="sum_qty"),
+            dec_sum(F.col("l_extendedprice"), alias="sum_price"),
+        )
+        .select(
+            "*",
+            F.lit(n_ex_bucketed).cast("long").alias("n_exchanges_bucketed"),
+            F.lit(n_ex_shuffled).cast("long").alias("n_exchanges_shuffled"),
+            F.lit(_BUCKETS).cast("long").alias("n_buckets"),
+        )
+    )
+
+
 # Bloom-filter join pruning: k hash functions; m sized at
 # _BLOOM_BITS_PER_KEY * k bits per member key. 2 bits/key/hash is
 # DELIBERATELY undersized (production uses ~10 bits/key for ~1% FP)

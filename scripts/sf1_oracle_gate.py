@@ -339,6 +339,7 @@ GATE_QUERIES = [
     # cluster pruning, incremental IVF
     "gopher_repetition_rules",
     "sequence_packing_bestfit",
+    "bucketed_join_layout",
 ]
 
 SUBSET_QUERIES = {
