@@ -4369,8 +4369,11 @@ def dsir_resample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _TFK_D = 16  # hashed tf-idf dimensions
 _TFK_K = 4   # clusters
 
-_TFK_SQL = rf"""
-    WITH tf AS MATERIALIZED (
+# The hashed-tf-idf Lloyd round as reusable CTE text (d2t = final
+# per-(doc, centroid) squared distances) — shared by
+# tfidf_kmeans_clusters and tfidf_cluster_prune.
+_TFK_CTES = rf"""
+    tf AS MATERIALIZED (
         SELECT doc_id, tok, CAST(count(*) AS BIGINT) AS tf
         FROM (
             SELECT doc_id,
@@ -4438,6 +4441,10 @@ _TFK_SQL = rf"""
         FROM vec v JOIN c1 c USING (b)
         GROUP BY v.doc_id, c.k
     )
+"""
+
+_TFK_SQL = f"""
+    WITH {_TFK_CTES}
     SELECT doc_id,
            CAST(min(CAST(d2 AS HUGEINT) * 8 + k) % 8 AS BIGINT) AS cluster_id,
            CAST((min(CAST(d2 AS HUGEINT) * 8 + k) // 8) // 1000000000000
@@ -4477,6 +4484,19 @@ def tfidf_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     (k, b)-keyed aggregate. Two assignment passes + one update =
     three joins total, no iteration-by-convergence (fixed rounds keep
     the oracle static — embedding_kmeans' contract)."""
+    final = _tfk_assign_final(spark, sf_dir)
+    return final.select(
+        "doc_id",
+        F.col("k").alias("cluster_id"),
+        F.expr("CAST(d2 div 1000000000000 AS BIGINT)").alias("d2_tera"),
+    )
+
+
+def _tfk_assign_final(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """tfidf_kmeans_clusters' full pipeline up to the FINAL assignment
+    (doc_id, k, d2) with the exact DECIMAL(38,0) squared distance —
+    the Spark twin of the _TFK_CTES d2t argmin, shared with
+    tfidf_cluster_prune (which ranks on the untruncated d2)."""
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -4546,9 +4566,76 @@ def tfidf_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c")
         )
     )
-    final = assign(c1)
-    return final.select(
+    return assign(c1)
+
+
+_TFP_LO_PCT = 25  # drop the most-prototypical quartile
+_TFP_HI_PCT = 95  # drop the top-5% farthest outliers
+
+
+@query(
+    "tfidf_cluster_prune",
+    layer="C",
+    oracle=f"""
+    WITH {_TFK_CTES},
+    fin AS (
+        SELECT doc_id,
+               CAST(min(CAST(d2 AS HUGEINT) * 8 + k) % 8 AS BIGINT)
+                   AS cluster_id,
+               min(CAST(d2 AS HUGEINT) * 8 + k) // 8 AS d2full
+        FROM d2t GROUP BY doc_id
+    ),
+    rk AS (
+        SELECT doc_id, cluster_id,
+               row_number() OVER (PARTITION BY cluster_id
+                                  ORDER BY d2full, doc_id) AS rn,
+               count(*) OVER (PARTITION BY cluster_id) AS n
+        FROM fin
+    )
+    SELECT doc_id, cluster_id,
+           CAST(rn AS BIGINT) AS rank_in_cluster,
+           CAST(n AS BIGINT) AS cluster_size,
+           CAST((rn * 100) // n AS BIGINT) AS pct,
+           (rn * 100) // n > {_TFP_LO_PCT}
+               AND (rn * 100) // n <= {_TFP_HI_PCT} AS keep
+    FROM rk
+    """,
+)
+def tfidf_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-distance pruning over the TEXT geometry (Sorscher et al.
+    2022 prototypes, same method as cluster_prune_prototypes but on
+    tfidf_kmeans_clusters' hashed-tf-idf centroids — the no-embeddings
+    rung a raw-text corpus prunes with; r11 VERDICT item 7's second
+    half): within each tf-idf cluster, docs rank by their EXACT
+    DECIMAL(38,0) squared distance to the centroid (rank 1 = most
+    prototypical, doc_id tiebreak), percentile = (rank * 100) div n —
+    all integer arithmetic end-to-end (the distances themselves are
+    integer-exact by tfidf_kmeans_clusters' construction, so unlike
+    the embedding variant not even the ORDERING touches a float).
+    keep = percentile in ({_TFP_LO_PCT}, {_TFP_HI_PCT}]: the redundant
+    prototypical core and the outlier tail are pruned, the
+    informative middle band survives.
+
+    Emits the PER-DOC verdict manifest (doc_id, cluster, rank, size,
+    pct, keep) — the artifact a pipeline joins against the corpus to
+    materialize the pruned training set.
+
+    Scale shape: tfidf_kmeans_clusters' three broadcast joins + ONE
+    two-phase distributed rank within the {_TFK_K} clusters (a plain
+    PARTITION BY cluster window would funnel each cluster through one
+    task at 100 TB)."""
+    from cuttlefish_spark.operators.twophase import two_phase_rank
+
+    final = _tfk_assign_final(spark, sf_dir)
+    rk = two_phase_rank(
+        spark, final, "k", [F.col("d2"), F.col("doc_id")], key_type="bigint"
+    )
+    pct = F.expr("(rn * 100) div n")
+    return rk.select(
         "doc_id",
         F.col("k").alias("cluster_id"),
-        F.expr("CAST(d2 div 1000000000000 AS BIGINT)").alias("d2_tera"),
+        F.col("rn").alias("rank_in_cluster"),
+        F.col("n").alias("cluster_size"),
+        pct.alias("pct"),
+        ((pct > _TFP_LO_PCT) & (pct <= _TFP_HI_PCT)).alias("keep"),
     )

@@ -625,8 +625,11 @@ _COS_SQL = (
     " * sqrt(list_dot_product(c, c)))"
 )
 
-_KMEANS_ORACLE = f"""
-    WITH vecs AS (
+# The two unrolled Lloyd rounds as reusable CTE text: a2 = the final
+# (vec_id, cid, cos) assignment — shared by embedding_kmeans' summary
+# and cluster_prune_prototypes' within-cluster distance ranks.
+_KMEANS_CTES = f"""
+    vecs AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
     ),
     c0 AS (
@@ -658,6 +661,10 @@ _KMEANS_ORACLE = f"""
             FROM vecs CROSS JOIN c1
         ) WHERE rn = 1
     )
+"""
+
+_KMEANS_ORACLE = f"""
+    WITH {_KMEANS_CTES}
     SELECT cid AS cluster_id, COUNT(*) AS n_vectors,
            round(CAST(SUM(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE)
                  / COUNT(*), 6) AS avg_cosine
@@ -665,32 +672,10 @@ _KMEANS_ORACLE = f"""
 """
 
 
-@query("embedding_kmeans", layer="C", oracle=_KMEANS_ORACLE)
-def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Spherical k-means over the embedding corpus — two unrolled Lloyd
-    rounds: deterministic init (first {KMEANS_K} vectors), cosine-argmax
-    assignment, per-dim mean recompute, reassignment, per-cluster
-    summary (size + mean cosine-to-centroid, the spherical inertia).
-    The clustering step behind IVF cell training, semantic dedup, and
-    topic bucketing of a training corpus.
-
-    The whole 2-round refinement is ONE static DAG — no driver loop:
-    assignment is a broadcast cross join ({KMEANS_K} centroid rows) +
-    per-vector argmax window, so the corpus is never shuffled for
-    assignment; the centroid update is posexplode -> groupBy(cid, dim)
-    with map-side partial (sum, count) — the standard mergeable-
-    centroid pattern that scales to any partitioning. At 100 TB each
-    extra Lloyd round appends the same two-stage pattern (or runs as a
-    driver loop over checkpointed centroids); the broadcast stays
-    K x dims doubles regardless of corpus size.
-
-    Determinism making an ITERATIVE ML algorithm oracle-checkable:
-    sequential-fold cosines (bitwise-equal to DuckDB list_dot_product),
-    centroid means through DECIMAL(18,9) partial sums rounded to 6
-    (order-independent), and the round-2 summary mean through
-    DECIMAL(18,6) of round-6 cosines. The oracle unrolls the identical
-    two rounds as CTEs.
-    """
+def _kmeans_assign2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The two unrolled Lloyd rounds of embedding_kmeans, returning the
+    round-2 assignment (vec_id, v, cid, cos) — the Spark twin of the
+    _KMEANS_CTES `a2` CTE, shared with cluster_prune_prototypes."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
@@ -725,7 +710,36 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
         ).alias("c")
     )
-    a2 = assign(c1)
+    return assign(c1)
+
+
+@query("embedding_kmeans", layer="C", oracle=_KMEANS_ORACLE)
+def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spherical k-means over the embedding corpus — two unrolled Lloyd
+    rounds: deterministic init (first {KMEANS_K} vectors), cosine-argmax
+    assignment, per-dim mean recompute, reassignment, per-cluster
+    summary (size + mean cosine-to-centroid, the spherical inertia).
+    The clustering step behind IVF cell training, semantic dedup, and
+    topic bucketing of a training corpus.
+
+    The whole 2-round refinement is ONE static DAG — no driver loop:
+    assignment is a broadcast cross join ({KMEANS_K} centroid rows) +
+    per-vector argmax window, so the corpus is never shuffled for
+    assignment; the centroid update is posexplode -> groupBy(cid, dim)
+    with map-side partial (sum, count) — the standard mergeable-
+    centroid pattern that scales to any partitioning. At 100 TB each
+    extra Lloyd round appends the same two-stage pattern (or runs as a
+    driver loop over checkpointed centroids); the broadcast stays
+    K x dims doubles regardless of corpus size.
+
+    Determinism making an ITERATIVE ML algorithm oracle-checkable:
+    sequential-fold cosines (bitwise-equal to DuckDB list_dot_product),
+    centroid means through DECIMAL(18,9) partial sums rounded to 6
+    (order-independent), and the round-2 summary mean through
+    DECIMAL(18,6) of round-6 cosines. The oracle unrolls the identical
+    two rounds as CTEs.
+    """
+    a2 = _kmeans_assign2(spark, sf_dir)
     return a2.groupBy(F.col("cid").alias("cluster_id")).agg(
         F.count(F.lit(1)).alias("n_vectors"),
         F.round(
@@ -733,6 +747,144 @@ def embedding_kmeans(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.count(F.lit(1)),
             6,
         ).alias("avg_cosine"),
+    )
+
+
+_SEMDEDUP_TAU = 0.25  # keep the drop path exercised at every test SF
+
+
+def _semantic_dedup_oracle() -> str:
+    bits = _bucket_bits_sql()
+    return f"""
+    WITH t AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    sig AS (
+        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
+               concat({bits}) AS bucket
+        FROM t
+    ),
+    drops AS (
+        SELECT a.vec_id, min(b.vec_id) AS dropped_by
+        FROM sig a JOIN sig b
+          ON a.bucket = b.bucket AND b.vec_id < a.vec_id
+         AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
+             >= {_SEMDEDUP_TAU}
+        GROUP BY a.vec_id
+    )
+    SELECT s.vec_id, s.bucket,
+           CAST(d.dropped_by AS DOUBLE) AS dropped_by,
+           d.dropped_by IS NULL AS is_kept
+    FROM sig s LEFT JOIN drops d USING (vec_id)
+    """
+
+
+_PRUNE_LO_PCT = 25  # drop the most-prototypical quartile
+_PRUNE_HI_PCT = 95  # drop the top-5% farthest outliers
+
+
+@query(
+    "cluster_prune_prototypes",
+    layer="C",
+    oracle=f"""
+    WITH {_KMEANS_CTES},
+    rk AS (
+        SELECT vec_id, cid,
+               row_number() OVER (PARTITION BY cid
+                                  ORDER BY cos DESC, vec_id) AS rn,
+               count(*) OVER (PARTITION BY cid) AS n
+        FROM a2
+    ),
+    pct AS (
+        SELECT vec_id, cid, (rn * 100) // n AS pct FROM rk
+    ),
+    sd AS ({_semantic_dedup_oracle()}),
+    j AS (
+        SELECT p.cid, p.pct,
+               p.pct > {_PRUNE_LO_PCT} AND p.pct <= {_PRUNE_HI_PCT} AS keep,
+               s.is_kept AS sem_keep
+        FROM pct p JOIN sd s ON s.vec_id = p.vec_id
+    )
+    SELECT cid AS cluster_id,
+           CAST(count(*) AS BIGINT) AS n_vectors,
+           CAST(COALESCE(sum(CASE WHEN keep THEN 1 END), 0) AS BIGINT)
+               AS n_kept,
+           CAST(COALESCE(sum(CASE WHEN pct <= {_PRUNE_LO_PCT} THEN 1 END), 0)
+                AS BIGINT) AS n_pruned_proto,
+           CAST(COALESCE(sum(CASE WHEN pct > {_PRUNE_HI_PCT} THEN 1 END), 0)
+                AS BIGINT) AS n_pruned_outlier,
+           CAST(COALESCE(sum(CASE WHEN sem_keep THEN 1 END), 0) AS BIGINT)
+               AS n_semdedup_kept,
+           CAST(COALESCE(sum(CASE WHEN keep = sem_keep THEN 1 END), 0)
+                AS BIGINT) AS n_agree,
+           round(COALESCE(sum(CASE WHEN keep = sem_keep THEN 1 END), 0)
+                 * 1.0 / count(*), 6) AS agree_frac
+    FROM j GROUP BY cid
+    """,
+)
+def cluster_prune_prototypes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cluster-distance data pruning (Sorscher et al. 2022 'Beyond
+    neural scaling laws' — prototype-based selection, the DCLM-era
+    geometric method the k-means family was building toward; r11
+    VERDICT item 7): within each embedding_kmeans cluster, vectors are
+    ranked by distance to their centroid (cosine DESC — rank 1 = most
+    prototypical) and a PERCENTILE BAND is kept: the most-prototypical
+    {_PRUNE_LO_PCT}% are pruned (they are the redundant core the paper
+    shows abundant data can spare) and the top {100 - _PRUNE_HI_PCT}%
+    farthest outliers are pruned (label-noise tail), keeping the
+    informative middle band.
+
+    Percentiles are INTEGER-EXACT: pct = (rank * 100) div n over the
+    within-cluster rank — the rank rides the bitwise-identical
+    sequential-fold cosines embedding_kmeans already pins (vec_id
+    tiebreak), so no float quantile boundary can flip cross-engine.
+
+    The output is the AGREEMENT REPORT against semantic_dedup's
+    keep-list — the two published geometric selection methods
+    (within-cluster percentile pruning vs epsilon-ball dedup) run on
+    the same corpus: per cluster, sizes of the kept band and both
+    pruned tails, SemDedup's kept count, and the fraction of vectors
+    where the two verdicts agree — the ablation a pipeline reads
+    before choosing which geometric gate to compose.
+
+    Scale shape: the assignment is embedding_kmeans' broadcast
+    cross-join + argmax (no corpus shuffle); the within-cluster rank
+    is the TWO-PHASE distributed rank (K = {KMEANS_K} clusters would
+    otherwise each funnel through one task's sort); semantic_dedup
+    joins on vec_id (uniform key). One extra shuffle over the
+    clustering itself."""
+    from cuttlefish_spark.operators.twophase import two_phase_rank
+
+    a2 = _kmeans_assign2(spark, sf_dir).select("vec_id", "cid", "cos")
+    rk = two_phase_rank(
+        spark, a2, "cid",
+        [F.col("cos").desc(), F.col("vec_id")], key_type="bigint",
+    )
+    pct = rk.select(
+        "vec_id", "cid", F.expr("(rn * 100) div n").alias("pct")
+    )
+    sd = semantic_dedup(spark, sf_dir).select("vec_id", "is_kept")
+    keep = (F.col("pct") > _PRUNE_LO_PCT) & (F.col("pct") <= _PRUNE_HI_PCT)
+    j = pct.join(sd, "vec_id").select(
+        "cid", "pct", keep.alias("keep"), F.col("is_kept").alias("sem_keep")
+    )
+    return j.groupBy(F.col("cid").alias("cluster_id")).agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.coalesce(F.sum(F.when(F.col("keep"), 1)), F.lit(0))
+        .cast("long").alias("n_kept"),
+        F.coalesce(F.sum(F.when(F.col("pct") <= _PRUNE_LO_PCT, 1)), F.lit(0))
+        .cast("long").alias("n_pruned_proto"),
+        F.coalesce(F.sum(F.when(F.col("pct") > _PRUNE_HI_PCT, 1)), F.lit(0))
+        .cast("long").alias("n_pruned_outlier"),
+        F.coalesce(F.sum(F.when(F.col("sem_keep"), 1)), F.lit(0))
+        .cast("long").alias("n_semdedup_kept"),
+        F.coalesce(F.sum(F.when(F.col("keep") == F.col("sem_keep"), 1)), F.lit(0))
+        .cast("long").alias("n_agree"),
+        F.round(
+            F.coalesce(F.sum(F.when(F.col("keep") == F.col("sem_keep"), 1)),
+                       F.lit(0))
+            * 1.0 / F.count(F.lit(1)), 6,
+        ).alias("agree_frac"),
     )
 
 
@@ -943,35 +1095,6 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 9).alias("scale"),
         "mae",
     )
-
-
-_SEMDEDUP_TAU = 0.25  # keep the drop path exercised at every test SF
-
-
-def _semantic_dedup_oracle() -> str:
-    bits = _bucket_bits_sql()
-    return f"""
-    WITH t AS (
-        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
-    ),
-    sig AS (
-        SELECT vec_id, v, sqrt(list_dot_product(v, v)) AS nrm,
-               concat({bits}) AS bucket
-        FROM t
-    ),
-    drops AS (
-        SELECT a.vec_id, min(b.vec_id) AS dropped_by
-        FROM sig a JOIN sig b
-          ON a.bucket = b.bucket AND b.vec_id < a.vec_id
-         AND list_dot_product(a.v, b.v) / (a.nrm * b.nrm)
-             >= {_SEMDEDUP_TAU}
-        GROUP BY a.vec_id
-    )
-    SELECT s.vec_id, s.bucket,
-           CAST(d.dropped_by AS DOUBLE) AS dropped_by,
-           d.dropped_by IS NULL AS is_kept
-    FROM sig s LEFT JOIN drops d USING (vec_id)
-    """
 
 
 @query("semantic_dedup", layer="C", oracle=_semantic_dedup_oracle())

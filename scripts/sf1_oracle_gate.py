@@ -340,6 +340,8 @@ GATE_QUERIES = [
     "gopher_repetition_rules",
     "sequence_packing_bestfit",
     "bucketed_join_layout",
+    "cluster_prune_prototypes",
+    "tfidf_cluster_prune",
 ]
 
 SUBSET_QUERIES = {
