@@ -4582,13 +4582,14 @@ _TFP_HI_PCT = 95  # drop the top-5% farthest outliers
         SELECT doc_id,
                CAST(min(CAST(d2 AS HUGEINT) * 8 + k) % 8 AS BIGINT)
                    AS cluster_id,
-               min(CAST(d2 AS HUGEINT) * 8 + k) // 8 AS d2full
+               CAST((min(CAST(d2 AS HUGEINT) * 8 + k) // 8) // 1000000000000
+                    AS BIGINT) AS d2_tera
         FROM d2t GROUP BY doc_id
     ),
     rk AS (
         SELECT doc_id, cluster_id,
                row_number() OVER (PARTITION BY cluster_id
-                                  ORDER BY d2full, doc_id) AS rn,
+                                  ORDER BY d2_tera, doc_id) AS rn,
                count(*) OVER (PARTITION BY cluster_id) AS n
         FROM fin
     )
@@ -4606,12 +4607,13 @@ def tfidf_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     2022 prototypes, same method as cluster_prune_prototypes but on
     tfidf_kmeans_clusters' hashed-tf-idf centroids — the no-embeddings
     rung a raw-text corpus prunes with; r11 VERDICT item 7's second
-    half): within each tf-idf cluster, docs rank by their EXACT
-    DECIMAL(38,0) squared distance to the centroid (rank 1 = most
-    prototypical, doc_id tiebreak), percentile = (rank * 100) div n —
-    all integer arithmetic end-to-end (the distances themselves are
-    integer-exact by tfidf_kmeans_clusters' construction, so unlike
-    the embedding variant not even the ORDERING touches a float).
+    half): within each tf-idf cluster, docs rank by their
+    TERA-QUANTIZED squared distance to the centroid (d2 div 10^12 —
+    the same quantization the base query emits; ranking on the raw
+    DECIMAL(38,0) d2 would expose last-ulp ln() differences between
+    engines through the ORDER, wild-caught as a 2-row rank swap at
+    the sf1 gate), rank 1 = most prototypical with doc_id tiebreak,
+    percentile = (rank * 100) div n — integer arithmetic end-to-end.
     keep = percentile in ({_TFP_LO_PCT}, {_TFP_HI_PCT}]: the redundant
     prototypical core and the outlier tail are pruned, the
     informative middle band survives.
@@ -4626,9 +4628,11 @@ def tfidf_cluster_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
     task at 100 TB)."""
     from cuttlefish_spark.operators.twophase import two_phase_rank
 
-    final = _tfk_assign_final(spark, sf_dir)
+    final = _tfk_assign_final(spark, sf_dir).select(
+        "doc_id", "k", F.expr("CAST(d2 div 1000000000000 AS BIGINT)").alias("d2t")
+    )
     rk = two_phase_rank(
-        spark, final, "k", [F.col("d2"), F.col("doc_id")], key_type="bigint"
+        spark, final, "k", [F.col("d2t"), F.col("doc_id")], key_type="bigint"
     )
     pct = F.expr("(rn * 100) div n")
     return rk.select(
