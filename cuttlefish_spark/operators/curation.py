@@ -3127,7 +3127,24 @@ def _e2e_oracle() -> str:
     cnt4 AS (SELECT source, count(*) AS n_c4_kept FROM st4 GROUP BY source),
     cnt5 AS (SELECT source, count(*) AS n_gopher_kept FROM st5 GROUP BY source),
     cnt6 AS (SELECT source, count(*) AS n_clf_kept FROM st6 GROUP BY source),
-    cnt7 AS (SELECT source, count(*) AS n_mix_kept FROM st7 GROUP BY source)
+    cnt7 AS (SELECT source, count(*) AS n_mix_kept FROM st7 GROUP BY source),
+    agr AS (
+        SELECT st4.source,
+               CAST(COALESCE(sum(CASE WHEN lbl.y = 1 AND p.score > 0
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_both_pass,
+               CAST(COALESCE(sum(CASE WHEN lbl.y = 1 AND p.score <= 0
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_gopher_only,
+               CAST(COALESCE(sum(CASE WHEN lbl.y <> 1 AND p.score > 0
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_clf_only,
+               CAST(COALESCE(sum(CASE WHEN lbl.y <> 1 AND p.score <= 0
+                                      THEN 1 END), 0) AS BIGINT)
+                   AS n_neither
+        FROM st4 JOIN lbl USING (doc_id) JOIN p{_QC_T} p USING (doc_id)
+        GROUP BY st4.source
+    )
     SELECT b.source, b.n_raw,
            CAST(coalesce(cnt1.n_url_kept, 0) AS BIGINT) AS n_url_kept,
            CAST(coalesce(cnt2.n_exact_kept, 0) AS BIGINT) AS n_exact_kept,
@@ -3138,7 +3155,15 @@ def _e2e_oracle() -> str:
            CAST(coalesce(cnt7.n_mix_kept, 0) AS BIGINT) AS n_mix_kept,
            CAST(coalesce(pk.packed_windows, 0) AS BIGINT) AS packed_windows,
            CAST(coalesce(pk.final_tokens, 0) AS BIGINT) AS final_tokens,
-           CAST(coalesce(shp.shuffle_possum, 0) AS BIGINT) AS shuffle_possum
+           CAST(coalesce(shp.shuffle_possum, 0) AS BIGINT) AS shuffle_possum,
+           CAST(coalesce(agr.n_both_pass, 0) AS BIGINT) AS n_both_pass,
+           CAST(coalesce(agr.n_gopher_only, 0) AS BIGINT) AS n_gopher_only,
+           CAST(coalesce(agr.n_clf_only, 0) AS BIGINT) AS n_clf_only,
+           CAST(coalesce(agr.n_neither, 0) AS BIGINT) AS n_neither,
+           CASE WHEN coalesce(cnt4.n_c4_kept, 0) > 0 THEN
+               (coalesce(agr.n_both_pass, 0) + coalesce(agr.n_neither, 0))
+                   * 1.0 / cnt4.n_c4_kept
+           ELSE 0.0 END AS gate_agree_frac
     FROM e2e_base b
     LEFT JOIN cnt1 USING (source)
     LEFT JOIN cnt2 USING (source)
@@ -3149,6 +3174,7 @@ def _e2e_oracle() -> str:
     LEFT JOIN cnt7 USING (source)
     LEFT JOIN pk USING (source)
     LEFT JOIN shp USING (source)
+    LEFT JOIN agr USING (source)
     """
 
 
@@ -3180,8 +3206,13 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
       emitted as the per-source position checksum).
 
     Output: one row per source — n_raw and the seven post-stage
-    survivor counts, plus packed_windows / final_tokens (stage 8) and
-    shuffle_possum (stage 9). Every number is int64; every stage
+    survivor counts, plus packed_windows / final_tokens (stage 8),
+    shuffle_possum (stage 9), and the stage-5/6 COMPOSITION AUDIT
+    (r11 VERDICT item 8): the 2x2 gopher-keep x classifier-pass
+    cross-tab measured on stage-4 survivors (n_both_pass /
+    n_gopher_only / n_clf_only / n_neither + gate_agree_frac) — the
+    quality_signal_agreement ablation at the capstone's own
+    composition point. Every number is int64; every stage
     restates its standalone operator's exact arithmetic, so the
     standalone hash-verifications transfer and this query verifies
     their INTERACTION (stage order, manifest joins, survivor-dependent
@@ -3300,10 +3331,40 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     # Stage 6: trained classifier threshold (model memoized per corpus).
     w, _n, feats, labels = _qc_train(spark, sf_dir)
-    predicted = _qc_score(spark, feats, labels, w).filter(
-        F.col("score") > 0
-    ).select("doc_id")
-    st6 = st5.join(predicted, "doc_id").localCheckpoint(eager=True)
+    clf = _qc_score(spark, feats, labels, w).select(
+        "doc_id", (F.col("score") > 0).alias("clf_pass")
+    )
+    st6 = st5.join(
+        clf.filter(F.col("clf_pass")).select("doc_id"), "doc_id"
+    ).localCheckpoint(eager=True)
+
+    # Stage 5/6 COMPOSITION AUDIT (r11 VERDICT item 8 — the ablation
+    # discipline quality_signal_agreement exists for, wired into the
+    # capstone): both gate verdicts evaluated on the stage-4 survivors
+    # — agreement AT THE POINT OF COMPOSITION, conditional on the
+    # upstream dedup/C4 gates, which is the number that decides
+    # whether stacking gate 6 after gate 5 buys anything. n_clf_only
+    # (classifier fires where Gopher fails) and n_neither are the
+    # genuinely new cells; n_both_pass must equal n_clf_kept (the
+    # cross-check the oracle enforces).
+    agr = (
+        st4.join(q, "doc_id")
+        .join(clf, "doc_id")
+        .groupBy("source")
+        .agg(
+            *[
+                F.coalesce(F.sum(F.when(cond, 1)), F.lit(0))
+                .cast("long")
+                .alias(name)
+                for name, cond in [
+                    ("n_both_pass", F.col("keep") & F.col("clf_pass")),
+                    ("n_gopher_only", F.col("keep") & ~F.col("clf_pass")),
+                    ("n_clf_only", ~F.col("keep") & F.col("clf_pass")),
+                    ("n_neither", ~F.col("keep") & ~F.col("clf_pass")),
+                ]
+            ]
+        )
+    )
 
     # Stage 7: temperature mixture over SURVIVOR counts (alpha = 0.5).
     tcnt = st6.groupBy("source").agg(F.count(F.lit(1)).alias("n_docs"))
@@ -3363,17 +3424,36 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source",
             "left",
         )
-    out = out.join(pk, "source", "left").join(shp, "source", "left")
+    out = (
+        out.join(pk, "source", "left")
+        .join(shp, "source", "left")
+        .join(agr, "source", "left")
+    )
     z = F.lit(0).cast("long")
     final_cols = [c for _, c in stage_counts] + [
         "packed_windows",
         "final_tokens",
         "shuffle_possum",
+        "n_both_pass",
+        "n_gopher_only",
+        "n_clf_only",
+        "n_neither",
     ]
+    c4k_n = F.coalesce(F.col("n_c4_kept"), z)
+    agree_frac = F.when(
+        c4k_n > 0,
+        (
+            F.coalesce(F.col("n_both_pass"), z)
+            + F.coalesce(F.col("n_neither"), z)
+        )
+        * 1.0
+        / c4k_n,
+    ).otherwise(0.0)
     return out.select(
         "source",
         "n_raw",
         *[F.coalesce(F.col(c), z).alias(c) for c in final_cols],
+        agree_frac.alias("gate_agree_frac"),
     )
 
 
