@@ -2575,3 +2575,211 @@ def hard_negative_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("s.neg_label").alias("neg_label"),
         (-F.col("s.nc")).alias("cosine"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental_ivf — fold a new embedding batch into an existing IVF index
+# ---------------------------------------------------------------------------
+
+_IIVF_MOD, _IIVF_NEW = 10, 7  # vec_id % 10 == 7 is "today's" batch
+
+_IIVF_COS = (
+    "list_dot_product(b.v, cents.c) / (sqrt(list_dot_product(b.v, b.v))"
+    " * sqrt(list_dot_product(cents.c, cents.c)))"
+)
+
+_IIVF_AVG = (
+    "round(CAST(SUM(CAST(round(cos, 6) AS DECIMAL(18,6))) AS DOUBLE)"
+    " / COUNT(*), 6)"
+)
+
+_IIVF_SQL = f"""
+    WITH vecs AS (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    base AS (SELECT * FROM vecs WHERE vec_id % {_IIVF_MOD} <> {_IIVF_NEW}),
+    newb AS (SELECT * FROM vecs WHERE vec_id % {_IIVF_MOD} = {_IIVF_NEW}),
+    cents AS (
+        SELECT vec_id AS cid, v AS c FROM base WHERE vec_id < {N_CENTROIDS}
+    ),
+    ab AS (
+        SELECT vec_id, cid, cos FROM (
+            SELECT b.vec_id, cents.cid, {_IIVF_COS} AS cos,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_IIVF_COS} DESC, cid) AS rn
+            FROM base b CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    an AS (
+        SELECT vec_id, cid, cos FROM (
+            SELECT b.vec_id, cents.cid, {_IIVF_COS} AS cos,
+                   row_number() OVER (PARTITION BY b.vec_id
+                                      ORDER BY {_IIVF_COS} DESC, cid) AS rn
+            FROM newb b CROSS JOIN cents
+        ) WHERE rn = 1
+    ),
+    gb AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_base,
+               {_IIVF_AVG} AS base_avg_cos
+        FROM ab GROUP BY cid
+    ),
+    gn AS (
+        SELECT cid, CAST(count(*) AS BIGINT) AS n_new,
+               {_IIVF_AVG} AS new_avg_cos
+        FROM an GROUP BY cid
+    ),
+    tb AS (SELECT CAST(count(*) AS BIGINT) AS t_base FROM base),
+    tn AS (SELECT CAST(count(*) AS BIGINT) AS t_new FROM newb)
+    SELECT c.cid AS centroid_id,
+           COALESCE(gb.n_base, 0) AS n_base,
+           COALESCE(gn.n_new, 0) AS n_new,
+           COALESCE(gb.n_base, 0) * 1.0 / tb.t_base AS base_share,
+           COALESCE(gn.n_new, 0) * 1.0 / tn.t_new AS new_share,
+           COALESCE(gn.n_new, 0) * 1.0 / tn.t_new
+               - COALESCE(gb.n_base, 0) * 1.0 / tb.t_base AS occupancy_drift,
+           gb.base_avg_cos, gn.new_avg_cos,
+           gn.new_avg_cos - gb.base_avg_cos AS fit_delta
+    FROM cents c
+    LEFT JOIN gb ON gb.cid = c.cid
+    LEFT JOIN gn ON gn.cid = c.cid
+    CROSS JOIN tb CROSS JOIN tn
+"""
+
+
+def _iivf_parts(spark: SparkSession, sf_dir: str):
+    """(base, batch, cents) split for the incremental-IVF pair: the
+    existing corpus (vec_id % {_IIVF_MOD} != {_IIVF_NEW}), today's
+    arrivals (== {_IIVF_NEW}), and the existing index's centroids
+    (base vectors with vec_id < N_CENTROIDS — ann_ivf_topk's rule
+    restricted to the base side so the index predates the batch)."""
+    e = load_table(spark, sf_dir, "embeddings")
+    vecs = e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+    base = vecs.filter(F.col("vec_id") % _IIVF_MOD != _IIVF_NEW)
+    batch = vecs.filter(F.col("vec_id") % _IIVF_MOD == _IIVF_NEW)
+    cents = F.broadcast(
+        base.filter(F.col("vec_id") < N_CENTROIDS).select(
+            F.col("vec_id").alias("cid"), F.col("v").alias("c")
+        )
+    )
+    return base, batch, cents
+
+
+def _iivf_assign(part: DataFrame, cents) -> DataFrame:
+    """Argmax-cosine cell assignment as the min(struct) hash-agg (the
+    ann_ivf_topk rewrite — no per-vector rank window), returning
+    (vec_id, cid, cos)."""
+    cand = F.struct(
+        F.nanvl(
+            -cosine_sim(F.col("v"), F.col("c")), F.lit(float("inf"))
+        ).alias("ns"),
+        F.col("cid").alias("cid"),
+    )
+    return (
+        part.crossJoin(cents)
+        .select("vec_id", cand.alias("cand"))
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("b"))
+        .select("vec_id", F.col("b.cid").alias("cid"), (-F.col("b.ns")).alias("cos"))
+    )
+
+
+def _iivf_report(base_assign: DataFrame, batch_assign: DataFrame,
+                 cents) -> DataFrame:
+    avg6 = F.round(
+        F.sum(F.round(F.col("cos"), 6).cast("decimal(18,6)")).cast("double")
+        / F.count(F.lit(1)),
+        6,
+    )
+    gb = base_assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_base"), avg6.alias("base_avg_cos")
+    )
+    gn = batch_assign.groupBy("cid").agg(
+        F.count(F.lit(1)).alias("n_new"), avg6.alias("new_avg_cos")
+    )
+    tb = base_assign.agg(F.count(F.lit(1)).alias("t_base"))
+    tn = batch_assign.agg(F.count(F.lit(1)).alias("t_new"))
+    z = F.lit(0).cast("long")
+    n_base = F.coalesce(F.col("n_base"), z)
+    n_new = F.coalesce(F.col("n_new"), z)
+    base_share = n_base * 1.0 / F.col("t_base")
+    new_share = n_new * 1.0 / F.col("t_new")
+    return (
+        cents.select("cid")
+        .join(gb, "cid", "left")
+        .join(gn, "cid", "left")
+        .crossJoin(F.broadcast(tb))
+        .crossJoin(F.broadcast(tn))
+        .select(
+            F.col("cid").alias("centroid_id"),
+            n_base.alias("n_base"),
+            n_new.alias("n_new"),
+            base_share.alias("base_share"),
+            new_share.alias("new_share"),
+            (new_share - base_share).alias("occupancy_drift"),
+            F.col("base_avg_cos"),
+            F.col("new_avg_cos"),
+            (F.col("new_avg_cos") - F.col("base_avg_cos")).alias("fit_delta"),
+        )
+    )
+
+
+@query("incremental_ivf", layer="C", oracle=_IIVF_SQL)
+def incremental_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental IVF index maintenance — the ANN family's
+    daily-crawl rung (r11 VERDICT item 9; incremental_dedup's shape
+    for vectors): a NEW embedding batch (vec_id % {_IIVF_MOD} ==
+    {_IIVF_NEW}) is assigned to the EXISTING index's centroids (never
+    re-trained — that is the point: production folds each increment
+    into yesterday's cells, retraining only when drift says so), and
+    the output is the per-cell DRIFT REPORT that decision reads:
+    existing vs arriving occupancy (n_base / n_new, their corpus
+    shares, occupancy_drift = new_share - base_share) and centroid
+    fit (mean cosine of arrivals vs residents, fit_delta) — a cell
+    whose arrivals are many and poorly fit is the retrain signal.
+
+    Determinism: assignment is the min(struct) argmax over the same
+    sequential-fold cosines ann_ivf_topk pins (NaN pinned via nanvl,
+    cid tiebreak); per-cell means ride the round-6 DECIMAL(18,6)
+    partial-sum discipline; shares are IEEE quotients of identical
+    integers. Cells with no arrivals emit n_new = 0 and NULL
+    new_avg_cos/fit_delta (both engines).
+
+    Scale shape: ONE broadcast cross-join pass per side (K centroid
+    rows broadcast; the corpus never shuffles for assignment), two
+    bounded per-cell aggregates, a K-row join. The base-side pass
+    stands in for reading the persisted index —
+    incremental_ivf_persisted below proves that round-trip."""
+    base, batch, cents = _iivf_parts(spark, sf_dir)
+    return _iivf_report(_iivf_assign(base, cents), _iivf_assign(batch, cents), cents)
+
+
+@query("incremental_ivf_persisted", layer="C", oracle=_IIVF_SQL)
+def incremental_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """incremental_ivf with the base-side index ROUND-TRIPPED THROUGH
+    STORAGE (incremental_dedup_persisted's discipline): the existing
+    assignment (vec_id, cid, cos — the IVF inverted lists) is WRITTEN
+    to parquet, READ BACK as an independent scan, and the drift report
+    is computed from the read-back index plus a fresh batch
+    assignment. Same oracle, so the driver hash proves the persisted
+    index is report-equivalent to the inline one — at 100 TB the base
+    side is never re-scored; each day reads the stored cell lists
+    (partitioned by centroid_id in production), assigns only the
+    increment, and appends."""
+    import os
+    import shutil
+    import tempfile
+
+    base, batch, cents = _iivf_parts(spark, sf_dir)
+    idx_root = tempfile.mkdtemp(prefix="cuttlefish_ivf_idx_")
+    idx_path = os.path.join(idx_root, "ivf_index")
+    try:
+        _iivf_assign(base, cents).write.mode("overwrite").parquet(idx_path)
+        stored = spark.read.parquet(idx_path)
+        out = _iivf_report(
+            stored, _iivf_assign(batch, cents), cents
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+    return out

@@ -342,6 +342,8 @@ GATE_QUERIES = [
     "bucketed_join_layout",
     "cluster_prune_prototypes",
     "tfidf_cluster_prune",
+    "incremental_ivf",
+    "incremental_ivf_persisted",
 ]
 
 SUBSET_QUERIES = {
