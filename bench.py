@@ -186,6 +186,16 @@ def main() -> None:
         shutil.rmtree(ch_dir, ignore_errors=True)
 
     total = round(sum(timings.values()), 3)
+    # Fixed-cost accounting (r11 VERDICT item 6): the streaming family
+    # pays per-query micro-batch/state-store machinery, not plan cost —
+    # report it as its own line so the ANALYTIC per-query trend stays
+    # readable across rounds.
+    streaming_sec = round(
+        sum(t for n, t in timings.items() if n.startswith("streaming_")), 3
+    )
+    analytic = {n: t for n, t in timings.items() if not n.startswith("streaming_")}
+    analytic_sec = round(sum(analytic.values()), 3)
+    n_analytic = len(analytic)
     # Host-normalized units (r8 VERDICT item 5, applied automatically):
     # each query's steady time in multiples of host_ref_sec. Cross-round
     # comparisons quote THESE — a query whose hostnorm ratio is stable
@@ -211,6 +221,11 @@ def main() -> None:
         ),
         "host_ref_sec": host_ref,
         "total_hostnorm": round(total / host_ref, 1),
+        "streaming_fixed_cost_sec": streaming_sec,
+        "analytic_total_sec": analytic_sec,
+        "analytic_per_query_sec": (
+            round(analytic_sec / n_analytic, 4) if n_analytic else None
+        ),
     }
     # The driver's BENCH_r{N}.json keeps only the tail of stdout, which
     # truncates the per-query map (r6 VERDICT item 6: 74/176 survived).
