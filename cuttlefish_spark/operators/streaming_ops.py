@@ -1006,3 +1006,91 @@ def streaming_drift_psi(spark: SparkSession, sf_dir: str) -> DataFrame:
         run_available_now(counts, name)
     drained = _drain_memory_sink(spark, name, d)
     return psi_from_counts(spark, drained)
+
+
+# "heavy user" bar: per-user lifetime counts are ~45-99 at every SF
+# (users scale with events in the testdata), so 75 puts ~15% of users
+# above the bar — both branches populated at all scales.
+_SSE_HEAVY = 75
+
+
+@query(
+    "streaming_static_enrich",
+    layer="C",
+    oracle=f"""
+    WITH dim AS (
+        SELECT user_id, CAST(count(*) AS BIGINT) AS user_total
+        FROM events GROUP BY user_id
+    )
+    SELECT e.event_type,
+           count(*) AS n_events,
+           CAST(SUM(CAST(e.value AS DECIMAL(18,6))) AS DOUBLE) AS total_value,
+           CAST(SUM(dim.user_total) AS BIGINT) AS sum_user_totals,
+           CAST(COALESCE(SUM(CASE WHEN dim.user_total >= {_SSE_HEAVY}
+                                  THEN 1 END), 0) AS BIGINT)
+               AS n_heavy_user_events
+    FROM events e JOIN dim USING (user_id)
+    GROUP BY e.event_type
+    """,
+)
+def streaming_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC enrichment join — the one Structured Streaming
+    join mode the 13-query streaming surface did not yet exercise
+    (stream-stream interval joins are streaming_interval_join/
+    _left_interval_join): each streamed event is joined against a
+    STATIC dimension (per-user lifetime totals computed from the batch
+    corpus — the production shape is a user-profile table the stream
+    enriches on every micro-batch), then aggregated per event_type
+    with the enrichment riding into the aggregate (activity mass
+    sum_user_totals, heavy-user event count at the
+    >= {_SSE_HEAVY}-events bar).
+
+    Stream-static joins need no watermark and no join state — the
+    static side is re-planned per micro-batch (broadcast at dim size,
+    shuffled join beyond), which is exactly why production prefers
+    them over stream-stream joins for slowly-changing dimensions. On
+    closed input the drained result must hash-match the identical
+    batch join+aggregate the DuckDB oracle states.
+
+    Scale shape: the static dim is one batch aggregate (uniform
+    user_id shuffle); the per-micro-batch join is broadcast at test
+    scale and a standard keyed shuffle at 100 TB; the stateful agg
+    holds 5 event_type keys. value sums ride DECIMAL(18,6) partials
+    (dec_sum's contract) so the drain is order-independent."""
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.streaming.pipeline import (
+        read_events_stream,
+        run_available_now,
+    )
+
+    dim = (
+        load_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("user_total"))
+    )
+    d = tempfile.mkdtemp(prefix="cuttlefish_stream_src_")
+    shutil.copy(f"{sf_dir}/events.parquet", os.path.join(d, "part-000.parquet"))
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _stream_partitions(spark):
+        enriched = read_events_stream(spark, d).join(dim, "user_id")
+        agg = enriched.groupBy("event_type").agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.sum(F.round(F.col("value") * 1_000_000).cast("long")).alias(
+                "tv_micros"
+            ),
+            F.sum("user_total").alias("sum_user_totals"),
+            F.coalesce(
+                F.sum(F.when(F.col("user_total") >= _SSE_HEAVY, 1)), F.lit(0)
+            ).cast("long").alias("n_heavy_user_events"),
+        )
+        run_available_now(agg, name)
+    out = _drain_memory_sink(spark, name, d)
+    return out.select(
+        "event_type",
+        "n_events",
+        (F.col("tv_micros") / 1_000_000.0).alias("total_value"),
+        "sum_user_totals",
+        "n_heavy_user_events",
+    )

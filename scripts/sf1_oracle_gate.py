@@ -344,6 +344,7 @@ GATE_QUERIES = [
     "tfidf_cluster_prune",
     "incremental_ivf",
     "incremental_ivf_persisted",
+    "streaming_static_enrich",
 ]
 
 SUBSET_QUERIES = {
