@@ -517,27 +517,32 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("tok").cast("long").alias("cl"),
     )
 
-    def covered(n: int) -> DataFrame:
-        dw = dupw.filter(F.col("n") == n).select(
-            F.col("doc_id").alias("w_doc"), "st"
+    # ONE fused coverage pass for both widths (the oracle's covd/covs
+    # shape): join positions to duplicated window starts of EITHER n
+    # (equi on doc_id, range on the start), dedupe per (doc, n,
+    # position) — a position under several windows of one width counts
+    # once — then sum token chars per (doc, n) and pivot to cov5/cov10.
+    # Halves the shuffle count of the original two semi-join chains.
+    dw = dupw.select(F.col("doc_id").alias("w_doc"), "n", "st")
+    cov = (
+        pos.join(
+            dw,
+            (pos.doc_id == dw.w_doc)
+            & (dw.st >= pos.i - dw.n + 1)
+            & (dw.st <= pos.i),
         )
-        return (
-            pos.join(
-                dw,
-                (pos.doc_id == dw.w_doc)
-                & (dw.st >= pos.i - (n - 1))
-                & (dw.st <= pos.i),
-                "leftsemi",
-            )
-            .groupBy("doc_id")
-            .agg(F.sum("cl").alias(f"cov{n}"))
+        .groupBy("doc_id", "n", "i")
+        .agg(F.max("cl").alias("cl"))
+        .groupBy("doc_id")
+        .agg(
+            *[
+                F.sum(F.when(F.col("n") == n, F.col("cl"))).alias(f"cov{n}")
+                for n in (5, 10)
+            ]
         )
-
-    j = (
-        stats.join(topw, "doc_id", "left")
-        .join(covered(5), "doc_id", "left")
-        .join(covered(10), "doc_id", "left")
     )
+
+    j = stats.join(topw, "doc_id", "left").join(cov, "doc_id", "left")
     den = F.col("tok_chars")
 
     def frac(col: str) -> F.Column:
