@@ -157,3 +157,50 @@ def test_kn_logprob_nonpositive(spark, sf_dir):
     log-prob cannot be positive."""
     out = SPECS["lm_kneser_ney_score"].fn(spark, sf_dir).toPandas()
     assert (out["avg_logprob"] <= 0).all()
+
+
+def test_cluster_prune_partition_identity(spark, sf_dir):
+    """The percentile-band prune must PARTITION each cluster: kept +
+    prototypical-pruned + outlier-pruned = cluster size, and the
+    agreement fraction is a true fraction."""
+    out = SPECS["cluster_prune_prototypes"].fn(spark, sf_dir).toPandas()
+    assert (
+        out["n_kept"] + out["n_pruned_proto"] + out["n_pruned_outlier"]
+        == out["n_vectors"]
+    ).all()
+    assert out["agree_frac"].between(0.0, 1.0).all()
+    assert (out["n_agree"] <= out["n_vectors"]).all()
+
+
+def test_tfidf_prune_band_bounds(spark, sf_dir):
+    """Per-doc verdicts: rank within [1, cluster_size], pct within
+    [0, 100], keep iff pct in the (25, 95] band."""
+    out = SPECS["tfidf_cluster_prune"].fn(spark, sf_dir).toPandas()
+    assert (out["rank_in_cluster"].between(1, out["cluster_size"])).all()
+    assert out["pct"].between(0, 100).all()
+    expect = (out["pct"] > 25) & (out["pct"] <= 95)
+    assert (out["keep"] == expect).all()
+
+
+def test_incremental_ivf_shares_partition(spark, sf_dir):
+    """Occupancy shares must each sum to 1 over cells (every vector
+    lands in exactly one cell) and drift must sum to 0."""
+    out = SPECS["incremental_ivf"].fn(spark, sf_dir).toPandas()
+    assert abs(out["base_share"].sum() - 1.0) < 1e-9
+    assert abs(out["new_share"].sum() - 1.0) < 1e-9
+    assert abs(out["occupancy_drift"].sum()) < 1e-9
+    assert (out["n_base"] >= 1).all()  # every centroid is its own base member
+
+
+def test_capstone_agreement_cross_check(spark, sf_dir):
+    """pretrain_data_e2e's composition audit: n_both_pass must equal
+    n_clf_kept (stage 6 is exactly gopher-pass AND clf-pass among
+    stage-4 survivors) and the 2x2 cells partition n_c4_kept."""
+    out = SPECS["pretrain_data_e2e"].fn(spark, sf_dir).toPandas()
+    assert (out["n_both_pass"] == out["n_clf_kept"]).all()
+    cells = (
+        out["n_both_pass"] + out["n_gopher_only"]
+        + out["n_clf_only"] + out["n_neither"]
+    )
+    assert (cells == out["n_c4_kept"]).all()
+    assert out["gate_agree_frac"].between(0.0, 1.0).all()
