@@ -4577,11 +4577,24 @@ def tfidf_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Session memo of the final tf-idf assignment (io.memo_key discipline):
+# tfidf_kmeans_clusters and tfidf_cluster_prune share one materialized
+# assignment instead of each re-running tf/idf/vectorize + two Lloyd
+# passes.
+_TFK_CACHE: dict = {}
+
+
 def _tfk_assign_final(spark: SparkSession, sf_dir: str) -> DataFrame:
     """tfidf_kmeans_clusters' full pipeline up to the FINAL assignment
     (doc_id, k, d2) with the exact DECIMAL(38,0) squared distance —
     the Spark twin of the _TFK_CTES d2t argmin, shared with
-    tfidf_cluster_prune (which ranks on the untruncated d2)."""
+    tfidf_cluster_prune (which ranks on the tera-quantized d2).
+    Memoized per (session, corpus)."""
+    from cuttlefish_spark.io import memo_key, memo_put
+
+    mkey = memo_key(spark, sf_dir, "documents")
+    if mkey in _TFK_CACHE:
+        return _TFK_CACHE[mkey]
     d = spread(spark, load_table(spark, sf_dir, "documents"))
     tf = (
         d.select("doc_id", F.explode(tokens(F.col("text"))).alias("tok"))
@@ -4651,7 +4664,9 @@ def _tfk_assign_final(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("c")
         )
     )
-    return assign(c1)
+    out = assign(c1).localCheckpoint(eager=True)
+    memo_put(_TFK_CACHE, mkey, out)
+    return out
 
 
 _TFP_LO_PCT = 25  # drop the most-prototypical quartile
