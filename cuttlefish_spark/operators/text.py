@@ -1216,7 +1216,14 @@ def sequence_packing_bestfit(spark: SparkSession, sf_dir: str) -> DataFrame:
     utilization_concat - utilization."""
     d = load_table(spark, sf_dir, "documents")
     n_tok = F.size(tokens(F.col("text"))).cast("long")
-    t = d.select("doc_id", "source", n_tok.alias("n_tok"))
+    # ONE tokenize pass: five downstream consumers (per-source max,
+    # both prefix sums, the totals, the big-doc tier) branch off this
+    # narrow frame — without the checkpoint each branch re-runs the
+    # scan+tokenize (measured 5 x ~7 s at 500k docs; the sf10 decade
+    # first read 85 s, 15 s after this materialization).
+    t = d.select("doc_id", "source", n_tok.alias("n_tok")).localCheckpoint(
+        eager=True
+    )
     p = t.filter(F.col("n_tok") > 0).withColumn(
         "len_eff", F.least(F.col("n_tok"), F.lit(PACK_WINDOW)).cast("long")
     )
