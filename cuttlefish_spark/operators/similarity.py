@@ -685,12 +685,21 @@ def _kmeans_assign2(spark: SparkSession, sf_dir: str) -> DataFrame:
     round-2 assignment (vec_id, v, cid, cos) — the Spark twin of the
     _KMEANS_CTES `a2` CTE, shared with cluster_prune_prototypes.
     Memoized per (session, corpus); the checkpoint dies with the
-    session, the memo key with the corpus mtime."""
+    session, the memo key with the corpus mtime. The pre-checkpoint
+    DAG (the plan tests/test_plans.py pins — broadcast centroid
+    joins, no corpus shuffle) is _kmeans_assign2_dag."""
     from cuttlefish_spark.io import memo_key, memo_put
 
     mkey = memo_key(spark, sf_dir, "embeddings")
     if mkey in _KM_A2_CACHE:
         return _KM_A2_CACHE[mkey]
+    out = _kmeans_assign2_dag(spark, sf_dir).localCheckpoint(eager=True)
+    memo_put(_KM_A2_CACHE, mkey, out)
+    return out
+
+
+def _kmeans_assign2_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The assignment DAG itself (no memo, no checkpoint)."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select("vec_id", F.col("embedding").cast("array<double>").alias("v"))
 
@@ -725,9 +734,7 @@ def _kmeans_assign2(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array_sort(F.collect_list(F.struct("dim", "mu"))), lambda s: s["mu"]
         ).alias("c")
     )
-    out = assign(c1).localCheckpoint(eager=True)
-    memo_put(_KM_A2_CACHE, mkey, out)
-    return out
+    return assign(c1)
 
 
 @query("embedding_kmeans", layer="C", oracle=_KMEANS_ORACLE)

@@ -228,8 +228,13 @@ def test_linear_regression_partial_moments(spark, sf_dir):
 
 def test_kmeans_assignment_broadcasts_centroids(spark, sf_dir):
     """Both Lloyd-round assignments must broadcast the K-row centroid
-    side — the corpus is never shuffled for assignment."""
-    df = SPECS["embedding_kmeans"].fn(spark, sf_dir)
+    side — the corpus is never shuffled for assignment. Pinned on the
+    pre-checkpoint DAG: the registered query reads the memoized
+    checkpointed assignment (r12), which hides the joins from its own
+    plan."""
+    from cuttlefish_spark.operators.similarity import _kmeans_assign2_dag
+
+    df = _kmeans_assign2_dag(spark, sf_dir)
     plan = checks.formatted_plan(df)
     assert plan.count("BroadcastNestedLoopJoin Cross BuildRight") == 2  # K-row cross joins
     assert "SortMergeJoin" not in plan
