@@ -260,9 +260,9 @@ def main() -> None:
 
             snap = Path(REPO) / f"BENCH_FULL_r{record_round}.json"
             shutil.copyfile(full, snap)
-            subprocess.run(
-                ["git", "-C", REPO, "add", str(full), str(snap)], check=False
-            )
+            res = subprocess.run(["git", "-C", REPO, "add", str(full), str(snap)])
+            if res.returncode != 0:
+                print(f"WARNING: git add exited {res.returncode} — stage manually")
     print(json.dumps(out))
 
 

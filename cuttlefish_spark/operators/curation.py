@@ -215,7 +215,7 @@ _GR_DUP_PARA_MAX = 0.30
 _GR_DUP_LINE_CHAR_MAX = 0.20
 _GR_DUP_PARA_CHAR_MAX = 0.20
 _GR_TOP_MAX = {2: 0.20, 3: 0.18, 4: 0.16}
-_GR_DUP_MAX = {5: 0.15, 10: 0.10}
+_GR_DUP_MAX = {5: 0.15, 6: 0.14, 7: 0.13, 8: 0.12, 9: 0.11, 10: 0.10}
 _GR_PACK = 1 << 32  # (count, charlen) packed argmax base
 
 
@@ -227,6 +227,37 @@ def _gr_shingle_sql(k: int, src: str = "toks") -> str:
         f"list_transform(range(1, greatest(len({src}) - {k - 2}, 1)), "
         f"i -> array_to_string({src}[i:i+{k - 1}], '_'))"
     )
+
+
+# Generated oracle fragments for the n = 5..10 dup-n-gram family (the
+# full published rule set — one UNION branch / join / frac / rule per
+# width, driven off _GR_DUP_MAX so Spark and oracle can never skew).
+_GR_WINS_SQL = "\n        UNION ALL\n".join(
+    f"""        SELECT doc_id, {n} AS n,
+               unnest({_gr_shingle_sql(n)}) AS g,
+               unnest(range(1, greatest(len(toks) - {n - 2}, 1))) AS st
+        FROM t"""
+    for n in sorted(_GR_DUP_MAX)
+)
+_GR_DUP_FRACS = ",\n".join(
+    f"""               CASE WHEN b.tok_chars > 0 THEN
+                   CAST(COALESCE(c{n}.chars, 0) AS DOUBLE) / b.tok_chars
+               ELSE 0.0 END AS dup{n}gram_char_frac"""
+    for n in sorted(_GR_DUP_MAX)
+)
+_GR_DUP_JOINS = "\n".join(
+    f"        LEFT JOIN covs c{n} ON c{n}.doc_id = b.doc_id AND c{n}.n = {n}"
+    for n in sorted(_GR_DUP_MAX)
+)
+_GR_DUP_COLS = ", ".join(f"dup{n}gram_char_frac" for n in sorted(_GR_DUP_MAX))
+_GR_DUP_RULES = ",\n".join(
+    f"           dup{n}gram_char_frac <= {_GR_DUP_MAX[n]} AS r_dup{n}gram"
+    for n in sorted(_GR_DUP_MAX)
+)
+_GR_DUP_KEEP = "\n".join(
+    f"               AND dup{n}gram_char_frac <= {_GR_DUP_MAX[n]}"
+    for n in sorted(_GR_DUP_MAX)
+)
 
 
 _GR_SQL = rf"""
@@ -289,15 +320,7 @@ _GR_SQL = rf"""
         FROM topn GROUP BY doc_id
     ),
     wins AS (
-        SELECT doc_id, 5 AS n,
-               unnest({_gr_shingle_sql(5)}) AS g,
-               unnest(range(1, greatest(len(toks) - 3, 1))) AS st
-        FROM t
-        UNION ALL
-        SELECT doc_id, 10 AS n,
-               unnest({_gr_shingle_sql(10)}) AS g,
-               unnest(range(1, greatest(len(toks) - 8, 1))) AS st
-        FROM t
+{_GR_WINS_SQL}
     ),
     dupw AS (
         SELECT doc_id, n, st FROM (
@@ -306,21 +329,45 @@ _GR_SQL = rf"""
             FROM wins
         ) WHERE cw >= 2
     ),
+    isl AS (
+        SELECT doc_id, n, st, st + n - 1 AS en,
+               CASE WHEN st > COALESCE(max(st + n - 1) OVER (
+                        PARTITION BY doc_id, n ORDER BY st
+                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                    -1)
+                    THEN 1 ELSE 0 END AS brk
+        FROM dupw
+    ),
+    isl2 AS (
+        SELECT doc_id, n, st, en,
+               sum(brk) OVER (PARTITION BY doc_id, n ORDER BY st
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                              AND CURRENT ROW) AS isle
+        FROM isl
+    ),
+    merged AS (
+        SELECT doc_id, n, min(st) AS a, max(en) AS b
+        FROM isl2 GROUP BY doc_id, n, isle
+    ),
     pos AS (
         SELECT doc_id, i,
                CAST(length(toks[i]) AS BIGINT) AS cl
         FROM (SELECT doc_id, toks, unnest(range(1, len(toks) + 1)) AS i FROM t)
     ),
-    covd AS (
-        SELECT p.doc_id, w.n, p.i, max(p.cl) AS cl
-        FROM pos p JOIN dupw w
-          ON w.doc_id = p.doc_id
-         AND w.st BETWEEN p.i - w.n + 1 AND p.i
-        GROUP BY p.doc_id, w.n, p.i
+    cum AS (
+        SELECT doc_id, i,
+               sum(cl) OVER (PARTITION BY doc_id ORDER BY i
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS p
+        FROM pos
     ),
     covs AS (
-        SELECT doc_id, n, CAST(sum(cl) AS BIGINT) AS chars
-        FROM covd GROUP BY doc_id, n
+        SELECT m.doc_id, m.n,
+               CAST(sum(cb.p - COALESCE(ca.p, 0)) AS BIGINT) AS chars
+        FROM merged m
+        JOIN cum cb ON cb.doc_id = m.doc_id AND cb.i = m.b
+        LEFT JOIN cum ca ON ca.doc_id = m.doc_id AND ca.i = m.a - 1
+        GROUP BY m.doc_id, m.n
     ),
     m AS (
         SELECT b.doc_id, b.n_lines, b.n_paras, b.tok_chars,
@@ -335,22 +382,16 @@ _GR_SQL = rf"""
                CASE WHEN b.tok_chars > 0 THEN
                    CAST(COALESCE(tw.t4, 0) AS DOUBLE) / b.tok_chars
                ELSE 0.0 END AS top4gram_char_frac,
-               CASE WHEN b.tok_chars > 0 THEN
-                   CAST(COALESCE(c5.chars, 0) AS DOUBLE) / b.tok_chars
-               ELSE 0.0 END AS dup5gram_char_frac,
-               CASE WHEN b.tok_chars > 0 THEN
-                   CAST(COALESCE(c10.chars, 0) AS DOUBLE) / b.tok_chars
-               ELSE 0.0 END AS dup10gram_char_frac
+{_GR_DUP_FRACS}
         FROM base b
         LEFT JOIN topw tw ON tw.doc_id = b.doc_id
-        LEFT JOIN covs c5 ON c5.doc_id = b.doc_id AND c5.n = 5
-        LEFT JOIN covs c10 ON c10.doc_id = b.doc_id AND c10.n = 10
+{_GR_DUP_JOINS}
     )
     SELECT doc_id, n_lines, n_paras, tok_chars,
            dup_line_frac, dup_line_char_frac,
            dup_para_frac, dup_para_char_frac,
            top2gram_char_frac, top3gram_char_frac, top4gram_char_frac,
-           dup5gram_char_frac, dup10gram_char_frac,
+           {_GR_DUP_COLS},
            dup_line_frac <= {_GR_DUP_LINE_MAX} AS r_dup_line,
            dup_line_char_frac <= {_GR_DUP_LINE_CHAR_MAX} AS r_dup_line_chars,
            dup_para_frac <= {_GR_DUP_PARA_MAX} AS r_dup_para,
@@ -358,8 +399,7 @@ _GR_SQL = rf"""
            top2gram_char_frac <= {_GR_TOP_MAX[2]} AS r_top2gram,
            top3gram_char_frac <= {_GR_TOP_MAX[3]} AS r_top3gram,
            top4gram_char_frac <= {_GR_TOP_MAX[4]} AS r_top4gram,
-           dup5gram_char_frac <= {_GR_DUP_MAX[5]} AS r_dup5gram,
-           dup10gram_char_frac <= {_GR_DUP_MAX[10]} AS r_dup10gram,
+{_GR_DUP_RULES},
            dup_line_frac <= {_GR_DUP_LINE_MAX}
                AND dup_line_char_frac <= {_GR_DUP_LINE_CHAR_MAX}
                AND dup_para_frac <= {_GR_DUP_PARA_MAX}
@@ -367,8 +407,7 @@ _GR_SQL = rf"""
                AND top2gram_char_frac <= {_GR_TOP_MAX[2]}
                AND top3gram_char_frac <= {_GR_TOP_MAX[3]}
                AND top4gram_char_frac <= {_GR_TOP_MAX[4]}
-               AND dup5gram_char_frac <= {_GR_DUP_MAX[5]}
-               AND dup10gram_char_frac <= {_GR_DUP_MAX[10]} AS keep
+{_GR_DUP_KEEP} AS keep
     FROM m
 """
 
@@ -389,34 +428,41 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
       chars;
     - top n-gram character fraction (n = 2, 3, 4): chars claimed by
       the single most frequent token n-gram (count x n-gram token
-      chars) over total token chars, scored only when that n-gram
-      occurs >= 2 times (a count-1 "top" is not repetition — an
-      all-unique doc scores 0). "Top" is the lexicographic max of
-      (count, charlen) packed into one int64 (count * 2^32 + charlen)
-      so both engines pick the identical winner with pure integer
-      arithmetic — no string-order tiebreak;
-    - duplicate n-gram character fraction (n = 5, 10, the published
-      boundary widths): fraction of token chars COVERED by at least
-      one occurrence of a within-doc-repeated n-gram — overlaps
-      counted once via position-coverage (a token i is covered iff
-      some duplicated window starts in [i-n+1, i]), the same
-      gaps-and-islands discipline as substring_dedup_spans but
-      per-document.
+      chars) over total token chars. DELIBERATE DEVIATION from the
+      paper: the metric is scored only when that n-gram occurs >= 2
+      times — Rae 2021 scores the most-frequent n-gram regardless of
+      count, which would charge an all-unique short doc charlen/
+      tok_chars purely for being short; here a count-1 "top" scores 0
+      (not repetition). "Top" is the lexicographic max of (count,
+      charlen) packed into one int64 (count * 2^32 + charlen) so both
+      engines pick the identical winner with pure integer arithmetic —
+      no string-order tiebreak;
+    - duplicate n-gram character fraction, the COMPLETE published set
+      n = 5..10 (Table A1 thresholds 0.15/0.14/0.13/0.12/0.11/0.10):
+      fraction of token chars COVERED by at least one occurrence of a
+      within-doc-repeated n-gram — overlaps counted once by merging
+      each width's duplicated windows [st, st+n-1] into disjoint
+      intervals (gaps-and-islands over sorted starts per (doc, n)),
+      then charging each merged interval P[b] - P[a-1] against the
+      per-doc prefix sum of token lengths; the same gaps-and-islands
+      discipline as substring_dedup_spans but per-document.
 
     Keep-thresholds are the paper's: 0.30/0.30 dup line/para frac,
-    0.20/0.20 char fracs, 0.20/0.18/0.16 top-{{2,3,4}}-gram, 0.15/0.10
-    dup-{{5,10}}-gram. `keep` is the conjunction — the gate
-    quality_filter_funnel-style pipelines compose AFTER the §A1.1
-    rules.
+    0.20/0.20 char fracs, 0.20/0.18/0.16 top-{{2,3,4}}-gram,
+    0.15/0.14/0.13/0.12/0.11/0.10 dup-{{5..10}}-gram. `keep` is the
+    conjunction — the gate quality_filter_funnel-style pipelines
+    compose AFTER the §A1.1 rules.
 
     Exactness: every fraction is IEEE division of identical integers;
     the argmax rides the packed int64; thresholds are decimal
     literals. Scale shape: the line/para block is a pure per-row
     column program (no shuffle at all); the n-gram blocks shuffle on
-    high-cardinality (doc_id, n, gram) keys with map-side partials,
-    then (doc_id, n) — bounded-doc-length work per row, no
-    low-cardinality hotspots, no Python. At 100 TB every stage is a
-    uniform keyed shuffle over ~doc-sized groups."""
+    high-cardinality (doc_id, n, gram) keys with map-side partials;
+    coverage is O(L log L) per doc — two keyed window sorts (island
+    merge, prefix sum) plus equi-joins on (doc, position), never a
+    position x window range join (the r12 shape, quadratic exactly on
+    long repetitive docs). At 100 TB every stage is a uniform keyed
+    shuffle over ~doc-sized groups."""
     d = spread(spark, load_table(spark, sf_dir, "documents")).select(
         "doc_id", "text"
     )
@@ -496,7 +542,7 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     from pyspark.sql import Window
 
-    wins = base.select("doc_id", tagged((5, 10)).alias("x")).select(
+    wins = base.select("doc_id", tagged(tuple(sorted(_GR_DUP_MAX))).alias("x")).select(
         "doc_id",
         F.col("x.n").alias("n"),
         F.col("x.st").alias("st"),
@@ -517,27 +563,70 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("tok").cast("long").alias("cl"),
     )
 
-    # ONE fused coverage pass for both widths (the oracle's covd/covs
-    # shape): join positions to duplicated window starts of EITHER n
-    # (equi on doc_id, range on the start), dedupe per (doc, n,
-    # position) — a position under several windows of one width counts
-    # once — then sum token chars per (doc, n) and pivot to cov5/cov10.
-    # Halves the shuffle count of the original two semi-join chains.
-    dw = dupw.select(F.col("doc_id").alias("w_doc"), "n", "st")
-    cov = (
-        pos.join(
-            dw,
-            (pos.doc_id == dw.w_doc)
-            & (dw.st >= pos.i - dw.n + 1)
-            & (dw.st <= pos.i),
+    # Coverage by per-doc INTERVAL MERGE (r12 ADVICE: the old
+    # position x window-start range join was O(L x dup-windows) per doc
+    # — quadratic exactly on the long repetitive docs this filter
+    # exists to catch). A duplicated window of width n covers token
+    # positions [st, st+n-1]; gaps-and-islands over the sorted starts
+    # per (doc, n) merges overlapping windows into disjoint intervals
+    # [a, b] (a new island starts when st exceeds the running max end),
+    # and each interval's covered chars come from two O(1) lookups into
+    # the per-doc prefix sum of token lengths: P[b] - P[a-1]. Total
+    # work is O(L log L) per doc (two keyed window sorts + equi-joins)
+    # — the same gaps-and-islands discipline as substring_dedup_spans.
+    wI = Window.partitionBy("doc_id", "n").orderBy("st")
+    prev_end = F.max(F.col("st") + F.col("n") - 1).over(
+        wI.rowsBetween(Window.unboundedPreceding, -1)
+    )
+    isl = dupw.select(
+        "doc_id",
+        "n",
+        "st",
+        (F.col("st") + F.col("n") - 1).alias("en"),
+        F.when(F.col("st") > F.coalesce(prev_end, F.lit(-1)), 1)
+        .otherwise(0)
+        .alias("brk"),
+    )
+    merged = (
+        isl.withColumn(
+            "isle", F.sum("brk").over(wI.rowsBetween(Window.unboundedPreceding, 0))
         )
-        .groupBy("doc_id", "n", "i")
-        .agg(F.max("cl").alias("cl"))
+        .groupBy("doc_id", "n", "isle")
+        .agg(F.min("st").alias("a"), F.max("en").alias("b"))
+    )
+    cum = pos.withColumn(
+        "p",
+        F.sum("cl").over(
+            Window.partitionBy("doc_id")
+            .orderBy("i")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        ),
+    )
+    cb = cum.select(
+        F.col("doc_id").alias("b_doc"), F.col("i").alias("b_i"),
+        F.col("p").alias("p_b"),
+    )
+    ca = cum.select(
+        F.col("doc_id").alias("a_doc"), F.col("i").alias("a_i"),
+        F.col("p").alias("p_a"),
+    )
+    cov = (
+        merged.join(cb, (merged.doc_id == cb.b_doc) & (merged.b == cb.b_i))
+        .join(
+            ca,
+            (merged.doc_id == ca.a_doc) & ((merged.a - 1) == ca.a_i),
+            "left",
+        )
         .groupBy("doc_id")
         .agg(
             *[
-                F.sum(F.when(F.col("n") == n, F.col("cl"))).alias(f"cov{n}")
-                for n in (5, 10)
+                F.sum(
+                    F.when(
+                        F.col("n") == n,
+                        F.col("p_b") - F.coalesce(F.col("p_a"), F.lit(0).cast("long")),
+                    )
+                ).alias(f"cov{n}")
+                for n in sorted(_GR_DUP_MAX)
             ]
         )
     )
@@ -562,8 +651,7 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top2gram_char_frac": frac("t2"),
         "top3gram_char_frac": frac("t3"),
         "top4gram_char_frac": frac("t4"),
-        "dup5gram_char_frac": frac("cov5"),
-        "dup10gram_char_frac": frac("cov10"),
+        **{f"dup{n}gram_char_frac": frac(f"cov{n}") for n in sorted(_GR_DUP_MAX)},
     }
     bounds = {
         "dup_line_frac": _GR_DUP_LINE_MAX,
@@ -573,8 +661,7 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top2gram_char_frac": _GR_TOP_MAX[2],
         "top3gram_char_frac": _GR_TOP_MAX[3],
         "top4gram_char_frac": _GR_TOP_MAX[4],
-        "dup5gram_char_frac": _GR_DUP_MAX[5],
-        "dup10gram_char_frac": _GR_DUP_MAX[10],
+        **{f"dup{n}gram_char_frac": _GR_DUP_MAX[n] for n in sorted(_GR_DUP_MAX)},
     }
     rule_names = {
         "dup_line_frac": "r_dup_line",
@@ -584,8 +671,10 @@ def gopher_repetition_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         "top2gram_char_frac": "r_top2gram",
         "top3gram_char_frac": "r_top3gram",
         "top4gram_char_frac": "r_top4gram",
-        "dup5gram_char_frac": "r_dup5gram",
-        "dup10gram_char_frac": "r_dup10gram",
+        **{
+            f"dup{n}gram_char_frac": f"r_dup{n}gram"
+            for n in sorted(_GR_DUP_MAX)
+        },
     }
     sel = j.select(
         "doc_id",

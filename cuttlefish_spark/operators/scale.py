@@ -503,7 +503,12 @@ def bucketed_join_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = memo_key(spark, sf_dir, "lineitem") + memo_key(spark, sf_dir, "orders")
     names = _bucket_memo.get(key)
     if names is None:
-        sfx = hashlib.md5(sf_dir.encode()).hexdigest()[:8]
+        # Path is keyed by (corpus, applicationId), not corpus alone:
+        # two concurrent sessions on one host would otherwise race on
+        # the same directory — one session's mode('overwrite') rewrite
+        # deleting parquet files the other's catalog entry still reads.
+        app_id = spark.sparkContext.applicationId
+        sfx = hashlib.md5(f"{sf_dir}|{app_id}".encode()).hexdigest()[:8]
         li_name, o_name = f"bkt_lineitem_{sfx}", f"bkt_orders_{sfx}"
         base = os.path.join(tempfile.gettempdir(), f"cuttlefish_bucketed_{sfx}")
         write_bucketed(

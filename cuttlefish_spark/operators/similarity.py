@@ -327,9 +327,15 @@ _IVF_ORACLE = f"""
             SELECT vecs.vec_id, vecs.label, vecs.v, cents.centroid_id,
                    row_number() OVER (
                        PARTITION BY vecs.vec_id
-                       ORDER BY list_dot_product(v, c)
-                                / (sqrt(list_dot_product(v, v))
-                                   * sqrt(list_dot_product(c, c))) DESC,
+                       ORDER BY CASE WHEN isnan(
+                                    list_dot_product(v, c)
+                                    / (sqrt(list_dot_product(v, v))
+                                       * sqrt(list_dot_product(c, c))))
+                                THEN -1e308
+                                ELSE list_dot_product(v, c)
+                                     / (sqrt(list_dot_product(v, v))
+                                        * sqrt(list_dot_product(c, c)))
+                                END DESC,
                                 centroid_id) AS rn
             FROM vecs CROSS JOIN cents
         ) WHERE rn = 1
@@ -388,10 +394,14 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # min(struct) would then order it GREATEST (never wins) where the
     # pre-r11 row_number(sim.desc) window ordered NaN FIRST (always won).
     # nanvl(+inf) states the intended rule explicitly — a zero-norm sim
-    # is the worst candidate, so such a vector assigns to the lowest
-    # centroid_id deterministically; DuckDB's NaN-greatest total order
-    # agrees, so the oracle contract holds even on degenerate inputs
-    # (the testdata itself is Gaussian — zero norms never occur there).
+    # (zero-norm VECTOR or zero-norm CENTROID) is the worst candidate,
+    # so such a pair loses and the vector assigns to the lowest
+    # non-NaN centroid deterministically. The oracle pins the same rule
+    # (CASE WHEN isnan(cos) THEN -1e308 END in its ORDER BY) — DuckDB's
+    # bare cos DESC would rank NaN GREATEST, i.e. a zero-norm centroid
+    # would always WIN there while always losing here, so the pin must
+    # live on BOTH sides (the testdata itself is Gaussian — zero norms
+    # never occur there, but the contract holds on degenerate inputs).
     cand = F.struct(
         F.nanvl(
             -cosine_sim(F.col("v"), F.col("c")), F.lit(float("inf"))
@@ -2636,6 +2646,12 @@ _IIVF_AVG = (
     " / COUNT(*), 6)"
 )
 
+# NaN pin mirroring the Spark side's nanvl(-cos, +inf): a zero-norm
+# vector OR centroid yields a NaN cosine, which must LOSE the argmax
+# (DuckDB's bare ORDER BY cos DESC would rank NaN greatest — i.e. WIN —
+# a latent cross-engine divergence if a centroid were ever zero-norm).
+_IIVF_COS_PIN = f"CASE WHEN isnan({_IIVF_COS}) THEN -1e308 ELSE {_IIVF_COS} END"
+
 _IIVF_SQL = f"""
     WITH vecs AS (
         SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
@@ -2649,7 +2665,7 @@ _IIVF_SQL = f"""
         SELECT vec_id, cid, cos FROM (
             SELECT b.vec_id, cents.cid, {_IIVF_COS} AS cos,
                    row_number() OVER (PARTITION BY b.vec_id
-                                      ORDER BY {_IIVF_COS} DESC, cid) AS rn
+                                      ORDER BY {_IIVF_COS_PIN} DESC, cid) AS rn
             FROM base b CROSS JOIN cents
         ) WHERE rn = 1
     ),
@@ -2657,7 +2673,7 @@ _IIVF_SQL = f"""
         SELECT vec_id, cid, cos FROM (
             SELECT b.vec_id, cents.cid, {_IIVF_COS} AS cos,
                    row_number() OVER (PARTITION BY b.vec_id
-                                      ORDER BY {_IIVF_COS} DESC, cid) AS rn
+                                      ORDER BY {_IIVF_COS_PIN} DESC, cid) AS rn
             FROM newb b CROSS JOIN cents
         ) WHERE rn = 1
     ),

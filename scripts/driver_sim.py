@@ -170,7 +170,9 @@ def main() -> None:
         # Stage the artifact the moment it exists (r11 VERDICT item 1:
         # two straight rounds left round artifacts untracked at close —
         # the round-close scripts now stage their own outputs).
-        subprocess.run(["git", "-C", REPO, "add", str(out)], check=False)
+        res = subprocess.run(["git", "-C", REPO, "add", str(out)])
+        if res.returncode != 0:
+            print(f"WARNING: git add exited {res.returncode} — stage manually")
         print(f"wrote + staged {out} ({len(report)} queries)")
     sys.exit(1 if bad else 0)
 

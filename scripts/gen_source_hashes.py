@@ -69,9 +69,13 @@ def main() -> int:
     MANIFEST.write_text(
         json.dumps(dict(sorted(out.items())), indent=1, sort_keys=True) + "\n"
     )
-    # Stage the manifest AND any not-yet-tracked round artifacts (r11
+    # Stage the manifest AND this round's STAMPED artifacts (r11
     # VERDICT item 1: round-close scripts stage their own outputs so a
     # close-out can't forget them; the commit itself stays explicit).
+    # Only files stamped _r{rnd} are swept — the un-stamped
+    # BENCH_FULL.json is bench.py --record's to stage, so regenerating
+    # this manifest mid-round can never drag unrelated local
+    # modifications into the next commit (r12 ADVICE).
     import subprocess
 
     arts = [str(MANIFEST)] + [
@@ -81,12 +85,13 @@ def main() -> int:
             f"BENCH_r{rnd}.json",
             f"BENCH_FULL_r{rnd}.json",
             f"FULLCHECK_r{rnd}.json",
-            "BENCH_FULL.json",
         )
         for p in [REPO / pat]
         if p.exists()
     ]
-    subprocess.run(["git", "-C", str(REPO), "add", *arts], check=False)
+    res = subprocess.run(["git", "-C", str(REPO), "add", *arts])
+    if res.returncode != 0:
+        print(f"WARNING: git add exited {res.returncode} — stage manually")
     print(f"staged: {[Path(a).name for a in arts]}")
     print(
         json.dumps(
