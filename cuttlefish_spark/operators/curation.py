@@ -20,7 +20,13 @@ from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
 from cuttlefish_spark.io import load_table, spread
-from cuttlefish_spark.operators.dedup import _mh_sql, _NORM_SQL, _SHINGLES_SQL
+from cuttlefish_spark.operators.dedup import (
+    _ADAPT_MULT,
+    _mh_sql,
+    _NORM_SQL,
+    _pick_banding,
+    _SHINGLES_SQL,
+)
 from cuttlefish_spark.operators.scale import _SHUFFLE_SHARDS
 from cuttlefish_spark.operators.text import (
     _LM_SCORED_CTES,
@@ -3083,6 +3089,66 @@ def dsir_importance(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _E2E_NEAR_J = 0.5  # near-dup Jaccard threshold (minhash_shingles' bar)
 
+
+def _e2e_stage3_pairs(nsh: DataFrame) -> tuple[int, DataFrame, DataFrame]:
+    """The capstone's stage-3 ADAPTIVE banded candidate join, shared
+    with scripts/scale_stress.py --e2e-stage3 (the zipf-decade probe):
+    given `nsh` = (doc_id, sh) shingle sets of the upstream survivors,
+    build the two-family MinHash signature (band1/band2 from the
+    shingle md5, band3/band4 from an independent 'w2:'-salted md5 —
+    reusing windows of one md5 would correlate the families), let
+    _pick_banding price the b=2,r=2 candidate join from the band-value
+    frequency tables (integral sum of C(n,2), one scalar driver sync),
+    and run the chosen branch: band1|band2 OR-join below the bar,
+    all-four-bands conjunction (b=1,r=8) above it. Returns
+    (rows_per_band, candidate pairs (da, db), checkpointed signature).
+    The capstone's oracle re-derives the identical integer decision in
+    its ndec CTE (_ADAPT_DEC_SQL discipline), so the chosen branch can
+    never diverge cross-engine."""
+
+    def mh(col: str, start: int):
+        return F.array_min(
+            F.transform(F.col(col), lambda x: F.substring(x, start, 8))
+        )
+
+    nsig = (
+        nsh.withColumn("h", F.transform(F.col("sh"), F.md5))
+        .withColumn(
+            "h2",
+            F.transform(F.col("sh"), lambda x: F.md5(F.concat(F.lit("w2:"), x))),
+        )
+        .select(
+            "doc_id",
+            "sh",
+            F.concat(mh("h", 1), mh("h", 9)).alias("band1"),
+            F.concat(mh("h", 17), mh("h", 25)).alias("band2"),
+            F.concat(mh("h2", 1), mh("h2", 9)).alias("band3"),
+            F.concat(mh("h2", 17), mh("h2", 25)).alias("band4"),
+        )
+        .localCheckpoint(eager=True)
+    )
+    rpb = _pick_banding(nsig)
+    if rpb == 2:
+        pairs = None
+        for band in ["band1", "band2"]:
+            a = nsig.select(F.col("doc_id").alias("da"), F.col(band).alias("k"))
+            b = nsig.select(F.col("doc_id").alias("db"), F.col(band).alias("k"))
+            c = a.join(b, "k").filter(F.col("da") < F.col("db")).select("da", "db")
+            pairs = c if pairs is None else pairs.unionByName(c)
+        pairs = pairs.distinct()
+    else:
+        bands = ["band1", "band2", "band3", "band4"]
+        a = nsig.select(F.col("doc_id").alias("da"), *bands)
+        b = nsig.select(
+            F.col("doc_id").alias("db"),
+            *[F.col(x).alias(f"{x}_b") for x in bands],
+        )
+        cond = F.col("da") < F.col("db")
+        for x in bands:
+            cond = cond & (F.col(x) == F.col(f"{x}_b"))
+        pairs = a.join(b, cond).select("da", "db")
+    return rpb, pairs, nsig
+
 _E2E_H60 = "CAST('0x' || substr(md5({x}), 1, 15) AS BIGINT)"
 
 
@@ -3131,15 +3197,38 @@ def _e2e_oracle() -> str:
     nsig AS MATERIALIZED (
         SELECT doc_id, sh,
                {_mh_sql(1)} || {_mh_sql(9)} AS band1,
-               {_mh_sql(17)} || {_mh_sql(25)} AS band2
-        FROM (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS h
+               {_mh_sql(17)} || {_mh_sql(25)} AS band2,
+               {_mh_sql(1, "h2")} || {_mh_sql(9, "h2")} AS band3,
+               {_mh_sql(17, "h2")} || {_mh_sql(25, "h2")} AS band4
+        FROM (SELECT doc_id, sh, list_transform(sh, x -> md5(x)) AS h,
+                     list_transform(sh, x -> md5('w2:' || x)) AS h2
               FROM nsh)
+    ),
+    ndec AS (
+        SELECT CASE WHEN
+            (SELECT COALESCE(sum((n * (n - 1)) // 2), 0)
+             FROM (SELECT count(*) AS n FROM nsig
+                   WHERE band1 IS NOT NULL GROUP BY band1))
+          + (SELECT COALESCE(sum((n * (n - 1)) // 2), 0)
+             FROM (SELECT count(*) AS n FROM nsig
+                   WHERE band1 IS NOT NULL GROUP BY band2))
+          > {_ADAPT_MULT} * (SELECT count(*) FROM nsig
+                             WHERE band1 IS NOT NULL)
+        THEN 8 ELSE 2 END AS rpb
     ),
     npair AS (
         SELECT DISTINCT a.doc_id AS da, b.doc_id AS db
         FROM nsig a JOIN nsig b
           ON a.doc_id < b.doc_id
          AND (a.band1 = b.band1 OR a.band2 = b.band2)
+        WHERE (SELECT rpb FROM ndec) = 2
+        UNION ALL
+        SELECT a.doc_id AS da, b.doc_id AS db
+        FROM nsig a JOIN nsig b
+          ON a.doc_id < b.doc_id
+         AND a.band1 = b.band1 AND a.band2 = b.band2
+         AND a.band3 = b.band3 AND a.band4 = b.band4
+        WHERE (SELECT rpb FROM ndec) = 8
     ),
     ndrop AS (
         SELECT DISTINCT pr.db AS doc_id
@@ -3283,10 +3372,15 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
       raw -> (1) URL dedup (canonicalize, keep longest per target —
       url_dedup_canonical's survivor argmax) -> (2) exact dedup among
       survivors (min doc_id per normalized-content md5 —
-      exact_dedup_docs' rule) -> (3) near-dup keep-list (MinHash band
-      candidates + exact Jaccard >= {_E2E_NEAR_J}, drop the larger id
-      of each verified pair — minhash_shingles' candidate pipeline as
-      a bounded manifest) -> (4) C4 page rules (lorem-ipsum /
+      exact_dedup_docs' rule) -> (3) near-dup keep-list (ADAPTIVE
+      MinHash banding: _pick_banding prices the b=2,r=2 candidate
+      join on the survivors' own band-value frequency tables and
+      tightens to b=1,r=8 above the calibrated est-pairs/doc bar,
+      with the oracle's ndec CTE re-deriving the identical integer
+      decision; candidates then verify exact Jaccard >=
+      {_E2E_NEAR_J}, drop the larger id of each verified pair —
+      dedup_clusters' adaptive default composed as a bounded
+      manifest) -> (4) C4 page rules (lorem-ipsum /
       curly-brace; the LINE-level rule is verified standalone by
       c4_line_filter but is vacuous on this single-line synthetic
       corpus, so the capstone carries C4's page-rule subset) ->
@@ -3367,32 +3461,15 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=True)
     )
 
-    # Stage 3: near-dup keep-list via MinHash bands on stage-2 survivors.
+    # Stage 3: near-dup keep-list via ADAPTIVE MinHash bands on stage-2
+    # survivors (r12 VERDICT item 2 — the hard-coded b=2,r=2 join here
+    # measured candidate exponent 2.03 over the zipf decade, the exact
+    # cliff _pick_banding removed from dedup_clusters; see
+    # _e2e_stage3_pairs for the branch machinery and the cross-engine
+    # decision contract).
     sh = F.array_distinct(word_shingles(tokens(F.col("text")), k=3))
     nsh = d.select("doc_id", sh.alias("sh")).join(st2.select("doc_id"), "doc_id")
-
-    def mh(start: int):
-        return F.array_min(
-            F.transform(F.col("h"), lambda x: F.substring(x, start, 8))
-        )
-
-    nsig = (
-        nsh.withColumn("h", F.transform(F.col("sh"), F.md5))
-        .select(
-            "doc_id",
-            "sh",
-            F.concat(mh(1), mh(9)).alias("band1"),
-            F.concat(mh(17), mh(25)).alias("band2"),
-        )
-        .localCheckpoint(eager=True)
-    )
-    pairs = None
-    for band in ["band1", "band2"]:
-        a = nsig.select(F.col("doc_id").alias("da"), F.col(band).alias("k"))
-        b = nsig.select(F.col("doc_id").alias("db"), F.col(band).alias("k"))
-        c = a.join(b, "k").filter(F.col("da") < F.col("db")).select("da", "db")
-        pairs = c if pairs is None else pairs.unionByName(c)
-    pairs = pairs.distinct()
+    _rpb, pairs, nsig = _e2e_stage3_pairs(nsh)
     sa = nsig.select(F.col("doc_id").alias("da"), F.col("sh").alias("sha"))
     sb = nsig.select(F.col("doc_id").alias("db"), F.col("sh").alias("shb"))
     jac = F.size(F.array_intersect("sha", "shb")).cast("double") / F.size(

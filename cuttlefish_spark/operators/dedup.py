@@ -67,8 +67,8 @@ _SHINGLES_SQL = r"""
 """
 
 
-def _mh_sql(start: int) -> str:
-    return f"list_min(list_transform(h, x -> substr(x, {start}, 8)))"
+def _mh_sql(start: int, src: str = "h") -> str:
+    return f"list_min(list_transform({src}, x -> substr(x, {start}, 8)))"
 
 
 @query(
@@ -954,22 +954,21 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def dedup_clusters_banded(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """dedup_clusters at the TIGHTENED b=1 x r=8 LSH banding — the
-    operator-level mitigation of the one quantified 100 TB cliff (r10
-    VERDICT item 1): the sf1->sf10 zipf decade measured fixed b=2,r=2
-    band candidates growing at exponent 2.03 while true edges stayed
-    linear, and minhash_banding_sweep measured what tighter banding
-    buys; this query WIRES that knob into the cluster operator
-    (_band_candidates(rows_per_band=...) -> _cluster_over_bands — the
-    same parameterization a 100x user turns). A candidate must now
-    collide on ALL EIGHT MinHash windows (two independent salted-md5
-    families; P[cand] = j^8 instead of 1-(1-j^2)^2), so ONE equi-join
-    on the concatenated key replaces the two-band OR — Lee et al.
-    2021's web-scale recipe (20 bands x 20 hashes) is this dial at
-    production width. Measured on the zipf sf1->sf10 decade (PLANS.md
-    Notes): r=2 candidates grow at exponent 2.03, r=4 at 1.56 (still
-    FP-dominated at 500k docs), r=8 pins the stream to the linear
-    planted-dup floor — which is why this query ships r=8.
+    """THE PINNED r=8 AUDIT VARIANT of dedup_clusters: same clustering
+    contract, banding hard-pinned to b=1 x r=8 instead of the adaptive
+    default (r12 made _pick_banding's decision the flagship default;
+    this query keeps the tight operating point independently
+    verifiable and regression-pinned whatever the planner chooses).
+    A candidate must collide on ALL EIGHT MinHash windows (two
+    independent salted-md5 families; P[cand] = j^8 instead of
+    1-(1-j^2)^2), so ONE equi-join on the concatenated key replaces
+    the two-band OR — Lee et al. 2021's web-scale recipe (20 bands x
+    20 hashes) is this dial at production width. Measured on the zipf
+    sf1->sf10 decade (PLANS.md Notes): r=2 candidates grow at exponent
+    2.03, r=4 at 1.56 (still FP-dominated at 500k docs), r=8 pins the
+    stream to the linear planted-dup floor — which is why the pin is
+    r=8 and why the adaptive default flips HERE when the frequency
+    tables demand it.
 
     Semantics are otherwise dedup_clusters' exactly: exact-dup
     collapse (exact copies NEVER ride the banding — identical token
@@ -2134,6 +2133,356 @@ def incremental_dedup_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
         out = _incremental_verdicts(stored_index, batch).localCheckpoint(
             eager=True
         )
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# incremental_minhash_dedup — the FUZZY half of the daily-crawl shape
+# ---------------------------------------------------------------------------
+
+_IMH_J = 0.7  # near-dup Jaccard bar (dedup_clusters' threshold)
+
+_IMH_JACCARD_SQL = (
+    "CAST(len(list_intersect({a}.hw, {b}.hw)) AS DOUBLE)"
+    " / (len({a}.hw) + len({b}.hw) - len(list_intersect({a}.hw, {b}.hw)))"
+)
+
+
+def _imh_edge_sql(a: str, b: str, rpb: int) -> str:
+    """Band-collision + length-prune + exact-Jaccard predicate between
+    signature rows {a} and {b} at the given banding (the oracle twin
+    of _xband_candidates/_band_candidates' verified edge)."""
+    bandp = (
+        f"({a}.band1 = {b}.band1 OR {a}.band2 = {b}.band2)"
+        if rpb == 2
+        else f"({a}.band1 = {b}.band1 AND {a}.band2 = {b}.band2"
+        f" AND {a}.band3 = {b}.band3 AND {a}.band4 = {b}.band4)"
+    )
+    return f"""{bandp}
+          AND len({a}.w) * 10 >= len({b}.w) * 7
+          AND len({b}.w) * 10 >= len({a}.w) * 7
+          AND {_IMH_JACCARD_SQL.format(a=a, b=b)} >= {_IMH_J}"""
+
+
+# The oracle: exact-set rep collapse first (MANDATORY here, not an
+# optimization — the committed degenerate-vocabulary corpora put
+# thousands of docs on the IDENTICAL token set, and identical sets
+# share every band key at any banding, so the un-collapsed self/probe
+# joins are O(group^2) on both engines: measured unusable at sf1, gate
+# killed at 20+ min CPU twice). Collapse is semantics-preserving:
+# equal sets have equal bands (identical collision sets) and equal
+# Jaccard against everything, so rep-level verdicts transfer to
+# members exactly — the same argument as _cluster_over_bands. The
+# banding decision is dedup_clusters' _ADAPT_DEC_SQL verbatim (global
+# reps), so the two queries always agree on a corpus.
+_INCR_MH_SQL = f"""
+    WITH sig AS ({_TOKSIG_WIDE_SQL}),
+    {_ADAPT_DEC_SQL},
+    srcn AS (
+        SELECT doc_id, source, CAST(substr(source, 4) AS INTEGER) AS src_num
+        FROM documents
+    ),
+    g AS (
+        SELECT s.doc_id, s.w, s.hw, s.band1, s.band2, s.band3, s.band4,
+               srcn.source, srcn.src_num,
+               CASE WHEN len(s.w) = 0 THEN s.doc_id
+                    ELSE min(s.doc_id) OVER (PARTITION BY list_sort(s.hw))
+               END AS grp
+        FROM sig s JOIN srcn USING (doc_id)
+    ),
+    corpus AS (SELECT * FROM g WHERE src_num < 10),
+    batch AS (SELECT * FROM g WHERE src_num >= 10),
+    crep AS (
+        SELECT * FROM (
+            SELECT c.*, row_number() OVER (PARTITION BY grp
+                                           ORDER BY doc_id) AS rn
+            FROM corpus c
+        ) WHERE rn = 1
+    ),
+    brep AS (
+        SELECT * FROM (
+            SELECT b.*, row_number() OVER (PARTITION BY grp
+                                           ORDER BY doc_id) AS rn
+            FROM batch b
+        ) WHERE rn = 1
+    ),
+    bmin AS (SELECT grp, min(doc_id) AS brep_id FROM batch GROUP BY grp),
+    xc AS (
+        SELECT DISTINCT b.doc_id
+        FROM brep b JOIN crep c
+          ON {_imh_edge_sql("b", "c", 2)}
+        WHERE (SELECT rpb FROM dec) = 2
+        UNION
+        SELECT DISTINCT b.doc_id
+        FROM brep b JOIN crep c
+          ON {_imh_edge_sql("b", "c", 8)}
+        WHERE (SELECT rpb FROM dec) = 8
+    ),
+    bb AS (
+        SELECT DISTINCT b2.doc_id
+        FROM brep b1 JOIN brep b2
+          ON b1.doc_id < b2.doc_id
+         AND {_imh_edge_sql("b1", "b2", 2)}
+        WHERE (SELECT rpb FROM dec) = 2
+        UNION
+        SELECT DISTINCT b2.doc_id
+        FROM brep b1 JOIN brep b2
+          ON b1.doc_id < b2.doc_id
+         AND {_imh_edge_sql("b1", "b2", 8)}
+        WHERE (SELECT rpb FROM dec) = 8
+    )
+    SELECT b.doc_id, b.source,
+           CASE WHEN xc.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
+                WHEN b.doc_id <> bm.brep_id OR bb.doc_id IS NOT NULL
+                    THEN 'near_dup_in_batch'
+                ELSE 'kept' END AS verdict
+    FROM batch b
+    JOIN bmin bm USING (grp)
+    LEFT JOIN xc ON xc.doc_id = bm.brep_id
+    LEFT JOIN bb ON bb.doc_id = bm.brep_id
+    """
+
+
+_IMH_COLS = ["doc_id", "nw", "band1", "band2", "band3", "band4", "hw"]
+
+
+def _rep_rows(side: DataFrame) -> DataFrame:
+    """One row (the min-doc_id member) per exact-token-set group
+    WITHIN a side — the collapse that makes the probe joins linear on
+    dup-heavy corpora (see _INCR_MH_SQL's comment: identical sets
+    share every band key, so un-collapsed joins are O(group^2))."""
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("grp").orderBy("doc_id")
+    return (
+        side.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
+def _minhash_incr_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, DataFrame, DataFrame, DataFrame]:
+    """(rows_per_band, corpus REP index, batch REP signatures, full
+    batch rows) for the incremental MinHash family: the same
+    src0..src9 / src10..src19 split as _incremental_parts, but keyed
+    on the WIDE token-set MinHash signature
+    (_token_signatures(wide=True, with_rep=True) — doc_id, nw,
+    band1..band4, hw, rep_id) instead of the content md5.
+
+    Exact-set collapse FIRST (the production fuzzy-dedup order, and
+    mandatory on dup-heavy corpora — identical token sets share every
+    band key at any banding, so the probe joins are O(group^2)
+    without it; measured unusable at sf1): each side keeps one
+    representative per distinct token set (`grp` = the global set
+    group id, blanks their own group), rep-level verdicts transfer to
+    members exactly because equal sets have equal bands and equal
+    Jaccard against everything. The corpus REP index is what a
+    rolling crawl persists: one narrow row per DISTINCT ingested set.
+
+    Banding is ADAPTIVE with dedup_clusters' own statistic
+    (_pick_banding over the global reps — the oracle reuses
+    _ADAPT_DEC_SQL verbatim), so the two queries always agree on a
+    corpus; the committed degenerate-vocabulary corpora land on
+    b=1,r=8."""
+    sig = _token_signatures(spark, sf_dir, wide=True, with_rep=True)
+    rpb = _pick_banding(sig.filter(F.col("doc_id") == F.col("rep_id")))
+    d = spread(spark, load_table(spark, sf_dir, "documents")).select(
+        "doc_id",
+        "source",
+        F.substring("source", 4, 10).cast("int").alias("src_num"),
+    )
+    s = sig.withColumnRenamed("rep_id", "grp").join(d, "doc_id")
+    corpus = s.filter(F.col("src_num") < 10)
+    batch = s.filter(F.col("src_num") >= 10)
+    corpus_rep = _rep_rows(corpus).select(*_IMH_COLS)
+    batch_rep = _rep_rows(batch).select(*_IMH_COLS)
+    batch_rows = batch.select("doc_id", "source", "grp")
+    return rpb, corpus_rep, batch_rep, batch_rows
+
+
+def _xband_candidates(
+    batch_sig: DataFrame,
+    corpus_sig: DataFrame,
+    min_jaccard: float,
+    rows_per_band: int = 2,
+) -> DataFrame:
+    """Cross-corpus band-collision candidates (batch probe x corpus
+    index): _band_candidates' narrow-join discipline — band joins
+    carry ids + token counts only, the OR of bands is made disjoint
+    (band2 matches only where band1 keys differ), the implied
+    length-ratio prune runs before payload fetch, and the token-hash
+    arrays join in once per surviving candidate — minus the doc_a <
+    doc_b ordering filter, which does not apply across two corpora.
+    rows_per_band=8 is the tightened b=1 banding: ONE equi-join on the
+    concatenated four-band key (candidate probability j^8)."""
+    if rows_per_band == 8:
+        kk = F.concat("band1", "band2", "band3", "band4")
+        a8 = batch_sig.select(
+            F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
+            kk.alias("k"),
+        )
+        b8 = corpus_sig.select(
+            F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
+            kk.alias("k"),
+        )
+        cand = a8.join(b8, "k").drop("k")
+    else:
+        a1 = batch_sig.select(
+            F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
+            F.col("band1").alias("k"),
+        )
+        b1 = corpus_sig.select(
+            F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
+            F.col("band1").alias("k"),
+        )
+        cand1 = a1.join(b1, "k").drop("k")
+        a2 = batch_sig.select(
+            F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
+            F.col("band2").alias("k"), F.col("band1").alias("p_a"),
+        )
+        b2 = corpus_sig.select(
+            F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
+            F.col("band2").alias("k"), F.col("band1").alias("p_b"),
+        )
+        cand2 = (
+            a2.join(b2, "k")
+            .filter(F.col("p_a") != F.col("p_b"))
+            .select("doc_a", "doc_b", "nw_a", "nw_b")
+        )
+        cand = cand1.unionByName(cand2.select(*cand1.columns))
+    scale = int(round(min_jaccard * 1000))
+    cand = cand.filter(
+        (F.col("nw_a") * 1000 >= F.col("nw_b") * scale)
+        & (F.col("nw_b") * 1000 >= F.col("nw_a") * scale)
+    )
+    wa = batch_sig.select(F.col("doc_id").alias("doc_a"), F.col("hw").alias("hw_a"))
+    wb = corpus_sig.select(F.col("doc_id").alias("doc_b"), F.col("hw").alias("hw_b"))
+    return cand.join(wa, "doc_a").join(wb, "doc_b")
+
+
+def _minhash_incr_verdicts(
+    corpus_rep: DataFrame,
+    batch_rep: DataFrame,
+    batch_rows: DataFrame,
+    rows_per_band: int,
+) -> DataFrame:
+    """Verdict per batch doc against a corpus MinHash REP index:
+    band-probe + exact hashed-token Jaccard >= {_IMH_J} on the
+    representatives for near_dup_of_corpus (inherited by the rep's
+    whole set group — equal sets have equal Jaccard against every
+    corpus doc), the banded rep self-join within the batch for the
+    later rep's group plus the automatic member rule (a non-rep
+    member always has an earlier J=1.0 batch doc: its rep) for
+    near_dup_in_batch — the pairwise-anchor rule, not full
+    clustering; dedup_clusters covers within-corpus components —
+    else kept."""
+    xc = (
+        _xband_candidates(
+            batch_rep, corpus_rep, min_jaccard=_IMH_J,
+            rows_per_band=rows_per_band,
+        )
+        .filter(_hashed_jaccard() >= _IMH_J)
+        .select(F.col("doc_a").alias("brep_id"))
+        .distinct()
+        .withColumn("in_corpus", F.lit(True))
+    )
+    within = (
+        _band_candidates(
+            batch_rep.select(*_IMH_COLS),
+            min_jaccard=_IMH_J,
+            rows_per_band=rows_per_band,
+        )
+        .filter(_hashed_jaccard() >= _IMH_J)
+        .select(F.col("doc_b").alias("brep_id"))
+        .distinct()
+        .withColumn("rep_hit", F.lit(True))
+    )
+    bmin = batch_rows.groupBy("grp").agg(F.min("doc_id").alias("brep_id"))
+    return (
+        batch_rows.join(bmin, "grp")
+        .join(xc, "brep_id", "left")
+        .join(within, "brep_id", "left")
+        .select(
+            "doc_id",
+            "source",
+            F.when(F.col("in_corpus"), F.lit("near_dup_of_corpus"))
+            .when(
+                (F.col("doc_id") != F.col("brep_id")) | F.col("rep_hit"),
+                F.lit("near_dup_in_batch"),
+            )
+            .otherwise(F.lit("kept"))
+            .alias("verdict"),
+        )
+    )
+
+
+@query("incremental_minhash_dedup", layer="C", oracle=_INCR_MH_SQL)
+def incremental_minhash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental (cross-corpus) NEAR-dup dedup — the fuzzy half of
+    the daily-crawl shape (r12 VERDICT item 4; incremental_dedup is
+    the exact half): a NEW batch (sources src10..src19) is probed
+    against the EXISTING corpus's MinHash band index (src0..src9) and
+    against itself, emitting one verdict per new doc:
+    `near_dup_of_corpus` (band collision verified at token-set
+    Jaccard >= {_IMH_J} against any ingested doc), `near_dup_in_batch`
+    (a lower-doc_id batch doc verifies — the pairwise-anchor rule),
+    or `kept`. Exact duplicates are J = 1.0 and fall out of the same
+    probe; blank docs carry NULL bands, never pair, and stay kept
+    (the family's shared discipline).
+
+    Scale shape: exact-set collapse FIRST (mandatory — see
+    _minhash_incr_parts), then the corpus side reduces to the
+    persisted REP index — (doc_id, nw, band1..band4, hw), one narrow
+    row per DISTINCT ingested token set, NEVER the text — and each
+    increment is two high-cardinality band equi-joins (batch reps x
+    index, batch reps x batch reps) with the implied length-ratio
+    prune ahead of payload fetch, then exact Jaccard on 60-bit token
+    hashes; rep verdicts map back to members through the set-group
+    manifest. No window over low-card keys, no all-pairs, no re-scan
+    of the 100 TB corpus; the kept reps' signatures are what
+    production appends back to the index as the next day's input.
+    incremental_minhash_dedup_persisted proves the index round-trips
+    through storage. Banding is ADAPTIVE with dedup_clusters' own
+    statistic (_pick_banding over the global reps, the oracle reusing
+    _ADAPT_DEC_SQL verbatim): the recall-oriented b=2,r=2 on clean
+    corpora, b=1,r=8 where the band-value frequency tables say the
+    probe join outgrows the true-pair floor — which the committed
+    degenerate-vocabulary corpora trigger."""
+    rpb, corpus_rep, batch_rep, batch_rows = _minhash_incr_parts(spark, sf_dir)
+    return _minhash_incr_verdicts(corpus_rep, batch_rep, batch_rows, rpb)
+
+
+@query("incremental_minhash_dedup_persisted", layer="C", oracle=_INCR_MH_SQL)
+def incremental_minhash_dedup_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """incremental_minhash_dedup with the corpus signature index
+    ROUND-TRIPPED THROUGH STORAGE (incremental_dedup_persisted's
+    discipline): the (doc_id, nw, band1..band4, hw) index is WRITTEN
+    to parquet, READ BACK as an independent scan, and the batch is
+    probed against the read-back index. Same oracle, so the driver
+    hash proves the persisted fuzzy index is verdict-equivalent to the
+    inline one — the production property a rolling crawl relies on
+    (the index lives in storage between increments; at 100 TB it would
+    be written partitioned by a band-key prefix so the probe join
+    partition-prunes)."""
+    import os
+    import shutil
+    import tempfile
+
+    rpb, corpus_rep, batch_rep, batch_rows = _minhash_incr_parts(spark, sf_dir)
+    idx_root = tempfile.mkdtemp(prefix="cuttlefish_mh_idx_")
+    idx_path = os.path.join(idx_root, "corpus_minhash_index")
+    try:
+        corpus_rep.write.mode("overwrite").parquet(idx_path)
+        stored_index = spark.read.parquet(idx_path)
+        out = _minhash_incr_verdicts(
+            stored_index, batch_rep, batch_rows, rpb
+        ).localCheckpoint(eager=True)
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
     return out

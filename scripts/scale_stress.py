@@ -247,6 +247,53 @@ def band_exponent(spark) -> None:
     print(json.dumps({"band_exponent": out}), flush=True)
 
 
+def e2e_stage3_exponent(spark) -> None:
+    """--e2e-stage3: the capstone's near-dup stage-3 candidate stream
+    over the zipf sf1->sf10 decade (r12 VERDICT item 2 'Done'
+    evidence — the hard-coded b=2,r=2 banding this stage replaced had
+    measured exponent 2.03). Runs the REAL stage machinery
+    (_e2e_stage3_pairs, the function pretrain_data_e2e itself calls)
+    on the stage-2-equivalent survivor set: exact dedup (min doc_id
+    per normalized-content md5) applied to the zipf corpus. Stage 1
+    (URL dedup) is identity there — the zipf docs carry no url column
+    — which only INCREASES the surviving doc count and hence the
+    measured candidate volume, so the exponent is an upper bound on
+    the capstone's."""
+    import math
+    import time as _t
+
+    from pyspark.sql import functions as F
+
+    from cuttlefish_spark.functions import tokens, word_shingles
+    from cuttlefish_spark.io import load_table
+    from cuttlefish_spark.operators.curation import _e2e_stage3_pairs
+
+    out: dict = {}
+    for label, d in (("zipf_sf1", ZIPF1), ("zipf_sf10", ZIPF10)):
+        docs = load_table(spark, d, "documents")
+        norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
+        eh = docs.select("doc_id", F.md5(norm).alias("ch"))
+        ek = eh.groupBy("ch").agg(F.min("doc_id").alias("doc_id")).select("doc_id")
+        sh = F.array_distinct(word_shingles(tokens(F.col("text")), k=3))
+        nsh = docs.select("doc_id", sh.alias("sh")).join(ek, "doc_id")
+        t0 = _t.monotonic()
+        rpb, pairs, _sig = _e2e_stage3_pairs(nsh)
+        n = pairs.count()
+        out[label] = {
+            "rows_per_band": rpb,
+            "candidates": n,
+            "sec": round(_t.monotonic() - t0, 1),
+        }
+    out["candidate_exp"] = round(
+        math.log10(
+            max(out["zipf_sf10"]["candidates"], 1)
+            / max(out["zipf_sf1"]["candidates"], 1)
+        ),
+        2,
+    )
+    print(json.dumps({"e2e_stage3": out}), flush=True)
+
+
 def generate_docs(out_dir: str, n_docs: int, zipf: bool) -> None:
     """documents.parquet generator shared by the sf10 decade rungs.
 
@@ -579,11 +626,14 @@ def main() -> int:
     band_exp = "--band-exp" in sys.argv
     skip_gen = "--skip-gen" in sys.argv
 
-    if band_exp:
+    if band_exp or "--e2e-stage3" in sys.argv:
         for d, n in ((ZIPF1, DOCS_N), (ZIPF10, 10 * DOCS_N)):
             if not (skip_gen and os.path.exists(f"{d}/documents.parquet")):
                 generate_docs(d, n, zipf=True)
-        band_exponent(spark)
+        if band_exp:
+            band_exponent(spark)
+        else:
+            e2e_stage3_exponent(spark)
         return 0
 
     def need(path: str) -> bool:
