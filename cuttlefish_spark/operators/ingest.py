@@ -134,6 +134,18 @@ def datasource_canonical(
     if chapters_path:
         reader = reader.option("chapters_path", chapters_path)
     raw = reader.load().localCheckpoint(eager=True)
+    return canonical_from_raw(raw)
+
+
+def canonical_from_raw(raw: DataFrame) -> DataFrame:
+    """Raw fetch rows (RAW_FETCH_DDL: chapter_id/adapter/service_id/
+    payload/status/error) -> canonical frame: per-adapter from_json +
+    the declarative normalizers + Either error split — the CONVERT
+    half (worker-* vs convert-json in the reference), shared by
+    datasource_canonical (batch fetch) and streaming_datasource_ingest
+    (the drained stream of the same source's simpleStreamReader)."""
+    from cuttlefish_spark.sources import adapters as ad
+
     schemas = {
         "meetup": ad._MEETUP_RAW_SCHEMA,
         "facebook": ad._FACEBOOK_RAW_SCHEMA,
@@ -167,6 +179,73 @@ def datasource_canonical(
     for fr in frames[1:] + [err]:
         out = out.unionByName(fr)
     return _flat_canonical(out)
+
+
+@query("streaming_datasource_ingest", layer="A", oracle=_INGEST_GOLDEN_SQL)
+def streaming_datasource_ingest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The chapter fetch as a STREAMING Python DataSource (r12 VERDICT
+    item 7 — the one extension rung the ladder didn't touch: Spark 4's
+    simpleStreamReader): the same `cuttlefish_replay` source read via
+    readStream, the chapter work-list served as a rate-limited stream
+    of one chapter per microbatch (offset = index into the list,
+    checkpointed by the engine; recovery replays readBetweenOffsets
+    over the deterministic fixture transport). The drained raw rows
+    then run the IDENTICAL convert half (canonical_from_raw) as
+    ingest_datasource — same golden oracle, so the driver hash holds
+    the streaming source to its batch twin.
+
+    Engine contract, measured: availableNow on a simple stream reader
+    drains exactly ONE read() slice, so the drain uses the default
+    microbatch trigger + processAllAvailable, which advances offsets
+    read()-by-read() until the source reports no new data — the
+    multi-batch offset walk is the thing this rung exercises (4
+    fixture chapters at 1/batch = 4 non-empty microbatches). Scale
+    posture: the simple API prefetches each slice DRIVER-side, bounded
+    by chapters_per_batch — the rate-limit contract of a polling
+    ingest; bulk backfills use the batch reader's executor-side
+    partitions (ingest_datasource)."""
+    return streaming_ingest_canonical(spark)
+
+
+def streaming_ingest_canonical(
+    spark: SparkSession,
+    chapters_path: str | None = None,
+    chapters_per_batch: int = 1,
+) -> DataFrame:
+    """readStream(cuttlefish_replay) -> drain (default trigger +
+    processAllAvailable — the multi-batch offset walk) -> convert —
+    the reusable body behind streaming_datasource_ingest and the sf1
+    gate's 10k-chapter scaled run (which raises chapters_per_batch so
+    the walk is ~20 microbatches, not 10k)."""
+    import shutil
+    import tempfile
+    import uuid
+
+    from cuttlefish_spark.sources.datasource import register
+
+    register(spark)
+    name = f"stream_ds_{uuid.uuid4().hex[:8]}"
+    ckpt = tempfile.mkdtemp(prefix="cuttlefish_stream_ds_ckpt_")
+    try:
+        reader = (
+            spark.readStream.format("cuttlefish_replay")
+            .option("chapters_per_batch", chapters_per_batch)
+        )
+        if chapters_path:
+            reader = reader.option("chapters_path", chapters_path)
+        q = (
+            reader.load()
+            .writeStream.format("memory")
+            .queryName(name)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+        raw = spark.table(name).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(ckpt, ignore_errors=True)
+    return canonical_from_raw(raw)
 
 
 _VIDEOS_GOLDEN_SQL = """

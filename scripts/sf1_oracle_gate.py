@@ -97,6 +97,8 @@ GATE_QUERIES = [
     # cross-corpus dedup incl. the persisted-index round-trip
     "incremental_dedup",
     "incremental_dedup_persisted",
+    "incremental_minhash_dedup",
+    "incremental_minhash_dedup_persisted",
     # TPC-H SQL front-end q1-q22 over the 6M-row sf1 star schema
     # (r6 VERDICT item 1: the dec_sum/rounding-flip class scales with
     # emitted values and the q1-style aggregate surface is its natural
@@ -162,6 +164,7 @@ GATE_QUERIES = [
     # value-compared at 10k chapters / 1000x markdown via SCALED_FIXTURE
     "ingest_normalize",
     "ingest_datasource",
+    "streaming_datasource_ingest",
     "markdown_html",
     # r4-era text/dedup stalest cohort
     "exact_dedup_docs",
@@ -323,6 +326,7 @@ GATE_QUERIES = [
     "lm_trigram_jm_score",
     "lang_id_learned",
     "image_phash_dedup",
+    "audio_fingerprint_dedup",
     "best_of_n_selection",
     "range_join_events",
     "lm_kneser_ney_score",
@@ -445,7 +449,26 @@ def _scaled_md_oracle() -> str:
     """
 
 
+def _scaled_streaming_ingest(spark):
+    import tempfile
+
+    from cuttlefish_spark.operators.ingest import streaming_ingest_canonical
+    from cuttlefish_spark.sources.fixtures import write_chapters_json
+
+    path = os.path.join(tempfile.mkdtemp(prefix="chapters10k"), "chapters.json")
+    write_chapters_json(FIXTURE_N_CHAPTERS, path)
+    return streaming_ingest_canonical(
+        spark, chapters_path=path, chapters_per_batch=500
+    )
+
+
 SCALED_FIXTURE = {
+    "streaming_datasource_ingest": (
+        _scaled_streaming_ingest,
+        _scaled_ingest_oracle,
+        f"fixture-{FIXTURE_N_CHAPTERS}-chapters (simpleStreamReader, "
+        "500 chapters/microbatch)",
+    ),
     "ingest_normalize": (
         _scaled_ingest_normalize,
         _scaled_ingest_oracle,

@@ -484,3 +484,46 @@ def test_datasource_replay_auto_batching(spark, tmp_path):
     a = auto[key].sort_values(key).reset_index(drop=True).astype(str)
     b = one[key].sort_values(key).reset_index(drop=True).astype(str)
     assert a.equals(b), "auto-batched DataSource output diverges"
+
+
+def test_stream_reader_offsets_and_recovery():
+    """The simpleStreamReader's offset walk: read() advances index by
+    chapters_per_batch, an exhausted list returns an empty slice at a
+    fixed offset (so processAllAvailable terminates), and
+    readBetweenOffsets replays EXACTLY the rows the original read()
+    served for the same offset range (the recovery contract)."""
+    from cuttlefish_spark.sources.datasource import ChapterReplayStreamReader
+
+    r = ChapterReplayStreamReader({"chapters_per_batch": 1})
+    off = r.initialOffset()
+    assert off == {"index": 0}
+    all_rows, n_batches = [], 0
+    while True:
+        rows, nxt = r.read(off)
+        rows = list(rows)
+        if nxt == off:
+            assert rows == []
+            break
+        assert nxt["index"] == off["index"] + 1
+        replay = list(r.readBetweenOffsets(off, nxt))
+        assert replay == rows, "recovery replay diverged from original read"
+        all_rows.extend(rows)
+        off = nxt
+        n_batches += 1
+    assert n_batches == len(r._items)
+    assert len(all_rows) >= n_batches  # every chapter yields >= 1 row
+
+
+def test_streaming_datasource_matches_batch(spark):
+    """The drained stream's canonical frame equals the batch
+    DataSource's — the streaming source held to its batch twin row
+    for row (the driver holds both to the same golden oracle; this
+    pins their mutual identity without DuckDB)."""
+    from cuttlefish_spark.operators.ingest import (
+        datasource_canonical,
+        streaming_ingest_canonical,
+    )
+
+    a = streaming_ingest_canonical(spark)
+    b = datasource_canonical(spark)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0

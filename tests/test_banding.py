@@ -204,3 +204,91 @@ def test_capstone_agreement_cross_check(spark, sf_dir):
     )
     assert (cells == out["n_c4_kept"]).all()
     assert out["gate_agree_frac"].between(0.0, 1.0).all()
+
+
+def test_audio_planted_dups_cluster_together(spark, sf_dir):
+    """The planted audio-dup schedule (doc_id % 40 in (3, 4) copies
+    the group base) must cluster: exact copies at Hamming 0, the
+    perturbed near-dup (one sample in frame 32, flipping at most bits
+    31/32) within the Hamming <= 3 gate."""
+    out = (
+        SPECS["audio_fingerprint_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_id", "cluster_id", "afp")
+        .toPandas()
+        .set_index("doc_id")
+    )
+    clusters = out["cluster_id"].to_dict()
+    afps = out["afp"].to_dict()
+    for d, c in clusters.items():
+        r = d % 40
+        if r in (3, 4) and (d - r) in clusters:
+            assert c == clusters[d - r], f"doc {d} not clustered with base {d - r}"
+        if r == 4 and (d - r) in afps:
+            assert afps[d] == afps[d - r], "exact copy fingerprint differs"
+
+
+def test_audio_near_dup_hamming_bound(spark, sf_dir):
+    """The single-sample perturbation flips at most 2 fingerprint bits
+    (frame 32 feeds only the bit-31 and bit-32 energy comparisons) —
+    the designed property the docstring claims."""
+    import numpy as np
+
+    from cuttlefish_spark.operators.multimodal import (
+        _AFP_FLEN,
+        _AFP_FRAMES,
+        _afp_samples,
+    )
+
+    def bits(b, perturb):
+        s = _afp_samples(b, perturb).reshape(_AFP_FRAMES, _AFP_FLEN)
+        e = (s * s).sum(axis=1)
+        return (e[1:] > e[:-1]).astype(int)
+
+    for base in (0, 40, 80, 200, 1000):
+        d = int(np.abs(bits(base, False) - bits(base, True)).sum())
+        assert d <= 2, f"base {base}: perturbation flipped {d} bits"
+        flipped = np.nonzero(bits(base, False) != bits(base, True))[0]
+        assert all(f in (31, 32) for f in flipped), flipped
+
+
+def test_incremental_minhash_verdicts_consistent(spark, sf_dir):
+    """Cross-checks against the family's own primitives: every batch
+    doc whose EXACT normalized text already exists in the corpus
+    (incremental_dedup's dup_of_corpus) must be near_dup_of_corpus
+    here too (J = 1.0 on identical token sets >= any bar), EXCEPT
+    blank docs (NULL bands never pair — the family's documented
+    discipline)."""
+    imh = (
+        SPECS["incremental_minhash_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_id", F.col("verdict").alias("v_mh"))
+    )
+    exact = (
+        SPECS["incremental_dedup"]
+        .fn(spark, sf_dir)
+        .select("doc_id", F.col("verdict").alias("v_ex"))
+    )
+    from cuttlefish_spark.io import load_table, spread
+
+    blank = (
+        spread(spark, load_table(spark, sf_dir, "documents"))
+        .select("doc_id", F.trim(F.lower(F.col("text"))).alias("t"))
+        .filter(F.col("t") == "")
+        .select("doc_id")
+    )
+    j = imh.join(exact, "doc_id").join(blank, "doc_id", "left_anti")
+    bad = j.filter(
+        (F.col("v_ex") == "dup_of_corpus")
+        & (F.col("v_mh") != "near_dup_of_corpus")
+    ).count()
+    assert bad == 0, f"{bad} exact corpus dups missed by the minhash probe"
+
+
+def test_incremental_minhash_persisted_equal(spark, sf_dir):
+    """The parquet-round-tripped index must be verdict-equivalent to
+    the inline one (the production property, asserted directly on top
+    of the shared oracle hash)."""
+    a = SPECS["incremental_minhash_dedup"].fn(spark, sf_dir)
+    b = SPECS["incremental_minhash_dedup_persisted"].fn(spark, sf_dir)
+    assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
