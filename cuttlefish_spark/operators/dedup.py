@@ -268,13 +268,25 @@ _TOKSIG_SQL = rf"""
 """
 
 
+# Session memo for the signature table (io.memo_key discipline, the
+# similarity.py shared-manifest pattern): NINE operator entry points
+# build this table — the ngram/minhash candidate family, both cluster
+# queries, the banding planners, and the r13 incremental-minhash trio
+# — and in the driver/bench session (one SparkSession for the whole
+# surface) each used to pay the tokenize + double-md5 + rep-window
+# build. Build the FULL (wide, with_rep) table once per (session,
+# corpus), serve column subsets; marginal per-query cost after the
+# first consumer is one checkpoint read.
+_sig_memo: dict = {}
+
+
 def _token_signatures(
     spark: SparkSession, sf_dir: str, with_rep: bool = False, wide: bool = False
 ) -> DataFrame:
     """Persisted token-set MinHash signature table: one row per doc
     with (doc_id, hw, nw, band1, band2) — the shared input of the band
-    joins below. Materialized eagerly (count) because the band-join
-    branches and payload fetches read it 6x.
+    joins below. Materialized eagerly once per (session, corpus) via
+    _sig_memo and read by every consumer.
 
     `with_rep=True` adds `rep_id` = min doc_id among docs with the
     IDENTICAL token set (Jaccard depends only on the set, so equal-set
@@ -289,38 +301,46 @@ def _token_signatures(
     from a salted md5 per token ('w2:' prefix), needed by the r=8
     banding (_band_candidates(rows_per_band=8)): 8 matching windows
     require 8 hashes of material, and reusing windows of one md5 would
-    correlate the families. Costs one extra md5 pass; off by default so
-    the 2-band consumers pay nothing."""
-    d = spread(spark, load_table(spark, sf_dir, "documents"))
-    t = d.select("doc_id", F.array_distinct(tokens(F.col("text"))).alias("w"))
+    correlate the families.
 
-    def mh(col: str, start: int):
-        return F.array_min(F.transform(F.col(col), lambda x: F.substring(x, start, 8)))
+    The memoized build always computes BOTH families and the rep
+    window (one extra md5 pass + one keyed window over what the
+    narrowest consumer needs, paid once per session per corpus);
+    callers get exactly the columns their flag combination names, so
+    downstream plans are unchanged."""
+    from cuttlefish_spark.io import memo_key, memo_put
 
-    extra = []
-    if wide:
-        extra = [
-            F.concat(mh("h2", 1), mh("h2", 9)).alias("band3"),
-            F.concat(mh("h2", 17), mh("h2", 25)).alias("band4"),
-        ]
-    hashed = t.withColumn("h", F.transform(F.col("w"), F.md5))
-    if wide:
-        hashed = hashed.withColumn(
+    key = memo_key(spark, sf_dir, "documents")
+    cached = _sig_memo.get(key)
+    if cached is None:
+        d = spread(spark, load_table(spark, sf_dir, "documents"))
+        t = d.select(
+            "doc_id", F.array_distinct(tokens(F.col("text"))).alias("w")
+        )
+
+        def mh(col: str, start: int):
+            return F.array_min(
+                F.transform(F.col(col), lambda x: F.substring(x, start, 8))
+            )
+
+        hashed = t.withColumn(
+            "h", F.transform(F.col("w"), F.md5)
+        ).withColumn(
             "h2",
             F.transform(F.col("w"), lambda x: F.md5(F.concat(F.lit("w2:"), x))),
         )
-    sig = hashed.select(
-        "doc_id",
-        F.transform(
-            F.col("h"),
-            lambda x: F.conv(F.substring(x, 1, 15), 16, 10).cast("long"),
-        ).alias("hw"),
-        F.size("w").alias("nw"),
-        F.concat(mh("h", 1), mh("h", 9)).alias("band1"),
-        F.concat(mh("h", 17), mh("h", 25)).alias("band2"),
-        *extra,
-    )
-    if with_rep:
+        sig = hashed.select(
+            "doc_id",
+            F.transform(
+                F.col("h"),
+                lambda x: F.conv(F.substring(x, 1, 15), 16, 10).cast("long"),
+            ).alias("hw"),
+            F.size("w").alias("nw"),
+            F.concat(mh("h", 1), mh("h", 9)).alias("band1"),
+            F.concat(mh("h", 17), mh("h", 25)).alias("band2"),
+            F.concat(mh("h2", 1), mh("h2", 9)).alias("band3"),
+            F.concat(mh("h2", 17), mh("h2", 25)).alias("band4"),
+        )
         from pyspark.sql import Window
 
         grp = Window.partitionBy(F.array_sort("hw"))
@@ -330,10 +350,18 @@ def _token_signatures(
                 F.min("doc_id").over(grp)
             ),
         )
-    # Eager localCheckpoint, not a bare persist(): materializes once for
-    # all join branches AND is reclaimed with the DataFrame (a persist
-    # with no unpersist would leak storage memory in a long-lived session).
-    return sig.localCheckpoint(eager=True)
+        # Eager localCheckpoint, not a bare persist(): materializes once
+        # for all consumers AND is reclaimed with the DataFrame (a
+        # persist with no unpersist would leak storage memory in a
+        # long-lived session). memo_put evicts superseded corpora.
+        cached = sig.localCheckpoint(eager=True)
+        memo_put(_sig_memo, key, cached)
+    cols = ["doc_id", "hw", "nw", "band1", "band2"]
+    if wide:
+        cols += ["band3", "band4"]
+    if with_rep:
+        cols += ["rep_id"]
+    return cached.select(*cols)
 
 
 def _band_candidates(
@@ -2177,8 +2205,7 @@ def _imh_edge_sql(a: str, b: str, rpb: int) -> str:
 # members exactly — the same argument as _cluster_over_bands. The
 # banding decision is dedup_clusters' _ADAPT_DEC_SQL verbatim (global
 # reps), so the two queries always agree on a corpus.
-_INCR_MH_SQL = f"""
-    WITH sig AS ({_TOKSIG_WIDE_SQL}),
+_IMH_CTES = f"""sig AS ({_TOKSIG_WIDE_SQL}),
     {_ADAPT_DEC_SQL},
     srcn AS (
         SELECT doc_id, source, CAST(substr(source, 4) AS INTEGER) AS src_num
@@ -2232,7 +2259,10 @@ _INCR_MH_SQL = f"""
           ON b1.doc_id < b2.doc_id
          AND {_imh_edge_sql("b1", "b2", 8)}
         WHERE (SELECT rpb FROM dec) = 8
-    )
+    )"""
+
+_INCR_MH_SQL = f"""
+    WITH {_IMH_CTES}
     SELECT b.doc_id, b.source,
            CASE WHEN xc.doc_id IS NOT NULL THEN 'near_dup_of_corpus'
                 WHEN b.doc_id <> bm.brep_id OR bb.doc_id IS NOT NULL
@@ -2242,6 +2272,26 @@ _INCR_MH_SQL = f"""
     JOIN bmin bm USING (grp)
     LEFT JOIN xc ON xc.doc_id = bm.brep_id
     LEFT JOIN bb ON bb.doc_id = bm.brep_id
+    """
+
+# The day-2 half of the rolling-crawl loop: the UPDATED index manifest
+# after folding a batch in — every existing corpus rep plus the kept
+# batch reps (only reps can be kept: non-rep members are always
+# near_dup_in_batch of their own rep). hw stays out of the manifest
+# (the driver compare is over scalar columns); the stored index
+# carries it, as incremental_minhash_dedup_persisted proves.
+_INCR_MH_IDX_SQL = f"""
+    WITH {_IMH_CTES}
+    SELECT doc_id, CAST(len(w) AS INTEGER) AS nw,
+           band1, band2, band3, band4, FALSE AS is_new
+    FROM crep
+    UNION ALL
+    SELECT b.doc_id, CAST(len(b.w) AS INTEGER) AS nw,
+           b.band1, b.band2, b.band3, b.band4, TRUE AS is_new
+    FROM brep b
+    LEFT JOIN xc ON xc.doc_id = b.doc_id
+    LEFT JOIN bb ON bb.doc_id = b.doc_id
+    WHERE xc.doc_id IS NULL AND bb.doc_id IS NULL
     """
 
 
@@ -2486,6 +2536,43 @@ def incremental_minhash_dedup_persisted(
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
     return out
+
+
+@query("incremental_minhash_index_update", layer="C", oracle=_INCR_MH_IDX_SQL)
+def incremental_minhash_index_update(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The DAY-2 half of the rolling-crawl fuzzy-dedup loop — the
+    index APPEND incremental_minhash_dedup's docstring leaves to
+    production, made a verified operator: run the batch verdicts, then
+    emit the UPDATED signature-index manifest — every existing corpus
+    rep (is_new = false) plus the batch reps that survived both probes
+    (verdict 'kept'; only reps can survive — a non-rep member is
+    always near_dup_in_batch of its own rep), is_new = true. Writing
+    this manifest back to the index location is tomorrow's
+    incremental_minhash_dedup_persisted input; together the three
+    queries close the ingest -> probe -> append cycle a 100 TB rolling
+    corpus runs daily.
+
+    Output stays scalar (doc_id, nw, band1..band4, is_new) — the
+    stored index also carries the hw arrays (the persisted variant
+    proves they round-trip); the manifest is what an operator audits.
+
+    Scale shape: identical to incremental_minhash_dedup plus one
+    anti-join of batch reps against the two hit-sets and a unionByName
+    — no new shuffle class; the appended rows are one per distinct NEW
+    token set, so the index grows by content novelty, not crawl
+    volume."""
+    rpb, corpus_rep, batch_rep, batch_rows = _minhash_incr_parts(spark, sf_dir)
+    verd = _minhash_incr_verdicts(corpus_rep, batch_rep, batch_rows, rpb)
+    kept = verd.filter(F.col("verdict") == "kept").select("doc_id")
+    cols = ["doc_id", "nw", "band1", "band2", "band3", "band4"]
+    old_rows = corpus_rep.select(*cols).withColumn("is_new", F.lit(False))
+    new_rows = (
+        batch_rep.join(kept, "doc_id").select(*cols)
+        .withColumn("is_new", F.lit(True))
+    )
+    return old_rows.unionByName(new_rows)
 
 
 SRC_OVERLAP_CAP = 10

@@ -99,6 +99,7 @@ GATE_QUERIES = [
     "incremental_dedup_persisted",
     "incremental_minhash_dedup",
     "incremental_minhash_dedup_persisted",
+    "incremental_minhash_index_update",
     # TPC-H SQL front-end q1-q22 over the 6M-row sf1 star schema
     # (r6 VERDICT item 1: the dec_sum/rounding-flip class scales with
     # emitted values and the q1-style aggregate surface is its natural

@@ -292,3 +292,16 @@ def test_incremental_minhash_persisted_equal(spark, sf_dir):
     a = SPECS["incremental_minhash_dedup"].fn(spark, sf_dir)
     b = SPECS["incremental_minhash_dedup_persisted"].fn(spark, sf_dir)
     assert a.exceptAll(b).count() == 0 and b.exceptAll(a).count() == 0
+
+
+def test_incremental_minhash_index_update_consistent(spark, sf_dir):
+    """The appended index rows are exactly the kept-verdict docs, and
+    every appended row is a batch REP (one per distinct new set)."""
+    upd = SPECS["incremental_minhash_index_update"].fn(spark, sf_dir)
+    verd = SPECS["incremental_minhash_dedup"].fn(spark, sf_dir)
+    new_ids = {r.doc_id for r in upd.filter("is_new").select("doc_id").collect()}
+    kept_ids = {
+        r.doc_id
+        for r in verd.filter("verdict = 'kept'").select("doc_id").collect()
+    }
+    assert new_ids == kept_ids
