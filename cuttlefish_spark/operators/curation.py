@@ -784,6 +784,160 @@ def temperature_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# unimax_mixture — UniMax epoch-capped language budget allocation
+# ---------------------------------------------------------------------------
+
+_UMX_M = 10_000  # doc keep-rate granularity (temperature_sampling's M)
+
+_UMX_SQL = rf"""
+    WITH RECURSIVE ltok AS (
+        SELECT doc_id, lang,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+               END AS tok
+        FROM documents
+    ),
+    langs AS (
+        SELECT lang, CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(COALESCE(sum(tok), 0) AS BIGINT) AS u
+        FROM ltok GROUP BY lang
+    ),
+    tot AS (SELECT CAST(sum(u) AS BIGINT) AS su,
+                   CAST(count(*) AS BIGINT) AS l FROM langs),
+    ordered AS (
+        SELECT lang, n_docs, u, u AS cap,
+               CAST(row_number() OVER (ORDER BY u, lang) AS BIGINT) AS i
+        FROM langs
+    ),
+    wf AS (
+        SELECT CAST(0 AS BIGINT) AS i,
+               (SELECT (3 * su) // 4 FROM tot) AS remaining,
+               CAST(NULL AS VARCHAR) AS lang, CAST(0 AS BIGINT) AS alloc
+        UNION ALL
+        SELECT o.i,
+               wf.remaining - LEAST(o.cap,
+                   wf.remaining // ((SELECT l FROM tot) - o.i + 1)),
+               o.lang,
+               LEAST(o.cap,
+                   wf.remaining // ((SELECT l FROM tot) - o.i + 1))
+        FROM wf JOIN ordered o ON o.i = wf.i + 1
+    ),
+    al AS (SELECT lang, alloc FROM wf WHERE lang IS NOT NULL),
+    kept AS (
+        SELECT t.lang, count(*) AS n_kept
+        FROM ltok t JOIN al USING (lang) JOIN langs lg USING (lang)
+        WHERE (CAST('0x' || substr(md5('um:' || CAST(t.doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT)
+               % {_UMX_M}) * lg.u < al.alloc * {_UMX_M}
+        GROUP BY t.lang
+    )
+    SELECT o.lang, o.n_docs, o.u AS lang_tokens, o.cap AS cap_tokens,
+           al.alloc AS alloc_tokens,
+           (al.alloc = o.cap) AS is_capped,
+           CASE WHEN o.u > 0 THEN (al.alloc * 1000000) // o.u
+                ELSE 0 END AS epochs_micro,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept_docs
+    FROM ordered o
+    JOIN al USING (lang)
+    LEFT JOIN kept k USING (lang)
+"""
+
+
+@query("unimax_mixture", layer="C", oracle=_UMX_SQL)
+def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """UniMax language-budget allocation (Chung et al. 2023, ICLR —
+    "UniMax: Fairer and More Effective Language Sampling for
+    Large-Scale Multilingual Pretraining"): distribute a total token
+    budget T as UNIFORMLY as possible across languages subject to a
+    per-language epoch cap — the published alternative to temperature
+    sampling (temperature_sampling here) that avoids both
+    high-resource domination AND low-resource over-epoching. This
+    engine runs UniMax-1 (cap = 1 epoch = the language's own token
+    count) at T = 3/4 of the corpus, chosen so the committed corpora
+    exercise BOTH branches (small languages hit the cap, the largest
+    absorbs the waterfilled remainder).
+
+    The allocation is the standard WATERFILL: visit languages in
+    ascending capacity order; each takes min(cap, remaining //
+    languages_left). All integer arithmetic (floor division), so the
+    sequential loop is bit-reproducible — the oracle re-derives it
+    with a recursive CTE over the identical ordering (u, then lang).
+    Per-language doc materialization uses the family's integer
+    keep-test: doc kept iff (h60('um:'||doc_id) % {_UMX_M}) * U_lang <
+    alloc * {_UMX_M} — temperature_sampling's hash discipline at rate
+    alloc/U (doc-count approximation of the token-level rate;
+    production samples at sequence level post-packing).
+
+    Scale shape: one groupBy(lang) aggregate (map-side partial over a
+    low-cardinality key — languages number in the hundreds, the ONE
+    place a low-card key is the contract), an O(languages) driver
+    loop (the documented trainer class — same as the BPE/k-means
+    syncs), then a broadcast join + filter for the keep counts. At
+    100 TB: one corpus scan + one broadcast; the waterfill itself is
+    O(L log L) on the driver over a table that fits in a page."""
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    lt = d.select(
+        "doc_id", "lang", F.size(tokens(F.col("text"))).alias("tok")
+    )
+    langs = lt.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.coalesce(F.sum("tok"), F.lit(0)).cast("long").alias("u"),
+    )
+    # O(languages) driver sync — the documented trainer-loop class.
+    rows = sorted(langs.collect(), key=lambda r: (r.u, r.lang))
+    total = sum(r.u for r in rows)
+    n_langs = len(rows)
+    remaining = (3 * total) // 4
+    out_rows = []
+    for idx, r in enumerate(rows):
+        share = remaining // (n_langs - idx)
+        a = min(r.u, share)
+        remaining -= a
+        out_rows.append((r.lang, r.n_docs, r.u, r.u, a))
+    am = spark.createDataFrame(
+        out_rows,
+        "lang string, n_docs long, lang_tokens long, "
+        "cap_tokens long, alloc_tokens long",
+    )
+    h = hash60(F.concat(F.lit("um:"), F.col("doc_id").cast("string")))
+    kept = (
+        lt.join(
+            F.broadcast(
+                am.select(
+                    "lang", "alloc_tokens",
+                    F.col("lang_tokens").alias("u2"),
+                )
+            ),
+            "lang",
+        )
+        .filter((h % _UMX_M) * F.col("u2") < F.col("alloc_tokens") * _UMX_M)
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_kept_docs"))
+    )
+    return (
+        am.join(kept, "lang", "left")
+        .select(
+            "lang",
+            "n_docs",
+            "lang_tokens",
+            "cap_tokens",
+            "alloc_tokens",
+            (F.col("alloc_tokens") == F.col("cap_tokens")).alias("is_capped"),
+            F.when(
+                F.col("lang_tokens") > 0,
+                F.expr("(alloc_tokens * 1000000) div lang_tokens"),
+            )
+            .otherwise(F.lit(0))
+            .cast("long")
+            .alias("epochs_micro"),
+            F.coalesce(F.col("n_kept_docs"), F.lit(0).cast("long")).alias(
+                "n_kept_docs"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
 # bpe_train_merges — iterative BPE tokenizer training
 # ---------------------------------------------------------------------------
 

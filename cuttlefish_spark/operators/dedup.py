@@ -350,6 +350,13 @@ def _token_signatures(
                 F.min("doc_id").over(grp)
             ),
         )
+        # Re-spread BEFORE checkpointing: at test scale AQE coalesces
+        # the rep-window shuffle output to ONE partition, and a
+        # 1-partition checkpoint serializes every downstream band join
+        # onto one core (measured: ngram_jaccard_topk 3.9 s -> 32.9 s
+        # at sf0.1 when this line was missing). At 100 TB the window
+        # output is already wide and the repartition is noise.
+        sig = spread(spark, sig)
         # Eager localCheckpoint, not a bare persist(): materializes once
         # for all consumers AND is reclaimed with the DataFrame (a
         # persist with no unpersist would leak storage memory in a

@@ -112,6 +112,7 @@ GATE_QUERIES = [
     # and URL/domain curation
     "gopher_quality_rules",
     "temperature_sampling",
+    "unimax_mixture",
     "bpe_train_merges",
     "quality_classifier_ngram",
     "quality_classifier_weights",
