@@ -438,3 +438,21 @@ def test_bestfit_packing_invariants(spark, sf_dir):
     assert (out["n_bins"] >= out["n_bins_concat"]).all()
     assert (out["n_bins"] <= out["n_docs"]).all()
     assert (out["util_delta"] >= 0).all()
+
+
+def test_unimax_waterfill_invariants(spark, sf_dir):
+    """UniMax allocation invariants the oracle hash can't state as
+    such: total allocation equals the 3/4-corpus budget exactly (the
+    waterfill never strands budget while an uncapped language
+    remains), no language exceeds its 1-epoch cap, and capped
+    languages are exactly those at alloc == cap."""
+    from cuttlefish_spark.registry import load_all
+
+    out = load_all()["unimax_mixture"].fn(spark, sf_dir).collect()
+    total = sum(r.lang_tokens for r in out)
+    budget = (3 * total) // 4
+    assert sum(r.alloc_tokens for r in out) == budget
+    for r in out:
+        assert r.alloc_tokens <= r.cap_tokens
+        assert r.is_capped == (r.alloc_tokens == r.cap_tokens)
+        assert 0 <= r.n_kept_docs <= r.n_docs
