@@ -938,6 +938,102 @@ def unimax_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# length_curriculum_order — sequence-length-warmup training order
+# ---------------------------------------------------------------------------
+
+_CUR_STAGES = 4
+_CUR_SHARDS = 8
+
+_CUR_SQL = rf"""
+    WITH t AS (
+        SELECT doc_id,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(regexp_split_to_array(trim(lower(text)), '\s+'))
+               END AS n_tok
+        FROM documents
+    ),
+    r AS (
+        SELECT doc_id, n_tok,
+               CAST(row_number() OVER (ORDER BY n_tok, doc_id) AS BIGINT)
+                   AS rn,
+               CAST(count(*) OVER () AS BIGINT) AS n
+        FROM t
+    ),
+    s AS (
+        SELECT doc_id, n_tok,
+               ((rn - 1) * {_CUR_STAGES}) // n AS stage,
+               CAST('0x' || substr(md5('cur:' || CAST(doc_id AS VARCHAR)),
+                                   1, 15) AS BIGINT) AS hv
+        FROM r
+    )
+    SELECT doc_id, n_tok, stage,
+           hv % {_CUR_SHARDS} AS shard,
+           CAST(row_number() OVER (
+               PARTITION BY stage, hv % {_CUR_SHARDS}
+               ORDER BY hv, doc_id) AS BIGINT) AS pos
+    FROM s
+"""
+
+
+@query("length_curriculum_order", layer="C", oracle=_CUR_SQL)
+def length_curriculum_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sequence-length-warmup curriculum order (Li et al. 2022,
+    "The Stability-Efficiency Dilemma: Investigating Sequence Length
+    Warmup for Training GPT Models" — the published curriculum that
+    orders early training toward SHORT sequences; Bengio et al. 2009
+    is the general recipe): docs are split into {_CUR_STAGES}
+    equal-count stages by global (token count, doc_id) rank — stage 0
+    = shortest quartile, consumed first — and WITHIN a stage the
+    training order is the engine's deterministic hash shuffle
+    (training_shuffle's discipline, salted 'cur:' so the permutation
+    is independent of the plain epoch shuffle): shard = h60 %
+    {_CUR_SHARDS}, position = rank by (hash, doc_id) within
+    (stage, shard). Reading stages in order, shards round-robin,
+    replays one fixed length-curriculum permutation on any
+    engine/run/cluster.
+
+    Stage boundaries are exact-rank quartiles (((rn-1) *
+    {_CUR_STAGES}) div n — integer end-to-end), not fixed length
+    thresholds, so stages are balanced on any corpus distribution.
+
+    Scale shape: the global rank is the sanctioned TWO-PHASE form
+    (range-repartition on (n_tok, doc_id), driver-folded offsets over
+    O(partitions) slice counts, per-partition windows — no
+    empty-partition-spec global window; the test_no_global_ordered_
+    windows pin applies), then ONE shuffle on (stage, shard) with a
+    per-shard ordered window — training_shuffle's contract: production
+    sets shards ~ 10x executor count so each window sorts
+    corpus/(stages x shards) rows in one task's memory."""
+    from pyspark.sql import Window
+
+    from cuttlefish_spark.operators.twophase import two_phase_rank
+
+    d = spread(spark, load_table(spark, sf_dir, "documents"))
+    lt = d.select(
+        "doc_id", F.size(tokens(F.col("text"))).alias("n_tok")
+    ).withColumn("g", F.lit(0))
+    rk = two_phase_rank(
+        spark, lt, "g", [F.col("n_tok"), F.col("doc_id")], key_type="int"
+    )
+    hv = hash60(F.concat(F.lit("cur:"), F.col("doc_id").cast("string")))
+    s = rk.select(
+        "doc_id",
+        "n_tok",
+        F.expr(f"((rn - 1) * {_CUR_STAGES}) div n").alias("stage"),
+        hv.alias("hv"),
+        (hv % _CUR_SHARDS).alias("shard"),
+    )
+    w = Window.partitionBy("stage", "shard").orderBy("hv", "doc_id")
+    return s.select(
+        "doc_id",
+        "n_tok",
+        "stage",
+        "shard",
+        F.row_number().over(w).cast("long").alias("pos"),
+    )
+
+
+# ---------------------------------------------------------------------------
 # bpe_train_merges — iterative BPE tokenizer training
 # ---------------------------------------------------------------------------
 

@@ -2842,3 +2842,566 @@ def incremental_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
     finally:
         shutil.rmtree(idx_root, ignore_errors=True)
     return out
+
+
+# ---------------------------------------------------------------------------
+# k-NN graph construction (the build stage for graph ANN and for
+# SemDedup/SSL-prototype-style curation): cell-bucketed base graph +
+# one NN-Descent refinement round + a recall audit.
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_CELL_TARGET = 500  # bounded cell size => LINEAR total pair volume
+_KNN_PROBE_MOD = 50  # recall audit probes vec_id % 50 == 0
+
+_KNN_COS_AB = (
+    "list_dot_product(a.v, b.v) / (sqrt(list_dot_product(a.v, a.v))"
+    " * sqrt(list_dot_product(b.v, b.v)))"
+)
+
+_KNN_COS_VC = (
+    "list_dot_product(v, c) / (sqrt(list_dot_product(v, v))"
+    " * sqrt(list_dot_product(c, c)))"
+)
+
+
+def _knn_assign_cte(cents: str, out: str) -> str:
+    """One argmax-cell assignment CTE body over a centroid table."""
+    return f"""
+        SELECT vec_id, cell AS {out} FROM (
+            SELECT vecs.vec_id, {cents}.cell,
+                   row_number() OVER (
+                       PARTITION BY vecs.vec_id
+                       ORDER BY CASE WHEN isnan({_KNN_COS_VC})
+                                THEN -1e308
+                                ELSE {_KNN_COS_VC} END DESC,
+                                cell) AS rn
+            FROM vecs CROSS JOIN {cents}
+        ) WHERE rn = 1
+    """
+
+
+# Shared CTE text: TWO independent cell assignments (disjoint
+# first-2n-vectors centroid sets — the multi-hash-table discipline of
+# LSH ANN; a single bucketing would make the NN-Descent round vacuous,
+# since 2-hop paths through cell-local edges never leave the cell),
+# kpairs = the DISTINCT union of both cellmate pair sets, kedges = the
+# base k-NN graph. Ranking runs on the ROUNDED cosine (round-to-6
+# BEFORE the order-by, nbr_id tiebreak, NaN pinned to -1e308 per the
+# family's ann_ivf_topk contract) so the two engines' last-ulp
+# dot-product differences cannot flip a rank.
+_KNN_CTES = f"""
+    vecs AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    knc AS (
+        SELECT GREATEST(8, COUNT(*) // {_KNN_CELL_TARGET}) AS n_cells
+        FROM vecs
+    ),
+    kcents_a AS (
+        SELECT vec_id AS cell, v AS c FROM vecs
+        WHERE vec_id < (SELECT n_cells FROM knc)
+    ),
+    kcents_b AS (
+        SELECT vec_id AS cell, v AS c FROM vecs
+        WHERE vec_id >= (SELECT n_cells FROM knc)
+          AND vec_id < 2 * (SELECT n_cells FROM knc)
+    ),
+    kass_a AS MATERIALIZED ({_knn_assign_cte("kcents_a", "cell_a")}),
+    kass_b AS MATERIALIZED ({_knn_assign_cte("kcents_b", "cell_b")}),
+    kpairs AS (
+        SELECT DISTINCT vec_id, nbr_id FROM (
+            SELECT a.vec_id, b.vec_id AS nbr_id
+            FROM kass_a a JOIN kass_a b ON a.cell_a = b.cell_a
+            WHERE a.vec_id <> b.vec_id
+            UNION ALL
+            SELECT a.vec_id, b.vec_id AS nbr_id
+            FROM kass_b a JOIN kass_b b ON a.cell_b = b.cell_b
+            WHERE a.vec_id <> b.vec_id
+        )
+    ),
+    kedges AS MATERIALIZED (
+        SELECT vec_id, nbr_id, nn_rank, cosine FROM (
+            SELECT vec_id, nbr_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY CASE WHEN isnan(cosine) THEN -1e308
+                                ELSE cosine END DESC,
+                                nbr_id) AS nn_rank
+            FROM (
+                SELECT p.vec_id, p.nbr_id,
+                       round({_KNN_COS_AB}, 6) AS cosine
+                FROM kpairs p
+                JOIN vecs a ON a.vec_id = p.vec_id
+                JOIN vecs b ON b.vec_id = p.nbr_id
+            )
+        ) WHERE nn_rank <= {_KNN_K}
+    )
+"""
+
+# One NN-Descent local-join round (Dong, Charikar & Li 2011, "Efficient
+# k-nearest neighbor graph construction for generic similarity
+# measures", WWW): candidates for the next graph are the UNDIRECTED
+# base edges composed with themselves — x--m--y for any mid node m —
+# plus the base edges, scored exactly and re-ranked top-K per node.
+_KNN_REFINE_CTES = f"""
+    kund AS (
+        SELECT vec_id, nbr_id FROM kedges
+        UNION
+        SELECT nbr_id AS vec_id, vec_id AS nbr_id FROM kedges
+    ),
+    kcand AS MATERIALIZED (
+        SELECT DISTINCT vec_id, nbr_id FROM (
+            SELECT u1.nbr_id AS vec_id, u2.nbr_id
+            FROM kund u1 JOIN kund u2 USING (vec_id)
+            WHERE u1.nbr_id <> u2.nbr_id
+            UNION ALL
+            SELECT vec_id, nbr_id FROM kund
+        )
+    ),
+    krefined AS MATERIALIZED (
+        SELECT vec_id, nbr_id, nn_rank, cosine FROM (
+            SELECT vec_id, nbr_id, cosine,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY CASE WHEN isnan(cosine) THEN -1e308
+                                ELSE cosine END DESC,
+                                nbr_id) AS nn_rank
+            FROM (
+                SELECT c.vec_id, c.nbr_id,
+                       round(list_dot_product(a.v, b.v)
+                             / (sqrt(list_dot_product(a.v, a.v))
+                                * sqrt(list_dot_product(b.v, b.v))),
+                             6) AS cosine
+                FROM kcand c
+                JOIN vecs a ON a.vec_id = c.vec_id
+                JOIN vecs b ON b.vec_id = c.nbr_id
+            )
+        ) WHERE nn_rank <= {_KNN_K}
+    )
+"""
+
+_KNN_GRAPH_SQL = f"""
+    WITH {_KNN_CTES}
+    SELECT vec_id, nbr_id, nn_rank, cosine FROM kedges
+"""
+
+_KNN_NNDESCENT_SQL = f"""
+    WITH {_KNN_CTES},
+    {_KNN_REFINE_CTES}
+    SELECT vec_id, nbr_id, nn_rank, cosine FROM krefined
+"""
+
+_KNN_RECALL_SQL = f"""
+    WITH {_KNN_CTES},
+    {_KNN_REFINE_CTES},
+    ktruth AS MATERIALIZED (
+        SELECT vec_id, nbr_id FROM (
+            SELECT vec_id, nbr_id,
+                   row_number() OVER (
+                       PARTITION BY vec_id
+                       ORDER BY CASE WHEN isnan(cosine) THEN -1e308
+                                ELSE cosine END DESC,
+                                nbr_id) AS rn
+            FROM (
+                SELECT a.vec_id, b.vec_id AS nbr_id,
+                       round({_KNN_COS_AB}, 6) AS cosine
+                FROM vecs a JOIN vecs b ON a.vec_id <> b.vec_id
+                WHERE a.vec_id % {_KNN_PROBE_MOD} = 0
+            )
+        ) WHERE rn <= {_KNN_K}
+    ),
+    kposs AS (SELECT COUNT(*) AS possible FROM ktruth)
+    SELECT rung, hits, possible,
+           (hits * 1000000) // possible AS recall_micro
+    FROM (
+        SELECT 'ivf_cell' AS rung,
+               (SELECT COUNT(*) FROM kedges e
+                JOIN ktruth t ON e.vec_id = t.vec_id
+                            AND e.nbr_id = t.nbr_id) AS hits,
+               possible
+        FROM kposs
+        UNION ALL
+        SELECT 'nndescent_r1' AS rung,
+               (SELECT COUNT(*) FROM krefined e
+                JOIN ktruth t ON e.vec_id = t.vec_id
+                            AND e.nbr_id = t.nbr_id) AS hits,
+               possible
+        FROM kposs
+    )
+"""
+
+
+def _knn_pin(col):
+    """Rounded-cosine ordering key with the family's NaN pin: a
+    zero-norm endpoint's NaN cosine sorts WORST in both engines (the
+    oracle's CASE isnan -> -1e308; testdata is Gaussian so NaN never
+    occurs there, but the contract holds on degenerate inputs)."""
+    return F.nanvl(col, F.lit(-1e308))
+
+
+def _knn_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id", F.col("embedding").cast("array<double>").alias("v")
+    )
+
+
+_KNN_CACHE: dict = {}
+
+
+def _knn_topk(pairs: DataFrame) -> DataFrame:
+    """Top-{_KNN_K} per node from a (vec_id, nbr_id, cosine) candidate
+    stream: row_number over the ROUNDED cosine (desc, NaN-pinned,
+    nbr_id tiebreak) — vec_id is a high-cardinality window key, the
+    allowed class."""
+    wk = Window.partitionBy("vec_id").orderBy(
+        _knn_pin(F.col("cosine")).desc(), F.col("nbr_id")
+    )
+    return (
+        pairs.withColumn("nn_rank", F.row_number().over(wk))
+        .filter(F.col("nn_rank") <= _KNN_K)
+        .select("vec_id", "nbr_id", "nn_rank", "cosine")
+    )
+
+
+def _knn_score(vecs: DataFrame, cand: DataFrame) -> DataFrame:
+    """Score an id-only (vec_id, nbr_id) candidate list: join the
+    vector table in once per side, emit the round-6 cosine."""
+    va = vecs
+    vb = vecs.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"))
+    return (
+        cand.join(va, "vec_id")
+        .join(vb, "nbr_id")
+        .select(
+            "vec_id",
+            "nbr_id",
+            F.round(cosine_sim(F.col("v"), F.col("w")), 6).alias("cosine"),
+        )
+    )
+
+
+def _knn_base_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The cell-bucketed base k-NN graph DAG (the `kedges` CTE): assign
+    every vector to its nearest centroid in each of TWO disjoint
+    deterministic centroid sets (first 2 x GREATEST(8,
+    n // {_KNN_CELL_TARGET}) vectors — the multi-hash-table discipline;
+    one bucketing would leave NN-Descent's 2-hop paths trapped inside
+    a single cell), then rank each node's cellmates-under-either-
+    bucketing by exact rounded cosine and keep the top {_KNN_K}."""
+    from cuttlefish_spark.io import spread
+
+    vecs = spread(spark, _knn_vecs(spark, sf_dir))
+    # 1-row driver sync (the cell-count scalar — bounded driver class).
+    n = vecs.count()
+    n_cells = max(8, n // _KNN_CELL_TARGET)
+
+    def assign(lo: int, hi: int) -> DataFrame:
+        cents = F.broadcast(
+            vecs.filter(
+                (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+            ).select(F.col("vec_id").alias("cell"), F.col("v").alias("c"))
+        )
+        # argmax cell as min(struct) — ann_ivf_topk's hash-agg shape
+        # with the same NaN pin (nanvl(+inf): a NaN sim always loses).
+        cand = F.struct(
+            F.nanvl(
+                -cosine_sim(F.col("v"), F.col("c")), F.lit(float("inf"))
+            ).alias("ns"),
+            F.col("cell").alias("cell"),
+            F.col("v").alias("v"),
+        )
+        return (
+            vecs.crossJoin(cents)
+            .select("vec_id", cand.alias("cand"))
+            .groupBy("vec_id")
+            .agg(F.min("cand").alias("b"))
+            .select("vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+        )
+
+    def cellmates_scored(ass: DataFrame) -> DataFrame:
+        # Score INLINE in the cell self-join stage: the vector arrays
+        # shuffle only at n-row scale (once per side of the cell
+        # join), and the pair stream leaving the stage is 3 narrow
+        # columns — never 20M rows x two 64-dim payloads through a
+        # post-hoc lookup join (measured 10x slower at sf1). The
+        # duplicate scoring of pairs seen under both bucketings is
+        # exact (round-6 is deterministic), so distinct() collapses
+        # them to the oracle's id-distinct-then-score result.
+        b = ass.select(
+            F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"), "cell"
+        )
+        return (
+            ass.join(b, "cell")
+            .filter(F.col("vec_id") != F.col("nbr_id"))
+            .select(
+                "vec_id",
+                "nbr_id",
+                F.round(cosine_sim(F.col("v"), F.col("w")), 6).alias("cosine"),
+            )
+        )
+
+    pairs = (
+        cellmates_scored(assign(0, n_cells))
+        .union(cellmates_scored(assign(n_cells, 2 * n_cells)))
+        .distinct()
+    )
+    return _knn_topk(pairs)
+
+
+def _knn_base(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Session memo of the base graph (io.memo_key discipline — the
+    production shape is a persisted edge table all three consumers
+    read). spread() before the checkpoint so AQE's small-output
+    coalesce cannot pin downstream consumers to 1 partition."""
+    from cuttlefish_spark.io import memo_key, memo_put, spread
+
+    mkey = memo_key(spark, sf_dir, "embeddings") + ("knn_base",)
+    if mkey in _KNN_CACHE:
+        return _KNN_CACHE[mkey]
+    out = spread(spark, _knn_base_dag(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    memo_put(_KNN_CACHE, mkey, out)
+    return out
+
+
+@query("knn_graph_ivf", layer="C", oracle=_KNN_GRAPH_SQL)
+def knn_graph_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate k-NN GRAPH construction (every node's top-{_KNN_K}
+    cosine neighbors) — the build stage behind graph-ANN serving
+    (HNSW-class indexes start from exactly this neighbor table) and
+    behind graph-based curation (SemDedup and SSL-prototype pruning
+    both consume a k-NN graph of the corpus). Cell-bucketed under TWO
+    independent bucketings: vectors are assigned to their nearest
+    centroid in each of two DISJOINT deterministic centroid sets
+    (2 x GREATEST(8, n // {_KNN_CELL_TARGET}) first-vectors init — the
+    multi-hash-table discipline of LSH ANN), and each node ranks its
+    cellmates under either bucketing by exact rounded cosine. Two
+    tables rather than one because the downstream NN-Descent round
+    composes edges 2-hop: with a single bucketing every 2-hop path
+    stays inside one cell and refinement is vacuous; with two, paths
+    cross buckets and the round genuinely raises recall (measured by
+    knn_graph_recall).
+
+    Although approximate relative to the brute-force graph, the
+    procedure is fully deterministic — assignment and ranking run
+    on round-6 cosines with pinned tiebreaks, so the DuckDB oracle
+    states the SAME algorithm and the edge table hash-matches.
+
+    Scale shape: the cell-size TARGET ({_KNN_CELL_TARGET}) is fixed and
+    the cell COUNT grows with the corpus, so total pair volume is
+    ~{_KNN_CELL_TARGET} x n — LINEAR in n, never all-pairs (the
+    audit-tier brute graph lives only inside knn_graph_recall's probe
+    subset). Pair generation is two equi-joins on cell (shuffle
+    co-located both sides) + a distinct on ids; scoring joins the
+    vector table once per side; per-node ranking is a window over the
+    high-cardinality node id. At 100 TB the assignment step is the one
+    to replace: one broadcast argmax against n/500 centroids is fine
+    to ~10^5 cells, beyond which production assigns hierarchically (a
+    coarse k-means tree, exactly ann_ivf's posting-list discipline)
+    and writes the edge table partitioned by cell. A graph-walk index
+    (true HNSW) is sequential by construction — the k-NN-graph +
+    NN-Descent pair IS the distributed formulation of that build."""
+    return _knn_base(spark, sf_dir)
+
+
+def _knn_refined_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _knn_base(spark, sf_dir)
+    fwd = edges.select("vec_id", "nbr_id")
+    und = fwd.union(
+        fwd.select(F.col("nbr_id").alias("vec_id"), F.col("vec_id").alias("nbr_id"))
+    ).distinct()
+    u1 = und.select(F.col("vec_id").alias("mid"), F.col("nbr_id").alias("vec_id"))
+    u2 = und.select(F.col("vec_id").alias("mid"), F.col("nbr_id"))
+    non = (
+        u1.join(u2, "mid")
+        .filter(F.col("vec_id") != F.col("nbr_id"))
+        .select("vec_id", "nbr_id")
+    )
+    cand = non.union(und).distinct()
+    return _knn_topk(_knn_score(_knn_vecs(spark, sf_dir), cand))
+
+
+def _knn_refined(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from cuttlefish_spark.io import memo_key, memo_put, spread
+
+    mkey = memo_key(spark, sf_dir, "embeddings") + ("knn_refined",)
+    if mkey in _KNN_CACHE:
+        return _KNN_CACHE[mkey]
+    out = spread(spark, _knn_refined_dag(spark, sf_dir)).localCheckpoint(
+        eager=True
+    )
+    memo_put(_KNN_CACHE, mkey, out)
+    return out
+
+
+@query("knn_graph_nndescent", layer="C", oracle=_KNN_NNDESCENT_SQL)
+def knn_graph_nndescent(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One NN-Descent refinement round over knn_graph_ivf's base graph
+    (Dong, Charikar & Li 2011 — the standard distributed k-NN-graph
+    algorithm, and the build recipe graph-ANN indexes use at scale):
+    a node's next candidates are every 2-hop endpoint through the
+    UNDIRECTED base edges (x--m--y local join: 'a neighbor of my
+    neighbor is likely my neighbor') plus the base edges themselves,
+    scored exactly (round-6 cosine) and re-ranked top-{_KNN_K}.
+
+    The candidate set is a SUPERSET of the base edges, and the ranking
+    order is total (rounded cosine desc, nbr_id), so per-node edge
+    quality is monotonically non-decreasing — knn_graph_recall
+    measures the gain, and the invariant tests pin it. Production
+    iterates this round to convergence with sampling + early
+    termination on unchanged nodes; one unrolled round keeps the whole
+    build a static 2-join DAG the oracle can replay.
+
+    Scale shape: the undirected edge list is at most 2K rows per node,
+    so the local join emits <= (2K)^2 = {4 * _KNN_K * _KNN_K}
+    candidates per mid node — LINEAR in n with a fixed-K constant;
+    scoring joins the vector table twice on the node id (shuffle
+    equi-joins, no broadcast of the big side); ranking is the same
+    high-card window. No stage touches all-pairs."""
+    return _knn_refined(spark, sf_dir)
+
+
+@query("knn_graph_recall", layer="C", oracle=_KNN_RECALL_SQL)
+def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@{_KNN_K} audit of the k-NN-graph ladder (ivf_recall_audit's
+    discipline applied to the graph rungs): on the deterministic probe
+    subset vec_id % {_KNN_PROBE_MOD} == 0, the BRUTE-FORCE top-{_KNN_K}
+    neighbor set is the truth, and each rung (the cell-bucketed base
+    graph, the NN-Descent round-1 graph) reports integer hit counts
+    and micro-recall ((hits * 1000000) div possible — exact integer
+    arithmetic, no float in the output).
+
+    The truth set uses the same rounded-cosine total order as the
+    rungs, so 'hit' is well-defined cross-engine; because refinement
+    ranks a candidate SUPERSET under that order, nndescent_r1's hits
+    are >= ivf_cell's by construction (pinned by the invariant test).
+
+    Scale shape: brute truth is probe-bounded — n/{_KNN_PROBE_MOD}
+    probes x n candidates via a broadcast nested-loop on the SMALL
+    probe side (the declared audit tier, same as ivf_recall_audit);
+    the rung-vs-truth comparisons are narrow equi-joins on
+    (vec_id, nbr_id); the output is two rows."""
+    base = _knn_base(spark, sf_dir)
+    refined = _knn_refined(spark, sf_dir)
+    vecs = _knn_vecs(spark, sf_dir)
+    probes = vecs.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0)
+    allb = vecs.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"))
+    pairs = allb.join(
+        F.broadcast(probes), F.col("vec_id") != F.col("nbr_id")
+    ).select(
+        "vec_id",
+        "nbr_id",
+        F.round(cosine_sim(F.col("v"), F.col("w")), 6).alias("cosine"),
+    )
+    # Materialize the brute pass once — three consumers read it
+    # (possible + one hit join per rung); without the checkpoint each
+    # re-runs the probe x corpus scoring (measured 3x the query's
+    # cost at sf1). Bounded rows: K x n/{_KNN_PROBE_MOD}.
+    truth = (
+        _knn_topk(pairs)
+        .select("vec_id", "nbr_id")
+        .localCheckpoint(eager=True)
+    )
+    poss = truth.agg(F.count(F.lit(1)).cast("long").alias("possible"))
+
+    def rung(name: str, g: DataFrame) -> DataFrame:
+        h = g.join(truth, ["vec_id", "nbr_id"]).agg(
+            F.count(F.lit(1)).cast("long").alias("hits")
+        )
+        return h.crossJoin(poss).select(
+            F.lit(name).alias("rung"),
+            "hits",
+            "possible",
+            F.expr("(hits * 1000000) div possible").alias("recall_micro"),
+        )
+
+    return rung("ivf_cell", base).unionByName(rung("nndescent_r1", refined))
+
+
+_SEMG_PCT = 1  # the dedup budget: top 1% highest-cosine graph edges
+
+_KNN_DEDUP_SQL = f"""
+    WITH RECURSIVE {_KNN_CTES},
+    ranked AS (
+        SELECT vec_id, nbr_id,
+               row_number() OVER (
+                   ORDER BY CASE WHEN isnan(cosine) THEN -1e308
+                            ELSE cosine END DESC,
+                            vec_id, nbr_id) AS ern,
+               count(*) OVER () AS en
+        FROM kedges
+    ),
+    ke AS (
+        SELECT vec_id AS a, nbr_id AS b FROM ranked
+        WHERE ern * 100 <= en * {_SEMG_PCT}
+    ),
+    sym AS (
+        SELECT a, b FROM ke
+        UNION ALL
+        SELECT b AS a, a AS b FROM ke
+    ),
+    r AS (
+        SELECT vec_id AS node, vec_id AS lbl FROM vecs
+        UNION
+        SELECT s.b AS node, r.lbl FROM r JOIN sym s ON s.a = r.node
+    )
+    SELECT node AS vec_id, min(lbl) AS cluster_id,
+           (min(lbl) = node) AS is_canonical
+    FROM r GROUP BY node
+"""
+
+
+@query("knn_graph_dedup", layer="C", oracle=_KNN_DEDUP_SQL)
+def knn_graph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Graph-based semantic dedup — the k-NN-GRAPH formulation of
+    SemDedup (Abbas et al. 2023 dedups within k-means cells;
+    semantic_dedup here is that formulation — this rung instead takes
+    near-dup EDGES from knn_graph_ivf's neighbor table, the shape used
+    when a corpus already maintains a k-NN graph for curation): the
+    near-dup pairs are the TOP {_SEMG_PCT}% of base-graph edges by
+    exact rank under (rounded cosine desc, vec_id, nbr_id) — the
+    BUDGETED form of the paper's epsilon sweep (a fixed threshold is
+    meaningless across corpora: the committed sf1 embedding corpus
+    puts 97k of 100k edges over 0.35 and a threshold rule collapses
+    99.96% of it into ONE component, wild-caught as a DuckDB OOM in
+    the oracle's closure; a rank budget of {_SEMG_PCT}% keeps the
+    dedup graph subcritical — avg degree ~0.1 — on any corpus). The
+    transitive closure runs through the SHARED star-contraction CC
+    (_cc_min_label — dedup_clusters' closure, text/image/audio's
+    exact discipline on the embedding modality), and every vector
+    reports (cluster_id = min vec_id of its component, is_canonical)
+    — the keep-list a training pipeline joins against.
+
+    Scale shape: the edge list is ALREADY bounded ({_KNN_K} per node
+    from the memoized base graph — no new pair enumeration, no
+    all-pairs anywhere); the budget rank is the sanctioned two-phase
+    global rank (no empty-partition-spec window over full data — the
+    windowed pass sorts per range-partition only); the closure is the
+    shared 3-shuffle star-contraction with O(diameter) iterations on
+    the contracted remnant. The DuckDB oracle re-derives the identical
+    budget + closure as a recursive CTE over the identical edge set,
+    so the gate checks the cluster assignment end-to-end."""
+    from cuttlefish_spark.operators.dedup import _cc_min_label
+    from cuttlefish_spark.operators.twophase import two_phase_rank
+
+    ranked = two_phase_rank(
+        spark,
+        _knn_base(spark, sf_dir)
+        .select("vec_id", "nbr_id", "cosine")
+        .withColumn("g", F.lit(0)),
+        "g",
+        [_knn_pin(F.col("cosine")).desc(), F.col("vec_id"), F.col("nbr_id")],
+        key_type="int",
+    )
+    edges = ranked.filter(
+        F.col("rn") * 100 <= F.col("n") * _SEMG_PCT
+    ).select(F.col("vec_id").alias("doc_a"), F.col("nbr_id").alias("doc_b"))
+    nodes = _knn_vecs(spark, sf_dir).select(F.col("vec_id").alias("node"))
+    comp = _cc_min_label(nodes, edges)
+    return comp.select(
+        F.col("node").alias("vec_id"),
+        "cluster_id",
+        (F.col("cluster_id") == F.col("node")).alias("is_canonical"),
+    )

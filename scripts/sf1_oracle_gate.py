@@ -113,6 +113,11 @@ GATE_QUERIES = [
     "gopher_quality_rules",
     "temperature_sampling",
     "unimax_mixture",
+    "knn_graph_ivf",
+    "knn_graph_nndescent",
+    "knn_graph_recall",
+    "length_curriculum_order",
+    "knn_graph_dedup",
     "bpe_train_merges",
     "quality_classifier_ngram",
     "quality_classifier_weights",

@@ -456,3 +456,31 @@ def test_unimax_waterfill_invariants(spark, sf_dir):
         assert r.alloc_tokens <= r.cap_tokens
         assert r.is_capped == (r.alloc_tokens == r.cap_tokens)
         assert 0 <= r.n_kept_docs <= r.n_docs
+
+
+def test_length_curriculum_invariants(spark, sf_dir):
+    """Curriculum contract the oracle hash can't state as such: stages
+    are balanced quartiles (sizes differ by at most 1), token counts
+    are monotone across stage boundaries (max n_tok of stage k <= min
+    n_tok of stage k+1 — rank order is (n_tok, doc_id)), and positions
+    are dense 1..count within every (stage, shard)."""
+    from collections import defaultdict
+
+    from cuttlefish_spark.operators.curation import _CUR_SHARDS, _CUR_STAGES
+    from cuttlefish_spark.registry import load_all
+
+    out = load_all()["length_curriculum_order"].fn(spark, sf_dir).collect()
+    sizes = defaultdict(int)
+    toks = defaultdict(list)
+    pos = defaultdict(list)
+    for r in out:
+        assert 0 <= r.stage < _CUR_STAGES
+        assert 0 <= r.shard < _CUR_SHARDS
+        sizes[r.stage] += 1
+        toks[r.stage].append(r.n_tok)
+        pos[(r.stage, r.shard)].append(r.pos)
+    assert max(sizes.values()) - min(sizes.values()) <= 1
+    for k in range(_CUR_STAGES - 1):
+        assert max(toks[k]) <= min(toks[k + 1])
+    for ps in pos.values():
+        assert sorted(ps) == list(range(1, len(ps) + 1))

@@ -197,3 +197,43 @@ def test_abtt_projection_identities(spark, sf_dir):
     assert all(abs(r["cos_top"]) <= 1.0 + 1e-12 for r in rows)
     mean_abs = sum(abs(r["cos_top"]) for r in rows) / n
     assert 0.0 < mean_abs < 1.0
+
+
+def test_knn_graph_invariants(spark, sf_dir):
+    """k-NN-graph family invariants the oracle hash can't state as
+    such: dense ranks 1..K per node with no self-edges in both rungs,
+    NN-Descent dominance (candidate superset under the same total
+    order => per-rank cosine never drops, and recall hits never
+    drop), and brute-truth recall bounded in [0, 1e6] micro."""
+    from collections import defaultdict
+
+    from cuttlefish_spark.operators.similarity import _KNN_K
+    from cuttlefish_spark.registry import load_all
+
+    specs = load_all()
+    base = specs["knn_graph_ivf"].fn(spark, sf_dir).collect()
+    ref = specs["knn_graph_nndescent"].fn(spark, sf_dir).collect()
+    for rows in (base, ref):
+        per = defaultdict(list)
+        for r in rows:
+            assert r.vec_id != r.nbr_id
+            per[r.vec_id].append(r.nn_rank)
+        for ranks in per.values():
+            assert sorted(ranks) == list(range(1, len(ranks) + 1))
+            assert len(ranks) <= _KNN_K
+    bcos = {(r.vec_id, r.nn_rank): r.cosine for r in base}
+    for r in ref:
+        if (r.vec_id, r.nn_rank) in bcos:
+            assert r.cosine >= bcos[(r.vec_id, r.nn_rank)]
+    rec = {r.rung: r for r in specs["knn_graph_recall"].fn(spark, sf_dir).collect()}
+    assert set(rec) == {"ivf_cell", "nndescent_r1"}
+    assert rec["nndescent_r1"].hits >= rec["ivf_cell"].hits
+    for r in rec.values():
+        assert 0 <= r.recall_micro <= 1_000_000
+        assert r.possible > 0 and 0 <= r.hits <= r.possible
+    dd = specs["knn_graph_dedup"].fn(spark, sf_dir).collect()
+    assert len(dd) == len({r.vec_id for r in dd})  # one verdict per vector
+    clusters = {r.cluster_id for r in dd}
+    canon = {r.vec_id for r in dd if r.is_canonical}
+    assert canon == clusters  # exactly one canonical row per cluster
+    assert all(r.cluster_id <= r.vec_id for r in dd)  # min-label contract
