@@ -3405,3 +3405,206 @@ def knn_graph_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cluster_id",
         (F.col("cluster_id") == F.col("node")).alias("is_canonical"),
     )
+
+
+# ---------------------------------------------------------------------------
+# incremental_knn_graph — the graph-index increment (daily-crawl rung)
+# ---------------------------------------------------------------------------
+
+_IKNN_SQL = f"""
+    WITH vecs AS MATERIALIZED (
+        SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+    ),
+    ibase AS (
+        SELECT * FROM vecs WHERE vec_id % {_IIVF_MOD} <> {_IIVF_NEW}
+    ),
+    inewb AS (
+        SELECT * FROM vecs WHERE vec_id % {_IIVF_MOD} = {_IIVF_NEW}
+    ),
+    ikn AS (
+        SELECT GREATEST(8, COUNT(*) // {_KNN_CELL_TARGET}) AS n_cells
+        FROM ibase
+    ),
+    icents_a AS (
+        SELECT vec_id AS cell, v AS c FROM ibase
+        WHERE vec_id < (SELECT n_cells FROM ikn)
+    ),
+    icents_b AS (
+        SELECT vec_id AS cell, v AS c FROM ibase
+        WHERE vec_id >= (SELECT n_cells FROM ikn)
+          AND vec_id < 2 * (SELECT n_cells FROM ikn)
+    ),
+    iass_a AS MATERIALIZED ({_knn_assign_cte("icents_a", "cell_a")}),
+    iass_b AS MATERIALIZED ({_knn_assign_cte("icents_b", "cell_b")}),
+    ipairs AS (
+        SELECT DISTINCT p.vec_id, p.nbr_id FROM (
+            SELECT a.vec_id, b.vec_id AS nbr_id
+            FROM iass_a a JOIN iass_a b ON a.cell_a = b.cell_a
+            WHERE a.vec_id % {_IIVF_MOD} = {_IIVF_NEW}
+              AND a.vec_id <> b.vec_id
+            UNION ALL
+            SELECT a.vec_id, b.vec_id AS nbr_id
+            FROM iass_b a JOIN iass_b b ON a.cell_b = b.cell_b
+            WHERE a.vec_id % {_IIVF_MOD} = {_IIVF_NEW}
+              AND a.vec_id <> b.vec_id
+        ) p
+    )
+    SELECT vec_id, nbr_id, nn_rank, cosine FROM (
+        SELECT vec_id, nbr_id, cosine,
+               row_number() OVER (
+                   PARTITION BY vec_id
+                   ORDER BY CASE WHEN isnan(cosine) THEN -1e308
+                            ELSE cosine END DESC,
+                            nbr_id) AS nn_rank
+        FROM (
+            SELECT p.vec_id, p.nbr_id,
+                   round({_KNN_COS_AB}, 6) AS cosine
+            FROM ipairs p
+            JOIN vecs a ON a.vec_id = p.vec_id
+            JOIN vecs b ON b.vec_id = p.nbr_id
+        )
+    ) WHERE nn_rank <= {_KNN_K}
+"""
+
+
+def _iknn_parts(
+    spark: SparkSession, sf_dir: str
+) -> tuple[int, DataFrame, DataFrame]:
+    """(n_cells, base, batch) for the incremental k-NN-graph pair:
+    incremental_ivf's corpus split (vec_id % {_IIVF_MOD} ==
+    {_IIVF_NEW} is today's batch), cell count priced off the BASE
+    corpus only (the index predates the batch; centroid sets are the
+    base vectors under knn_graph_ivf's value rule, so a first-2C id
+    owned by the batch just thins the centroid table — the
+    _iivf_parts convention)."""
+    from cuttlefish_spark.io import spread
+
+    vecs = spread(spark, _knn_vecs(spark, sf_dir))
+    base = vecs.filter(F.col("vec_id") % _IIVF_MOD != _IIVF_NEW)
+    batch = vecs.filter(F.col("vec_id") % _IIVF_MOD == _IIVF_NEW)
+    # 1-row driver sync (the cell-count scalar — bounded driver class).
+    n_cells = max(8, base.count() // _KNN_CELL_TARGET)
+    return n_cells, base, batch
+
+
+def _iknn_assign(part: DataFrame, cents: DataFrame) -> DataFrame:
+    """knn_graph_ivf's min-struct argmax over an explicit centroid
+    table, keeping the vector payload for inline pair scoring."""
+    cand = F.struct(
+        F.nanvl(
+            -cosine_sim(F.col("v"), F.col("c")), F.lit(float("inf"))
+        ).alias("ns"),
+        F.col("cell").alias("cell"),
+        F.col("v").alias("v"),
+    )
+    return (
+        part.crossJoin(F.broadcast(cents))
+        .select("vec_id", cand.alias("cand"))
+        .groupBy("vec_id")
+        .agg(F.min("cand").alias("b"))
+        .select(
+            "vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell")
+        )
+    )
+
+
+def _iknn_edges(
+    base_ass: list[DataFrame], batch_ass: list[DataFrame]
+) -> DataFrame:
+    """Batch-node adjacency: for each bucketing, probe the batch
+    assignment against base + batch cellmates with inline scoring
+    (knn_graph_ivf's stage shape), union the bucketings, distinct,
+    top-{_KNN_K} per batch node."""
+    scored = []
+    for ba, na in zip(base_ass, batch_ass):
+        alls = ba.unionByName(na).select(
+            F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"), "cell"
+        )
+        scored.append(
+            na.join(alls, "cell")
+            .filter(F.col("vec_id") != F.col("nbr_id"))
+            .select(
+                "vec_id",
+                "nbr_id",
+                F.round(cosine_sim(F.col("v"), F.col("w")), 6).alias(
+                    "cosine"
+                ),
+            )
+        )
+    return _knn_topk(scored[0].union(scored[1]).distinct())
+
+
+@query("incremental_knn_graph", layer="C", oracle=_IKNN_SQL)
+def incremental_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """INCREMENTAL k-NN-graph maintenance — the graph-index rung of
+    the daily-crawl family (incremental_dedup = exact hashes,
+    incremental_minhash_dedup = fuzzy text, incremental_ivf = cell
+    stats; this adds the serving-graph increment): a NEW batch of
+    vectors (incremental_ivf's vec_id % {_IIVF_MOD} == {_IIVF_NEW}
+    split) is assigned to the EXISTING index's cells (both bucketings,
+    centroids from the base corpus only — the index predates the
+    batch) and each new node emits its top-{_KNN_K} adjacency over
+    base + batch cellmates. This is what production APPENDS to the
+    edge table each day — base-node edges are repaired lazily by the
+    next NN-Descent sweep (knn_graph_nndescent), not recomputed per
+    batch.
+
+    Scale shape: the increment never rescans the base corpus's pair
+    space — base vectors participate only through the two narrow
+    cell equi-joins against the batch probe (candidates ~
+    2 x {_KNN_CELL_TARGET} per NEW node, independent of corpus size);
+    assignment is the same broadcast argmax; ranking windows over the
+    batch's node ids only. incremental_knn_graph_persisted proves the
+    cell-partitioned index round-trips through storage."""
+    n_cells, base, batch = _iknn_parts(spark, sf_dir)
+
+    def cents(side: DataFrame, lo: int, hi: int) -> DataFrame:
+        return side.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(F.col("vec_id").alias("cell"), F.col("v").alias("c"))
+
+    ca, cb = cents(base, 0, n_cells), cents(base, n_cells, 2 * n_cells)
+    return _iknn_edges(
+        [_iknn_assign(base, ca), _iknn_assign(base, cb)],
+        [_iknn_assign(batch, ca), _iknn_assign(batch, cb)],
+    )
+
+
+@query("incremental_knn_graph_persisted", layer="C", oracle=_IKNN_SQL)
+def incremental_knn_graph_persisted(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """incremental_knn_graph with the base-side cell index (vec_id,
+    cell, vector payload — per bucketing, exactly what an IVF-style
+    graph index stores partitioned by cell) ROUND-TRIPPED THROUGH
+    STORAGE: written to parquet, read back as an independent scan, and
+    the batch probed against the read-back index. Same oracle, so the
+    driver hash proves the persisted index is adjacency-equivalent to
+    the inline one — the property a daily graph append relies on (at
+    100 TB the index is written partitioned by cell and the probe
+    join partition-prunes to the batch's cells)."""
+    import os
+    import shutil
+    import tempfile
+
+    n_cells, base, batch = _iknn_parts(spark, sf_dir)
+
+    def cents(side: DataFrame, lo: int, hi: int) -> DataFrame:
+        return side.filter(
+            (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
+        ).select(F.col("vec_id").alias("cell"), F.col("v").alias("c"))
+
+    ca, cb = cents(base, 0, n_cells), cents(base, n_cells, 2 * n_cells)
+    idx_root = tempfile.mkdtemp(prefix="cuttlefish_knn_idx_")
+    try:
+        stored = []
+        for tag, cc in (("a", ca), ("b", cb)):
+            p = os.path.join(idx_root, f"knn_cells_{tag}")
+            _iknn_assign(base, cc).write.mode("overwrite").parquet(p)
+            stored.append(spark.read.parquet(p))
+        out = _iknn_edges(
+            stored, [_iknn_assign(batch, ca), _iknn_assign(batch, cb)]
+        ).localCheckpoint(eager=True)
+    finally:
+        shutil.rmtree(idx_root, ignore_errors=True)
+    return out

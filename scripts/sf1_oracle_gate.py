@@ -118,6 +118,8 @@ GATE_QUERIES = [
     "knn_graph_recall",
     "length_curriculum_order",
     "knn_graph_dedup",
+    "incremental_knn_graph",
+    "incremental_knn_graph_persisted",
     "bpe_train_merges",
     "quality_classifier_ngram",
     "quality_classifier_weights",

@@ -237,3 +237,25 @@ def test_knn_graph_invariants(spark, sf_dir):
     canon = {r.vec_id for r in dd if r.is_canonical}
     assert canon == clusters  # exactly one canonical row per cluster
     assert all(r.cluster_id <= r.vec_id for r in dd)  # min-label contract
+
+
+def test_incremental_knn_graph_invariants(spark, sf_dir):
+    """Increment contract: adjacency rows exist ONLY for batch nodes
+    (vec_id % 10 == 7 — the shared daily-batch split), ranks are dense
+    1..K per node with no self-edges, and every batch node with at
+    least one cellmate appears."""
+    from collections import defaultdict
+
+    from cuttlefish_spark.operators.similarity import _KNN_K
+    from cuttlefish_spark.registry import load_all
+
+    rows = load_all()["incremental_knn_graph"].fn(spark, sf_dir).collect()
+    per = defaultdict(list)
+    for r in rows:
+        assert r.vec_id % 10 == 7
+        assert r.vec_id != r.nbr_id
+        per[r.vec_id].append(r.nn_rank)
+    assert per, "batch side produced no adjacency"
+    for ranks in per.values():
+        assert sorted(ranks) == list(range(1, len(ranks) + 1))
+        assert len(ranks) <= _KNN_K
