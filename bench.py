@@ -12,6 +12,7 @@ startup isn't attributed to the first timed query.
 
 from __future__ import annotations
 
+import gc
 import json
 import os
 import sys
@@ -127,6 +128,23 @@ def main() -> None:
         # pressure (executor memory eviction churn showed up as 3-4x
         # noise on queries that happened to run after the dedup block).
         spark.catalog.clearCache()
+        # Checkpoint-block hygiene (r13, measured): clearCache() does
+        # NOT free localCheckpoint RDD blocks — they are cleaned by
+        # ContextCleaner only once the JVM garbage-collects the RDD
+        # object, and Spark's periodic-GC default is 30 MINUTES. Over a
+        # 259-query run the leaked MEMORY_AND_DISK blocks (plus
+        # broadcast/shuffle state) accumulate into storage-eviction and
+        # GC churn that poisons queries by ALPHABETICAL POSITION, not
+        # plan cost: in the r13 baseline run markdown_html read 19.3 s
+        # in the full sweep vs 1.3 s isolated, and
+        # incremental_knn_graph_persisted 142.4 s vs 6.6 s isolated.
+        # A Python gc pass releases the py4j refs of the dropped query
+        # plan, and one JVM System.gc() lets ContextCleaner reclaim the
+        # now-unreferenced RDD/broadcast blocks. This runs OUTSIDE the
+        # timed region; session-scoped memo tables hold strong refs and
+        # survive (their reuse across a family is the declared design).
+        gc.collect()
+        spark.sparkContext._jvm.System.gc()
 
     # Host-speed reference: a fixed pure-CPU JVM aggregation (no IO, no
     # Python, no shuffle) whose cost depends ONLY on available cycles.

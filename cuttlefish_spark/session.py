@@ -48,6 +48,21 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
+        # Long-session hygiene (r13, measured): localCheckpoint /
+        # broadcast / shuffle state is reclaimed by ContextCleaner only
+        # after the JVM garbage-collects the owning objects, and the
+        # default periodic-GC interval is 30 MINUTES — a session running
+        # hundreds of queries accumulates dead MEMORY_AND_DISK blocks
+        # whose eviction churn slows later queries ~5-20x (bench.py has
+        # the numbers). A 2-minute periodic GC bounds that accumulation
+        # at any scale; per-query engines (bench.py) additionally GC
+        # between queries. Driver-state retention is capped for the same
+        # reason: AQE re-plans large queries many times and the status
+        # store otherwise retains 1000 executions of plan strings.
+        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config("spark.sql.ui.retainedExecutions", "50")
+        .config("spark.ui.retainedJobs", "200")
+        .config("spark.ui.retainedStages", "200")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
     )
     for k, v in (extra_conf or {}).items():
