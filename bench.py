@@ -110,9 +110,39 @@ def main() -> None:
     medians: dict[str, float] = {}
     names = [n for n in sorted(specs) if not only or n in only]
     n_runs = 3 if (median3 or record) else 2
+    from cuttlefish_spark.io import clear_memos
+
     for name in names:
         runs = []
         for _ in range(n_runs):
+            # Per-run hygiene, ALL outside the timed region, so every
+            # reading is the query's self-contained plan cost:
+            # 1. Memo eviction (r13 VERDICT item 2): the derived-model
+            #    family memos (signature tables, trained weights, kNN
+            #    graphs) previously survived across queries AND across a
+            #    query's own two runs, so min-of-2 reported cache-read
+            #    times (0.02-0.08 s) for queries whose build had been
+            #    paid by an alphabetically-earlier family member. Every
+            #    registered memo is evicted before EVERY run; family
+            #    sharing remains the production design (run.py sessions
+            #    keep their memos), but the bench now charges each query
+            #    its full build.
+            clear_memos()
+            # 2. Cache hygiene: internally-persisted signature tables
+            #    must not leak eviction churn into a neighbour's timing.
+            spark.catalog.clearCache()
+            # 3. Checkpoint-block hygiene (r13, measured): clearCache()
+            #    does NOT free localCheckpoint RDD blocks — they are
+            #    cleaned by ContextCleaner only once the JVM garbage-
+            #    collects the RDD object, and Spark's periodic-GC
+            #    default is 30 MINUTES. Over a 259-query sweep leaked
+            #    MEMORY_AND_DISK blocks poisoned queries by alphabetical
+            #    position (markdown_html 19.3 s in-sweep vs 1.3 s
+            #    isolated before the fix). A Python gc pass releases the
+            #    py4j refs of dropped plans/memos, one System.gc() lets
+            #    ContextCleaner reclaim the blocks.
+            gc.collect()
+            spark.sparkContext._jvm.System.gc()
             t0 = time.perf_counter()
             specs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
             runs.append(time.perf_counter() - t0)
@@ -122,29 +152,6 @@ def main() -> None:
         timings[name] = round(
             sorted(runs)[1] if median3 else min(runs[:2]), 3
         )
-        # Cache hygiene: the dedup/LSH queries persist signature tables
-        # internally; dropping them between queries keeps each timing a
-        # function of ITS plan, not of a neighbor's leftover cache
-        # pressure (executor memory eviction churn showed up as 3-4x
-        # noise on queries that happened to run after the dedup block).
-        spark.catalog.clearCache()
-        # Checkpoint-block hygiene (r13, measured): clearCache() does
-        # NOT free localCheckpoint RDD blocks — they are cleaned by
-        # ContextCleaner only once the JVM garbage-collects the RDD
-        # object, and Spark's periodic-GC default is 30 MINUTES. Over a
-        # 259-query run the leaked MEMORY_AND_DISK blocks (plus
-        # broadcast/shuffle state) accumulate into storage-eviction and
-        # GC churn that poisons queries by ALPHABETICAL POSITION, not
-        # plan cost: in the r13 baseline run markdown_html read 19.3 s
-        # in the full sweep vs 1.3 s isolated, and
-        # incremental_knn_graph_persisted 142.4 s vs 6.6 s isolated.
-        # A Python gc pass releases the py4j refs of the dropped query
-        # plan, and one JVM System.gc() lets ContextCleaner reclaim the
-        # now-unreferenced RDD/broadcast blocks. This runs OUTSIDE the
-        # timed region; session-scoped memo tables hold strong refs and
-        # survive (their reuse across a family is the declared design).
-        gc.collect()
-        spark.sparkContext._jvm.System.gc()
 
     # Host-speed reference: a fixed pure-CPU JVM aggregation (no IO, no
     # Python, no shuffle) whose cost depends ONLY on available cycles.
@@ -237,6 +244,11 @@ def main() -> None:
             if chapter_fetch_cps is not None
             else {}
         ),
+        # Methodology marker (r13 ADVICE): cross-round diffs can detect
+        # measurement-hygiene changes from the artifact alone.
+        # r13-gc = inter-query GC; r14-memoevict = per-run memo eviction
+        # (each reading is a self-contained build, no family cache-reads).
+        "hygiene": "r14-memoevict",
         "host_ref_sec": host_ref,
         "total_hostnorm": round(total / host_ref, 1),
         "streaming_fixed_cost_sec": streaming_sec,

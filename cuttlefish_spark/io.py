@@ -133,3 +133,38 @@ def memo_put(cache: dict, key: tuple, value) -> None:
 
 def _flat(v) -> tuple:
     return tuple(v) if isinstance(v, tuple) else (v,)
+
+
+# Registry of every module-level derived-model memo dict (r13 VERDICT
+# item 2): per-query benchmarks must be able to evict ALL session memos
+# between timed runs so each reading is the query's self-contained plan
+# cost, not a cache-read of a family neighbour's build. Operators
+# register their memo dict once at module import; bench.py calls
+# clear_memos() before every timed run. The bucketed-table LAYOUT memo
+# (operators.scale._bucket_memo) is deliberately NOT registered: it
+# keys parquet files already on disk, and the query it serves measures
+# the join against a write-once layout (guide §6) — rewriting the
+# layout per run would charge the query for work the design amortizes
+# by contract (its oracle pins n_exchanges_bucketed=0, not write cost).
+_MEMO_REGISTRY: list[dict] = []
+
+
+def register_memo(d: dict | None = None) -> dict:
+    """Register (and return) a session-scoped memo dict for eviction."""
+    d = {} if d is None else d
+    _MEMO_REGISTRY.append(d)
+    return d
+
+
+def clear_memos() -> None:
+    """Evict every registered memo, unpersisting cached DataFrames."""
+    for cache in _MEMO_REGISTRY:
+        for v in list(cache.values()):
+            for item in _flat(v):
+                unpersist = getattr(item, "unpersist", None)
+                if callable(unpersist):
+                    try:
+                        unpersist()
+                    except Exception:  # session already gone
+                        pass
+        cache.clear()

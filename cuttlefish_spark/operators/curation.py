@@ -19,7 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
-from cuttlefish_spark.io import load_table, spread
+from cuttlefish_spark.io import load_table, register_memo, spread
 from cuttlefish_spark.operators.dedup import (
     _ADAPT_MULT,
     _mh_sql,
@@ -1191,7 +1191,7 @@ def _bpe_token_stats_oracle(n_merges: int) -> str:
 # Trained merges + encoded-corpus memo, keyed on corpus identity and
 # depth (same discipline as _QC_CACHE): bpe_train_merges and
 # bpe_token_stats share ONE training run per corpus per session.
-_BPE_CACHE: dict[tuple, tuple] = {}
+_BPE_CACHE: dict[tuple, tuple] = register_memo()
 
 
 def _bpe_train(
@@ -1823,7 +1823,7 @@ def _qc_lr_div(t: int) -> int:
 # classifier queries (scores + weights) and repeated test invocations
 # train once per corpus, not once per call (same discipline as the
 # streaming left-join cutoff memo keyed on (path, mtime, size)).
-_QC_CACHE: dict[tuple, tuple] = {}
+_QC_CACHE: dict[tuple, tuple] = register_memo()
 
 
 def _qc_feature_sql() -> str:
@@ -2483,40 +2483,43 @@ def url_dedup_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently: Spark parses with parse_url(HOST/PATH) (java.net
     semantics), the oracle with regexes — a hash match means the two
     parses agree on every synthesized disguise. The argmax is the
-    join-back pattern (max n_chars per group, then min doc_id among
-    rows attaining it — the q15 equality-argmax shape), never a
-    first()/max_by() whose tie behavior is engine-defined.
+    deterministic max(struct(n_chars, -doc_id)) aggregate (max n_chars
+    per group, ties to the smallest doc_id — exactly the oracle's
+    join-back rule), never a first()/max_by() whose tie behavior is
+    engine-defined.
 
-    Scale shape: one hash aggregate on canonical_url (high-cardinality
+    Scale shape: ONE hash aggregate on canonical_url (high-cardinality
     key — web-scale URL dedup is the textbook embarrassingly-parallel
-    groupBy) plus one equi-join back for the argmax; no windows, no
+    groupBy) with map-side partials; no join-back, no windows, no
     Python, no skew risk beyond genuinely viral URLs (the same
     residual C4 accepts). All outputs are integers and strings."""
+    # r14 (guide §2.4): the (max n_chars, then min doc_id) argmax is
+    # ONE deterministic aggregate — max(struct(n_chars, -doc_id)) —
+    # instead of the agg + equality-join-back + second groupBy + final
+    # join (4 operators, 3 exchanges, and a re-evaluation of the whole
+    # _url_canon column program for the join probe side). The struct
+    # comparator IS the oracle's rule (ties on n_chars fall to the
+    # larger -doc_id = smaller doc_id) with no engine-defined tie
+    # behavior — this is not a first()/max_by().
     canon = _url_canon(spark, sf_dir)
-    agg = canon.groupBy("canonical_url").agg(
-        F.min("host").alias("host"),
-        F.count(F.lit(1)).alias("n_variants"),
-        F.max("n_chars").cast("long").alias("kept_chars"),
-    )
-    mx = agg.select(
-        F.col("canonical_url").alias("cu"), F.col("kept_chars").alias("kc")
-    )
-    kept = (
-        canon.join(
-            mx,
-            (canon["canonical_url"] == mx["cu"]) & (canon["n_chars"] == mx["kc"]),
+    best = F.max(
+        F.struct(F.col("n_chars"), (-F.col("doc_id")).alias("nid"))
+    ).alias("b")
+    return (
+        canon.groupBy("canonical_url")
+        .agg(
+            F.min("host").alias("host"),
+            F.count(F.lit(1)).alias("n_variants"),
+            best,
         )
-        .select("canonical_url", "doc_id")
-        .groupBy("canonical_url")
-        .agg(F.min("doc_id").cast("long").alias("kept_doc_id"))
-    )
-    return agg.join(kept, "canonical_url").select(
-        "canonical_url",
-        "host",
-        "n_variants",
-        "kept_doc_id",
-        "kept_chars",
-        (F.col("n_variants") - 1).alias("n_dropped"),
+        .select(
+            "canonical_url",
+            "host",
+            "n_variants",
+            (-F.col("b.nid")).cast("long").alias("kept_doc_id"),
+            F.col("b.n_chars").cast("long").alias("kept_chars"),
+            (F.col("n_variants") - 1).alias("n_dropped"),
+        )
     )
 
 
@@ -2626,25 +2629,32 @@ def curation_funnel_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     where the aggregate is tiny.
     All funnel counts are int64; final_share is one IEEE division of
     identical integers."""
-    canon = _url_canon(spark, sf_dir).localCheckpoint(eager=True)
-    agg = canon.groupBy("canonical_url").agg(
-        F.max("n_chars").cast("long").alias("kept_chars")
-    )
-    mx = agg.select(
-        F.col("canonical_url").alias("cu"), F.col("kept_chars").alias("kc")
-    )
-    surv = (
-        canon.join(
-            mx,
-            (canon["canonical_url"] == mx["cu"]) & (canon["n_chars"] == mx["kc"]),
+    # r14 (guide §2.4, the url_dedup_canonical rewrite applied to the
+    # composed stage): survivor (doc_id, source, host, n_chars) per
+    # canonical URL in ONE aggregate — max(struct(n_chars, -doc_id,
+    # source, host)); the trailing fields never decide (doc_id is
+    # unique) and just ride along, so the max-then-fetch join-back, its
+    # second groupBy, AND the canon checkpoint (canon now has exactly
+    # one consumer) disappear: stage 1 is scan -> canon map -> one
+    # exchange -> s1.
+    canon = _url_canon(spark, sf_dir)
+    best = F.max(
+        F.struct(
+            F.col("n_chars"),
+            (-F.col("doc_id")).alias("nid"),
+            F.col("source").alias("source"),
+            F.col("host").alias("host"),
         )
-        .groupBy("canonical_url")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    ).alias("b")
     s1 = (
-        canon.join(surv, "doc_id")
-        .select("doc_id", "source", "host", "n_chars")
+        canon.groupBy("canonical_url")
+        .agg(best)
+        .select(
+            (-F.col("b.nid")).alias("doc_id"),
+            F.col("b.source").alias("source"),
+            F.col("b.host").alias("host"),
+            F.col("b.n_chars").alias("n_chars"),
+        )
         .localCheckpoint(eager=True)
     )
     q = gopher_quality_rules(spark, sf_dir).select("doc_id", "keep")
@@ -3202,7 +3212,7 @@ _DSIR_SQL = rf"""
 # Scored-importance memo: dsir_importance and dsir_resample share ONE
 # scoring pass per (session, corpus) — the persisted importance
 # manifest of a production DSIR pipeline (closes the r11 ADVICE low).
-_DSIR_CACHE: dict[tuple, DataFrame] = {}
+_DSIR_CACHE: dict[tuple, DataFrame] = register_memo()
 
 
 @query("dsir_importance", layer="C", oracle=_DSIR_SQL)
@@ -4997,7 +5007,7 @@ def tfidf_kmeans_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
 # tfidf_kmeans_clusters and tfidf_cluster_prune share one materialized
 # assignment instead of each re-running tf/idf/vectorize + two Lloyd
 # passes.
-_TFK_CACHE: dict = {}
+_TFK_CACHE: dict = register_memo()
 
 
 def _tfk_assign_final(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,7 +23,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
-from cuttlefish_spark.io import load_table, spread
+from cuttlefish_spark.io import load_table, register_memo, spread
 from cuttlefish_spark.registry import query
 
 _NORM_SQL = r"regexp_replace(trim(lower(text)), '\s+', ' ', 'g')"
@@ -151,7 +151,7 @@ def minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
     # joined once per candidate; see _token_band_candidates.
     a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("band1").alias("k"))
     b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("band1").alias("k"))
-    cand1 = a1.join(b1, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+    cand1 = _salt_band_join(a1, b1).filter(F.col("doc_a") < F.col("doc_b")).drop("k")
     a2 = sig.select(
         F.col("doc_id").alias("doc_a"), F.col("band2").alias("k"), F.col("band1").alias("p_a")
     )
@@ -159,7 +159,7 @@ def minhash_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("doc_id").alias("doc_b"), F.col("band2").alias("k"), F.col("band1").alias("p_b")
     )
     cand2 = (
-        a2.join(b2, "k")
+        _salt_band_join(a2, b2)
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
         .select("doc_a", "doc_b")
     )
@@ -277,7 +277,7 @@ _TOKSIG_SQL = rf"""
 # build. Build the FULL (wide, with_rep) table once per (session,
 # corpus), serve column subsets; marginal per-query cost after the
 # first consumer is one checkpoint read.
-_sig_memo: dict = {}
+_sig_memo: dict = register_memo()
 
 
 def _token_signatures(
@@ -371,6 +371,57 @@ def _token_signatures(
     return cached.select(*cols)
 
 
+# Hot-band salting (guide §2.5, r14; r13 VERDICT item 1): MinHash band
+# keys are high-cardinality by construction but NOT uniform — every doc
+# whose token set contains the corpus's globally-minimal token hash
+# shares that window's minimum, so one band value can hold a large
+# fraction of the corpus (3166/5000 docs at sf0.1). The pair stream of
+# that ONE key lands in ONE join task, and because the payload joins
+# that follow are broadcasts at test scale, the per-pair verify work
+# stays in the same task — measured fully serial (minhash_accuracy
+# 41.8 s at 32 cores vs 15.7 s at 8 in BENCH_r13). AQE skew-join can't
+# help: it splits oversized partitions, never a single enormous key
+# (guide §2.5). Salting: one narrow count per band value over the
+# already-checkpointed signatures, broadcast the keys with >=
+# _SALT_MIN_ROWS rows, derive a per-key split width sn = ceil(kn /
+# _SALT_A_ROWS); the probe side keeps ONE row at u = hash(id) % sn, the
+# build side is exploded to every u in [0, sn); the join key becomes
+# (k, u). Each (a, b) pair joins at exactly u = hash(a) % sn, so the
+# pair SET is identical — hot keys just spread over sn tasks. Cold keys
+# (the overwhelming majority) pay one broadcast-hash lookup and no
+# explode. Scale note: sn derives from the key's own frequency, so the
+# split width adapts to any corpus size; per-task pair count is
+# bounded at ~_SALT_A_ROWS * |build side of the key|.
+_SALT_MIN_ROWS = 256
+_SALT_A_ROWS = 48
+
+
+def _salt_band_join(a: DataFrame, b: DataFrame, id_col: str = "doc_a") -> DataFrame:
+    """Inner-join `a` and `b` on column `k` with hot keys salted.
+
+    Same row set as a.join(b, "k"); `id_col` names a column of `a`
+    whose hash spreads the probe side across the salt splits."""
+    freq = F.broadcast(
+        b.groupBy("k")
+        .agg(F.count(F.lit(1)).alias("kn"))
+        .filter(F.col("kn") >= _SALT_MIN_ROWS)
+    )
+    sn = F.coalesce(
+        F.ceil(F.col("kn") / F.lit(_SALT_A_ROWS)).cast("int"), F.lit(1)
+    )
+    a_s = (
+        a.join(freq, "k", "left")
+        .withColumn("u", F.pmod(F.xxhash64(id_col), sn).cast("int"))
+        .drop("kn")
+    )
+    b_s = (
+        b.join(freq, "k", "left")
+        .withColumn("u", F.explode(F.sequence(F.lit(0), sn - F.lit(1))))
+        .drop("kn")
+    )
+    return a_s.join(b_s, ["k", "u"]).drop("u")
+
+
 def _band_candidates(
     sig: DataFrame,
     min_jaccard: float | None = None,
@@ -440,19 +491,19 @@ def _band_candidates(
                         F.col("nw").alias("nw_a"), kk.alias("k"))
         b4 = sig.select(F.col("doc_id").alias("doc_b"),
                         F.col("nw").alias("nw_b"), kk.alias("k"))
-        cand = a4.join(b4, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+        cand = _salt_band_join(a4, b4).filter(F.col("doc_a") < F.col("doc_b")).drop("k")
     elif rows_per_band == 2:
         a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
                         F.col("band1").alias("k"))
         b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
                         F.col("band1").alias("k"))
-        cand1 = a1.join(b1, "k").filter(F.col("doc_a") < F.col("doc_b")).drop("k")
+        cand1 = _salt_band_join(a1, b1).filter(F.col("doc_a") < F.col("doc_b")).drop("k")
         a2 = sig.select(F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
                         F.col("band2").alias("k"), F.col("band1").alias("p_a"))
         b2 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
                         F.col("band2").alias("k"), F.col("band1").alias("p_b"))
         cand2 = (
-            a2.join(b2, "k")
+            _salt_band_join(a2, b2)
             .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
             .select("doc_a", "doc_b", "nw_a", "nw_b")
         )
@@ -1493,39 +1544,52 @@ def minhash_accuracy(spark: SparkSession, sf_dir: str) -> DataFrame:
     (round(x*1e9) summed as BIGINT) so the hash is order-independent
     across engines and partition counts.
     """
+    # r14 (guide §2.3 narrower types + §2.5): the per-pair estimator
+    # used to compare 4 x substring(8) of the 16-char band STRINGS
+    # carried through the joins — ~10 short-lived UTF8String
+    # allocations per pair x ~5M pairs made the verify stage
+    # allocation-bound and bimodal under 32-thread GC churn. The
+    # MinHash windows are now parsed to LONGS once per DOC before the
+    # join (conv is injective on fixed 8-hex-char windows, so long
+    # equality == window-string equality), and each branch's join key
+    # already implies TWO of the four window matches (cand1 joins on
+    # band1 = windows 1||2; cand2 on band2 = windows 3||4), so per
+    # pair the estimator is 2 long equalities and zero allocations —
+    # and the band joins carry 2 longs instead of 2 strings.
     sig = _token_signatures(spark, sf_dir)
+
+    def win(col: str, start: int) -> F.Column:
+        return F.conv(F.substring(F.col(col), start, 8), 16, 10).cast("long")
+
     a1 = sig.select(F.col("doc_id").alias("doc_a"), F.col("band1").alias("k"),
-                    F.col("band2").alias("b2_a"))
+                    win("band2", 1).alias("w3_a"), win("band2", 9).alias("w4_a"))
     b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("band1").alias("k"),
-                    F.col("band2").alias("b2_b"))
+                    win("band2", 1).alias("w3_b"), win("band2", 9).alias("w4_b"))
+    eq = lambda a, b: F.when(F.col(a) == F.col(b), 1).otherwise(0)  # noqa: E731
     cand1 = (
-        a1.join(b1, "k")
+        _salt_band_join(a1, b1)
         .filter(F.col("doc_a") < F.col("doc_b"))
-        .select("doc_a", "doc_b", F.col("k").alias("b1_a"), F.col("k").alias("b1_b"),
-                "b2_a", "b2_b")
+        .select("doc_a", "doc_b",
+                (2 + eq("w3_a", "w3_b") + eq("w4_a", "w4_b")).alias("matches"))
     )
     a2 = sig.select(F.col("doc_id").alias("doc_a"), F.col("band2").alias("k"),
-                    F.col("band1").alias("b1_a"))
+                    win("band1", 1).alias("w1_a"), win("band1", 9).alias("w2_a"))
     b2 = sig.select(F.col("doc_id").alias("doc_b"), F.col("band2").alias("k"),
-                    F.col("band1").alias("b1_b"))
+                    win("band1", 1).alias("w1_b"), win("band1", 9).alias("w2_b"))
     cand2 = (
-        a2.join(b2, "k")
-        .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("b1_a") != F.col("b1_b")))
-        .select("doc_a", "doc_b", "b1_a", "b1_b", F.col("k").alias("b2_a"),
-                F.col("k").alias("b2_b"))
+        _salt_band_join(a2, b2)
+        .filter(
+            (F.col("doc_a") < F.col("doc_b"))
+            & ((F.col("w1_a") != F.col("w1_b")) | (F.col("w2_a") != F.col("w2_b")))
+        )
+        .select("doc_a", "doc_b",
+                (eq("w1_a", "w1_b") + eq("w2_a", "w2_b") + 2).alias("matches"))
     )
     cand = cand1.unionByName(cand2.select(*cand1.columns))
     wa = sig.select(F.col("doc_id").alias("doc_a"), F.col("hw").alias("hw_a"))
     wb = sig.select(F.col("doc_id").alias("doc_b"), F.col("hw").alias("hw_b"))
     pairs = cand.join(wa, "doc_a").join(wb, "doc_b")
-
-    def m(col: str, start: int) -> F.Column:
-        return F.substring(F.col(col), start, 8)
-
-    matches = sum(
-        F.when(m(f"b{w}_a", s) == m(f"b{w}_b", s), 1).otherwise(0)
-        for w, s in [(1, 1), (1, 9), (2, 1), (2, 9)]
-    )
+    matches = F.col("matches")
     i = F.size(F.array_intersect("hw_a", "hw_b")).cast("double")
     exact = i / (F.size("hw_a") + F.size("hw_b") - i)
     scored = pairs.select(
@@ -1620,7 +1684,7 @@ def minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     b1 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
                     F.col("band1").alias("k"), F.col("band2").alias("b2_b"))
     cand1 = (
-        a1.join(b1, "k")
+        _salt_band_join(a1, b1)
         .filter(F.col("doc_a") < F.col("doc_b"))
         .select("doc_a", "doc_b", "nw_a", "nw_b",
                 (F.col("b2_a") == F.col("b2_b")).alias("both_bands"))
@@ -1630,7 +1694,7 @@ def minhash_banding_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
     b2 = sig.select(F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
                     F.col("band2").alias("k"), F.col("band1").alias("p_b"))
     cand2 = (
-        a2.join(b2, "k")
+        _salt_band_join(a2, b2)
         .filter((F.col("doc_a") < F.col("doc_b")) & (F.col("p_a") != F.col("p_b")))
         .select("doc_a", "doc_b", "nw_a", "nw_b",
                 F.lit(False).alias("both_bands"))
@@ -2386,7 +2450,7 @@ def _xband_candidates(
             F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
             kk.alias("k"),
         )
-        cand = a8.join(b8, "k").drop("k")
+        cand = _salt_band_join(a8, b8).drop("k")
     else:
         a1 = batch_sig.select(
             F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
@@ -2396,7 +2460,7 @@ def _xband_candidates(
             F.col("doc_id").alias("doc_b"), F.col("nw").alias("nw_b"),
             F.col("band1").alias("k"),
         )
-        cand1 = a1.join(b1, "k").drop("k")
+        cand1 = _salt_band_join(a1, b1).drop("k")
         a2 = batch_sig.select(
             F.col("doc_id").alias("doc_a"), F.col("nw").alias("nw_a"),
             F.col("band2").alias("k"), F.col("band1").alias("p_a"),
@@ -2406,7 +2470,7 @@ def _xband_candidates(
             F.col("band2").alias("k"), F.col("band1").alias("p_b"),
         )
         cand2 = (
-            a2.join(b2, "k")
+            _salt_band_join(a2, b2)
             .filter(F.col("p_a") != F.col("p_b"))
             .select("doc_a", "doc_b", "nw_a", "nw_b")
         )

@@ -30,7 +30,7 @@ from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import cosine_sim, dot, hash60
-from cuttlefish_spark.io import load_table
+from cuttlefish_spark.io import load_table, register_memo
 from cuttlefish_spark.registry import query
 
 _COS_SQL = (
@@ -402,30 +402,49 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     # would always WIN there while always losing here, so the pin must
     # live on BOTH sides (the testdata itself is Gaussian — zero norms
     # never occur there, but the contract holds on degenerate inputs).
-    cand = F.struct(
-        F.nanvl(
-            -cosine_sim(F.col("v"), F.col("c")), F.lit(float("inf"))
-        ).alias("ns"),
-        F.col("centroid_id").alias("centroid_id"),
-        F.col("label").alias("label"),
-        F.col("v").alias("v"),
-    )
-    assigned = (
-        vecs.crossJoin(cents)
-        .select("vec_id", cand.alias("cand"))
-        .groupBy("vec_id")
-        .agg(F.min("cand").alias("b"))
-        .select(
-            "vec_id",
-            F.col("b.label").alias("label"),
-            F.col("b.v").alias("v"),
-            F.col("b.centroid_id").alias("centroid_id"),
+    # r14 (guide §2.4 remove shuffles outright): the argmin cell is now
+    # computed MAP-SIDE — the K centroids are collapsed to ONE broadcast
+    # array row and each vector takes array_min over K candidate structs
+    # inline, so the crossJoin-K-rows + groupBy(vec_id) EXCHANGE of
+    # (ns, cid, label, v) structs disappears, and with it the eager
+    # localCheckpoint job that existed only because `assigned` had two
+    # consumers: the probe's own cell is derived from the 1-row vec_id=0
+    # scan directly (same argmin expression), so `assigned` has ONE
+    # consumer and streams scan -> project -> broadcast-join ->
+    # TakeOrderedAndProject with zero wide exchanges. min(struct(ns,
+    # cid)) semantics are IDENTICAL to the old groupBy min (the old
+    # struct's trailing label/v fields never decided — centroid_id is
+    # unique per group), including the NaN pin: nanvl(+inf) makes a
+    # zero-norm pair the worst candidate on both paths.
+    cents_arr = F.broadcast(
+        cents.agg(
+            F.collect_list(F.struct("centroid_id", "c")).alias("cs")
         )
-        .localCheckpoint(eager=True)
+    )
+
+    def best_cell(vcol: F.Column) -> F.Column:
+        return F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda s: F.struct(
+                    F.nanvl(
+                        -cosine_sim(vcol, s["c"]), F.lit(float("inf"))
+                    ).alias("ns"),
+                    s["centroid_id"].alias("centroid_id"),
+                ),
+            )
+        )["centroid_id"]
+
+    assigned = (
+        vecs.crossJoin(cents_arr)
+        .select("vec_id", "label", "v", best_cell(F.col("v")).alias("centroid_id"))
     )
     probe_cell = F.broadcast(
-        assigned.filter(F.col("vec_id") == 0).select(
-            F.col("centroid_id").alias("probe_centroid"), F.col("v").alias("p")
+        vecs.filter(F.col("vec_id") == 0)
+        .crossJoin(cents_arr)
+        .select(
+            best_cell(F.col("v")).alias("probe_centroid"),
+            F.col("v").alias("p"),
         )
     )
     return (
@@ -533,21 +552,32 @@ def ann_ivf_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
         )
     )
-    w = Window.partitionBy("vec_id").orderBy(
-        F.col("centroid_sim").desc(), F.col("centroid_id")
+    # r14 (guide §2.4): map-side argmin over ONE broadcast centroid
+    # array replaces the crossJoin-K-rows + row_number window — the
+    # per-vec_id EXCHANGE + Sort disappear; the checkpoint stays (it is
+    # the persisted IVF index all three nprobe branches read). NaN
+    # semantics preserved exactly: the old window ordered centroid_sim
+    # DESC with NaN ranked FIRST (Spark sorts NaN greatest), so a NaN
+    # similarity WON; nanvl(-inf) keeps that rule (ties on NaN broken
+    # by centroid_id, as before). The testdata is Gaussian — no NaN
+    # occurs — but the contract holds on degenerate inputs.
+    cents_arr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("centroid_id", "c")).alias("cs"))
     )
-    assigned = (
-        vecs.crossJoin(cents)
-        .select(
-            "vec_id",
-            "label",
-            "v",
-            "centroid_id",
-            cosine_sim(F.col("v"), F.col("c")).alias("centroid_sim"),
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                F.nanvl(
+                    -cosine_sim(F.col("v"), s["c"]), F.lit(float("-inf"))
+                ).alias("ns"),
+                s["centroid_id"].alias("centroid_id"),
+            ),
         )
-        .withColumn("rn", F.row_number().over(w))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "centroid_sim")
+    )["centroid_id"]
+    assigned = (
+        vecs.crossJoin(cents_arr)
+        .select("vec_id", "label", "v", best.alias("centroid_id"))
         # Read by all three nprobe branches — the persisted IVF index.
         .localCheckpoint(eager=True)
     )
@@ -687,7 +717,7 @@ _KMEANS_ORACLE = f"""
 # cluster_prune_prototypes share one materialized assignment instead
 # of each re-running the two Lloyd rounds — the production shape is a
 # persisted assignment table both consumers read.
-_KM_A2_CACHE: dict = {}
+_KM_A2_CACHE: dict = register_memo()
 
 
 def _kmeans_assign2(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1131,7 +1161,7 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SD_CACHE: dict = {}
+_SD_CACHE: dict = register_memo()
 
 
 @query("semantic_dedup", layer="C", oracle=_semantic_dedup_oracle())
@@ -1378,24 +1408,31 @@ def ivf_recall_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("vec_id").alias("centroid_id"), F.col("v").alias("c")
         )
     )
-    w_assign = Window.partitionBy("vec_id").orderBy(
-        F.col("centroid_sim").desc(), F.col("centroid_id")
+    # r14 (guide §2.4): map-side argmin over ONE broadcast centroid
+    # array replaces the crossJoin-K-rows + row_number window (per-vec
+    # Exchange + Sort gone) — same rewrite as ann_ivf_multiprobe, same
+    # NaN-wins pin (nanvl(-inf)) matching the old bare DESC ordering.
+    cents_arr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("centroid_id", "c")).alias("cs"))
     )
-    assigned = (
-        vecs.crossJoin(cents)
-        .select(
-            "vec_id",
-            "v",
-            "centroid_id",
-            cosine_sim(F.col("v"), F.col("c")).alias("centroid_sim"),
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                F.nanvl(
+                    -cosine_sim(F.col("v"), s["c"]), F.lit(float("-inf"))
+                ).alias("ns"),
+                s["centroid_id"].alias("centroid_id"),
+            ),
         )
-        .withColumn("rn", F.row_number().over(w_assign))
-        .filter(F.col("rn") == 1)
-        .drop("rn", "centroid_sim")
+    )["centroid_id"]
+    assigned = (
+        vecs.crossJoin(cents_arr)
+        .select("vec_id", "v", best.alias("centroid_id"))
         # Read by the probe list, the exact arm, and the IVF cell arm —
-        # checkpoint so the assignment crossJoin+argmax runs ONCE. This
-        # is exactly the materialized cluster-assignment manifest a real
-        # IVF index persists at build time.
+        # checkpoint so the assignment pass runs ONCE. This is exactly
+        # the materialized cluster-assignment manifest a real IVF index
+        # persists at build time.
         .localCheckpoint(eager=True)
     )
     probes = F.broadcast(
@@ -1622,7 +1659,7 @@ def _pca_x(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Converged-direction memo (the _QC_CACHE discipline): the power
 # iteration runs once per (session, corpus) and serves both
 # embedding_pca_power and embedding_abtt_projection.
-_PCA_CACHE: dict[tuple, tuple] = {}
+_PCA_CACHE: dict[tuple, tuple] = register_memo()
 
 
 def _pca_iterate(spark: SparkSession, sf_dir: str) -> tuple[list[int], int]:
@@ -2136,7 +2173,7 @@ _PQ_ORACLE = f"""
 
 # One PQ training per (session, corpus): pq_adc_topk and ivfpq_topk
 # share the trained codes/LUT plans (the _BPE_CACHE discipline).
-_PQ_CACHE: dict[tuple, tuple] = {}
+_PQ_CACHE: dict[tuple, tuple] = register_memo()
 
 
 def _pq_build(spark: SparkSession, sf_dir: str, probe_id: int = 0):
@@ -2454,14 +2491,16 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     all {_KC_K} rounds as CTEs and re-derives the identical
     trajectory.
 
-    Scale shape: each round is ONE job — the corpus joined to a
-    BROADCAST <= {_KC_K}+1-row selected set, a per-point min, and a
-    1-row argmax collect (the model, O(k) total driver traffic — the
-    bpe_train_merges bound). At 100 TB, production k-center runs
-    exactly this loop with the d_min column persisted and updated
-    incrementally (min(old_dmin, dist-to-newest) — one broadcast of
-    ONE vector per round); the unrolled re-min here keeps the oracle
-    static while the plan shape is identical."""
+    Scale shape: each round is ONE shuffle-free job — the checkpointed
+    corpus mapped through an inline least() over the <= {_KC_K}+1
+    selected vectors (literals the driver already holds; each argmax
+    collect carries the winner's vector back in its struct), then a
+    partial-aggregated 1-row argmax collect (the model, O(k * dim)
+    total driver traffic — the bpe_train_merges bound). At 100 TB,
+    production k-center runs exactly this loop with the d_min column
+    persisted and updated incrementally (min(old_dmin, dist-to-newest)
+    — one vector per round); the unrolled re-min here keeps the oracle
+    static while the per-round plan stays one map + one 1-row agg."""
     e = load_table(spark, sf_dir, "embeddings")
     vecs = e.select(
         "vec_id", F.col("embedding").cast("array<double>").alias("v")
@@ -2470,27 +2509,45 @@ def kcenter_coreset(spark: SparkSession, sf_dir: str) -> DataFrame:
     def d2(a, b):
         return (dot(a, a) - F.lit(2.0) * dot(a, b)) + dot(b, b)
 
+    # r14 (guide §2.4): each round previously built a broadcast of the
+    # selected rows (one extra job scanning the checkpoint) and ran
+    # join + groupBy(vec_id).min — a corpus-wide EXCHANGE per round.
+    # The selected set is <= _KC_K+1 vectors the DRIVER already holds
+    # (each round's argmax row carries the winner's vector back in the
+    # same 1-row collect — the trailing struct field never decides:
+    # (m, -vec_id) is already unique), so the per-point min is now an
+    # inline least() over literal vectors: ONE shuffle-free
+    # map + partial-agg job per round, no broadcast build, no groupBy.
+    # Arithmetic is unchanged — round(d2, 6) per selected point, min
+    # across points (least == groupBy min on non-null doubles), argmax
+    # by max(struct(m, -vec_id)) — so the trajectory is bit-identical.
+    def lit_vec(vals: list) -> F.Column:
+        return F.array(*[F.lit(float(x)) for x in vals])
+
+    seed = vecs.filter(F.col("vec_id") == 0).select("v").collect()[0]["v"]
+    pts: list[list] = [list(seed)]
     selected: list[tuple[int, int, float | None]] = [(0, 0, None)]
-    sel_ids = [0]
     for r in range(1, _KC_K + 1):
-        sel = vecs.filter(F.col("vec_id").isin(sel_ids)).select(
-            F.col("v").alias("sv")
-        )
-        dmin = (
-            vecs.join(F.broadcast(sel))
-            .select(
-                "vec_id",
-                F.round(d2(F.col("v"), F.col("sv")), 6).alias("d"),
+        dists = [
+            F.round(d2(F.col("v"), lit_vec(p)), 6) for p in pts
+        ]
+        m = dists[0] if len(dists) == 1 else F.least(*dists)
+        top = (
+            vecs.select("vec_id", "v", m.alias("m"))
+            .agg(
+                F.max(
+                    F.struct(
+                        F.col("m"),
+                        (-F.col("vec_id")).alias("nid"),
+                        F.col("v").alias("sv"),
+                    )
+                ).alias("t")
             )
-            .groupBy("vec_id")
-            .agg(F.min("d").alias("m"))
+            .collect()[0]["t"]
         )
-        top = dmin.agg(
-            F.max(F.struct(F.col("m"), (-F.col("vec_id")).alias("nid"))).alias("t")
-        ).collect()[0]["t"]
         chosen, radius = -top["nid"], float(top["m"])
         selected.append((r, int(chosen), radius))
-        sel_ids.append(int(chosen))
+        pts.append(list(top["sv"]))
     return spark.createDataFrame(
         selected, "round long, selected_id long, coverage_radius double"
     )
@@ -2726,21 +2783,34 @@ def _iivf_parts(spark: SparkSession, sf_dir: str):
 
 
 def _iivf_assign(part: DataFrame, cents) -> DataFrame:
-    """Argmax-cosine cell assignment as the min(struct) hash-agg (the
-    ann_ivf_topk rewrite — no per-vector rank window), returning
-    (vec_id, cid, cos)."""
-    cand = F.struct(
-        F.nanvl(
-            -cosine_sim(F.col("v"), F.col("c")), F.lit(float("inf"))
-        ).alias("ns"),
-        F.col("cid").alias("cid"),
+    """Argmax-cosine cell assignment, MAP-SIDE (the r14 ann_ivf_topk
+    rewrite): centroids collapse to one broadcast array row and each
+    vector takes array_min over K candidate structs inline — same
+    min(struct(ns, cid)) comparator and NaN pin as the former
+    crossJoin + groupBy(vec_id) hash-agg, without its per-vector
+    Exchange. Returns (vec_id, cid, cos)."""
+    cents_arr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cid", "c")).alias("cs"))
+    )
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                F.nanvl(
+                    -cosine_sim(F.col("v"), s["c"]), F.lit(float("inf"))
+                ).alias("ns"),
+                s["cid"].alias("cid"),
+            ),
+        )
     )
     return (
-        part.crossJoin(cents)
-        .select("vec_id", cand.alias("cand"))
-        .groupBy("vec_id")
-        .agg(F.min("cand").alias("b"))
-        .select("vec_id", F.col("b.cid").alias("cid"), (-F.col("b.ns")).alias("cos"))
+        part.crossJoin(cents_arr)
+        .select("vec_id", best.alias("b"))
+        .select(
+            "vec_id",
+            F.col("b.cid").alias("cid"),
+            (-F.col("b.ns")).alias("cos"),
+        )
     )
 
 
@@ -3047,7 +3117,7 @@ def _knn_vecs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_KNN_CACHE: dict = {}
+_KNN_CACHE: dict = register_memo()
 
 
 def _knn_topk(pairs: DataFrame) -> DataFrame:
@@ -3097,26 +3167,33 @@ def _knn_base_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_cells = max(8, n // _KNN_CELL_TARGET)
 
     def assign(lo: int, hi: int) -> DataFrame:
-        cents = F.broadcast(
+        # r14 (guide §2.4, the ann_ivf_topk rewrite): argmin cell is
+        # computed MAP-SIDE over one broadcast centroid-array row —
+        # same min(struct(ns, cell)) comparator with the same NaN pin
+        # (nanvl(+inf): a NaN sim always loses), but the
+        # crossJoin-K-rows + groupBy(vec_id) EXCHANGE per bucketing is
+        # gone. Broadcast-size constraint unchanged (the docstring's
+        # ~1e5-cell bound, beyond which assignment goes hierarchical).
+        cents_arr = F.broadcast(
             vecs.filter(
                 (F.col("vec_id") >= lo) & (F.col("vec_id") < hi)
-            ).select(F.col("vec_id").alias("cell"), F.col("v").alias("c"))
+            )
+            .select(F.col("vec_id").alias("cell"), F.col("v").alias("c"))
+            .agg(F.collect_list(F.struct("cell", "c")).alias("cs"))
         )
-        # argmax cell as min(struct) — ann_ivf_topk's hash-agg shape
-        # with the same NaN pin (nanvl(+inf): a NaN sim always loses).
-        cand = F.struct(
-            F.nanvl(
-                -cosine_sim(F.col("v"), F.col("c")), F.lit(float("inf"))
-            ).alias("ns"),
-            F.col("cell").alias("cell"),
-            F.col("v").alias("v"),
-        )
-        return (
-            vecs.crossJoin(cents)
-            .select("vec_id", cand.alias("cand"))
-            .groupBy("vec_id")
-            .agg(F.min("cand").alias("b"))
-            .select("vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell"))
+        best = F.array_min(
+            F.transform(
+                F.col("cs"),
+                lambda s: F.struct(
+                    F.nanvl(
+                        -cosine_sim(F.col("v"), s["c"]), F.lit(float("inf"))
+                    ).alias("ns"),
+                    s["cell"].alias("cell"),
+                ),
+            )
+        )["cell"]
+        return vecs.crossJoin(cents_arr).select(
+            "vec_id", "v", best.alias("cell")
         )
 
     def cellmates_scored(ass: DataFrame) -> DataFrame:

@@ -21,6 +21,7 @@ from contextlib import contextmanager
 
 from pyspark.sql import DataFrame, SparkSession
 
+from cuttlefish_spark.io import register_memo
 from cuttlefish_spark.registry import query
 
 
@@ -535,7 +536,7 @@ def streaming_hopping_halfhour(spark: SparkSession, sf_dir: str) -> DataFrame:
 # harness that regenerates the data at the same path within one process
 # must not reuse a stale cutoff (ADVICE r5 — a stale cutoff silently
 # filters to the wrong purchase set).
-_LOJ_CUTOFFS: dict[tuple[str, int, int], object] = {}
+_LOJ_CUTOFFS: dict[tuple[str, int, int], object] = register_memo()
 
 
 def _loj_memo_key(sf_dir: str) -> tuple[str, int, int]:

@@ -18,7 +18,7 @@ from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import hash60, tokens, word_shingles
-from cuttlefish_spark.io import load_table, register_views, spread
+from cuttlefish_spark.io import load_table, register_memo, register_views, spread
 from cuttlefish_spark.operators.twophase import (
     two_phase_prefix_sum,
     two_phase_rank,
@@ -144,7 +144,7 @@ def _lid_lr_div(t: int) -> int:
     return 1 << (t // 4)
 
 
-_LID_CACHE: dict[tuple, tuple] = {}
+_LID_CACHE: dict[tuple, tuple] = register_memo()
 
 
 def _lid_feature_sql() -> str:
@@ -2787,50 +2787,86 @@ def bm25_doc_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
     (which cuts top-{_BM25_K}) and hybrid_rank_fusion (which ranks the
     whole scored set). See bm25_topk's docstring for the exact-integer
     derivation."""
+    # r14 rewrite (guide §2.3 aggregate-before-shuffle, §2.4 remove
+    # shuffles outright): the query-term list is FIXED and tiny, so the
+    # inverted-index build (explode -> semi-join -> (doc, term) groupBy
+    # -> checkpoint -> df broadcast -> 3-way join) is pure overhead —
+    # and its unshared lineage re-tokenized the corpus for `dl`, for
+    # the `tot` broadcast AND for the scorer join, 4 full passes in
+    # all. Per-doc term counters (size(filter(tokens, = term))) compute
+    # (dl, tf_1..tf_Q) in ONE narrow map pass with ZERO exchanges; one
+    # broadcast aggregate yields (T, N, df_1..df_Q); the score is then
+    # a map-side expression. Plan: scan -> project -> checkpoint (the
+    # per-doc "index" row, ~40 B/doc at 100 TB) -> 1-row broadcast ->
+    # TakeOrderedAndProject in the top-k caller. Same exact-integer
+    # arithmetic per term as before, so the scores are bit-identical.
     d = spread(spark, load_table(spark, sf_dir, "documents"))
-    toks_df = d.select("doc_id", F.explode(tokens(F.col("text"))).alias("w"))
-    dl = toks_df.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
-    # Two scalar totals: T from the token stream, N from the corpus
-    # (docs with zero tokens still count toward avgdl's denominator).
-    tot = F.broadcast(
-        dl.agg(F.coalesce(F.sum("dl"), F.lit(0)).alias("t")).crossJoin(
-            d.agg(F.count(F.lit(1)).alias("n"))
-        )
-    )
-    qt = F.broadcast(
-        spark.createDataFrame([(t,) for t in _BM25_TERMS], "term string")
-    )
-    tf = (
-        toks_df.join(qt, toks_df["w"] == qt["term"])
-        .groupBy("doc_id", "term")
-        .agg(F.count(F.lit(1)).alias("tf"))
-        .localCheckpoint(eager=True)  # feeds dfreq AND the scorer
-    )
-    dfreq = F.broadcast(
-        tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
-    )
-    scored = (
-        tf.join(dfreq, "term")
-        .join(dl, "doc_id")
-        .crossJoin(tot)
+    tk = tokens(F.col("text"))
+    nt = len(_BM25_TERMS)
+    def term_count(term: str) -> F.Column:
+        # closure factory, NOT a defaulted second lambda arg — pyspark
+        # reads a 2-ary lambda as the (element, index) filter variant
+        return F.size(
+            F.filter(F.col("tk"), lambda x: x == F.lit(term))
+        ).cast("long")
+
+    base = (
+        d.select("doc_id", tk.alias("tk"))
         .select(
             "doc_id",
-            (
-                F.length(F.bin(2 * F.col("n") + 2))
-                - F.length(F.bin(2 * F.col("df") + 1))
-            ).cast("long").alias("idf_bits"),
-            F.expr(
-                "CAST((CAST(22000000 AS DECIMAL(19,0))"
-                "      * CAST(tf AS DECIMAL(19,0)) * t)"
-                " div (10 * t * tf + 3 * t + 9 * dl * n) AS BIGINT)"
-            ).alias("tf_micro"),
+            F.size("tk").cast("long").alias("dl"),
+            *[
+                term_count(t).alias(f"tf{i}")
+                for i, t in enumerate(_BM25_TERMS)
+            ],
+        )
+        .localCheckpoint(eager=True)  # feeds the stats row AND the scorer
+    )
+    stats = F.broadcast(
+        base.agg(
+            F.coalesce(F.sum("dl"), F.lit(0)).cast("long").alias("t"),
+            F.count(F.lit(1)).cast("long").alias("n"),
+            *[
+                F.sum(F.when(F.col(f"tf{i}") > 0, 1).otherwise(0))
+                .cast("long")
+                .alias(f"df{i}")
+                for i in range(nt)
+            ],
         )
     )
-    return scored.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_terms_hit"),
-        F.sum(F.col("idf_bits") * F.col("tf_micro"))
-        .cast("long")
-        .alias("score_micro"),
+    any_hit = None
+    for i in range(nt):
+        c = F.col(f"tf{i}") > 0
+        any_hit = c if any_hit is None else (any_hit | c)
+
+    def contrib(i: int) -> F.Column:
+        idf_bits = (
+            F.length(F.bin(2 * F.col("n") + 2))
+            - F.length(F.bin(2 * F.col(f"df{i}") + 1))
+        ).cast("long")
+        tf_micro = F.expr(
+            "CAST((CAST(22000000 AS DECIMAL(19,0))"
+            f"      * CAST(tf{i} AS DECIMAL(19,0)) * t)"
+            f" div (10 * t * tf{i} + 3 * t + 9 * dl * n) AS BIGINT)"
+        )
+        return F.when(F.col(f"tf{i}") > 0, idf_bits * tf_micro).otherwise(
+            F.lit(0).cast("long")
+        )
+
+    n_hit = None
+    score = None
+    for i in range(nt):
+        h = F.when(F.col(f"tf{i}") > 0, 1).otherwise(0).cast("long")
+        n_hit = h if n_hit is None else (n_hit + h)
+        score = contrib(i) if score is None else (score + contrib(i))
+    return (
+        base.filter(any_hit)
+        .crossJoin(stats)
+        .select(
+            "doc_id",
+            n_hit.alias("n_terms_hit"),
+            score.cast("long").alias("score_micro"),
+        )
     )
 
 

@@ -41,7 +41,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from cuttlefish_spark.functions import tokens
-from cuttlefish_spark.io import load_table, memo_key, memo_put, spread
+from cuttlefish_spark.io import load_table, memo_key, memo_put, register_memo, spread
 from cuttlefish_spark.registry import query
 
 _UG_MAXLEN = 16  # words longer than this are excluded everywhere
@@ -249,7 +249,7 @@ _UG_STATS_SQL = f"""
 # ---------------------------------------------------------------------------
 
 
-_UG_WORDS_CACHE: dict[tuple, DataFrame] = {}
+_UG_WORDS_CACHE: dict[tuple, DataFrame] = register_memo()
 
 
 def _ug_words(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -346,7 +346,7 @@ def _ug_usage(words: DataFrame, cost: dict[str, int]) -> DataFrame:
     )
 
 
-_UG_CACHE: dict[tuple, tuple] = {}
+_UG_CACHE: dict[tuple, tuple] = register_memo()
 
 
 def _ug_em(

@@ -48,18 +48,28 @@ def get_spark(
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
         .config("spark.ui.enabled", "false")
-        # Long-session hygiene (r13, measured): localCheckpoint /
-        # broadcast / shuffle state is reclaimed by ContextCleaner only
-        # after the JVM garbage-collects the owning objects, and the
-        # default periodic-GC interval is 30 MINUTES — a session running
-        # hundreds of queries accumulates dead MEMORY_AND_DISK blocks
-        # whose eviction churn slows later queries ~5-20x (bench.py has
-        # the numbers). A 2-minute periodic GC bounds that accumulation
-        # at any scale; per-query engines (bench.py) additionally GC
-        # between queries. Driver-state retention is capped for the same
-        # reason: AQE re-plans large queries many times and the status
+        # Long-session hygiene (r13, measured; RE-MEASURED r14):
+        # localCheckpoint / broadcast / shuffle state is reclaimed by
+        # ContextCleaner only after the JVM garbage-collects the owning
+        # objects, so a session running hundreds of queries accumulates
+        # dead MEMORY_AND_DISK blocks whose eviction churn slows later
+        # queries ~5-20x (r13 bench.py numbers). r13 bounded that with a
+        # 2-MINUTE periodic GC — but r14 measured the other edge of that
+        # knob: a periodic System.gc() is a full stop-the-world pause
+        # that lands MID-QUERY and made allocation-heavy stages bimodal
+        # (minhash_accuracy at sf0.1: 11-92 s across runs at 2min vs a
+        # stable 3.8-11 s at 60min; r13's whole 32-core anti-scaling
+        # cluster reads the same way). The interval therefore stays at
+        # Spark's 30min default unless overridden
+        # (SPARK_GRAFT_PERIODIC_GC); per-query engines (bench.py) do an
+        # explicit untimed System.gc() between runs, which is where the
+        # r13 leak is actually reclaimed. Driver-state retention stays
+        # capped: AQE re-plans large queries many times and the status
         # store otherwise retains 1000 executions of plan strings.
-        .config("spark.cleaner.periodicGC.interval", "2min")
+        .config(
+            "spark.cleaner.periodicGC.interval",
+            os.environ.get("SPARK_GRAFT_PERIODIC_GC", "30min"),
+        )
         .config("spark.sql.ui.retainedExecutions", "50")
         .config("spark.ui.retainedJobs", "200")
         .config("spark.ui.retainedStages", "200")
