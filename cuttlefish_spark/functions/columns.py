@@ -131,3 +131,12 @@ def cosine_sim(a: Column, b: Column) -> Column:
     """Cosine similarity = dot/(|a|*|b|), arrays cast to double by the
     caller. Formula mirrored exactly in the oracle SQL."""
     return dot(a, b) / (F.sqrt(dot(a, a)) * F.sqrt(dot(b, b)))
+    # r14 negative result, kept as a comment so it isn't retried: an
+    # unrolled fixed-dim expression tree (0.0 + a1*b1 + ... + a64*b64,
+    # element_at per term) IS whole-stage-codegen compiled where the
+    # F.aggregate fold is CodegenFallback — and still measured ~2x
+    # SLOWER than the interpreted fold on the k-NN pair stream (64
+    # bounds-checked element_at calls + a giant generated method beat
+    # the fold's specialized primitive-array loop). The win that
+    # survives measurement is precomputing norms per VECTOR so pair
+    # stages run ONE dot instead of three (see similarity._knn_score).

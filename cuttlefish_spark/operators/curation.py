@@ -3680,44 +3680,40 @@ def pretrain_data_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = spread(spark, load_table(spark, sf_dir, "documents"))
 
-    # Stage 1: URL dedup survivors.
-    canon = _url_canon(spark, sf_dir).localCheckpoint(eager=True)
-    u_agg = canon.groupBy("canonical_url").agg(
-        F.max("n_chars").cast("long").alias("kc")
-    )
-    mx = u_agg.select(F.col("canonical_url").alias("cu"), "kc")
-    u_surv = (
-        canon.join(
-            mx,
-            (canon["canonical_url"] == mx["cu"]) & (canon["n_chars"] == mx["kc"]),
+    # Stage 1: URL dedup survivors. r14 (guide §2.4, the
+    # url_dedup_canonical/curation_funnel_e2e rewrite applied to the
+    # capstone): (max n_chars, ties -> min doc_id) is ONE deterministic
+    # max(struct(n_chars, -doc_id, source)) aggregate — the trailing
+    # field never decides (doc_id unique) and just rides along — so the
+    # agg + equality-join-back + second groupBy + survivor join AND the
+    # canon checkpoint (canon now has one consumer) disappear.
+    canon = _url_canon(spark, sf_dir)
+    u_best = F.max(
+        F.struct(
+            F.col("n_chars"),
+            (-F.col("doc_id")).alias("nid"),
+            F.col("source").alias("source"),
         )
-        .groupBy("canonical_url")
-        .agg(F.min("doc_id").alias("doc_id"))
-        .select("doc_id")
-    )
+    ).alias("b")
     st1 = (
-        canon.join(u_surv, "doc_id")
-        .select("doc_id", "source")
+        canon.groupBy("canonical_url")
+        .agg(u_best)
+        .select(
+            (-F.col("b.nid")).alias("doc_id"), F.col("b.source").alias("source")
+        )
         .localCheckpoint(eager=True)
     )
 
-    # Stage 2: exact dedup among survivors (min doc_id per content md5).
+    # Stage 2: exact dedup among survivors (min doc_id per content md5)
+    # — same r14 discipline: min(struct(doc_id, source)) per content
+    # hash replaces the min-agg + equality-join-back (and eh, now
+    # single-consumer, no longer needs its own checkpoint).
     norm = F.regexp_replace(F.trim(F.lower(F.col("text"))), r"\s+", " ")
-    eh = (
-        d.select("doc_id", F.md5(norm).alias("ch"))
-        .join(st1, "doc_id")
-        .localCheckpoint(eager=True)
-    )
-    ek = (
-        eh.groupBy("ch")
-        .agg(F.min("doc_id").alias("kd"))
-        .select(F.col("ch").alias("ch2"), "kd")
-    )
+    eh = d.select("doc_id", F.md5(norm).alias("ch")).join(st1, "doc_id")
     st2 = (
-        eh.join(
-            ek, (F.col("ch") == F.col("ch2")) & (F.col("doc_id") == F.col("kd"))
-        )
-        .select("doc_id", "source")
+        eh.groupBy("ch")
+        .agg(F.min(F.struct(F.col("doc_id"), F.col("source"))).alias("b"))
+        .select(F.col("b.doc_id").alias("doc_id"), F.col("b.source").alias("source"))
         .localCheckpoint(eager=True)
     )
 

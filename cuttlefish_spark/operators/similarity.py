@@ -3137,16 +3137,31 @@ def _knn_topk(pairs: DataFrame) -> DataFrame:
 
 def _knn_score(vecs: DataFrame, cand: DataFrame) -> DataFrame:
     """Score an id-only (vec_id, nbr_id) candidate list: join the
-    vector table in once per side, emit the round-6 cosine."""
-    va = vecs
-    vb = vecs.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"))
+    vector table in once per side, emit the round-6 cosine.
+
+    r14 (guide §1.2 step 2): each side's norm is computed ONCE per
+    vector in the projection — sqrt of the same left-fold dot the
+    oracle's sqrt(list_dot_product(a,a)) evaluates on the same
+    operands, so the quotient is bit-identical — and the pair stage
+    runs ONE interpreted dot instead of three (measured ~2.5-3x on the
+    500k-pair stream; an unrolled codegen dot was measured SLOWER than
+    the fold, see functions.columns)."""
+    dt = dot
+    va = vecs.withColumn("nrm_a", F.sqrt(dt(F.col("v"), F.col("v"))))
+    vb = va.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("w"),
+        F.col("nrm_a").alias("nrm_b"),
+    )
     return (
         cand.join(va, "vec_id")
         .join(vb, "nbr_id")
         .select(
             "vec_id",
             "nbr_id",
-            F.round(cosine_sim(F.col("v"), F.col("w")), 6).alias("cosine"),
+            F.round(
+                dt(F.col("v"), F.col("w")) / (F.col("nrm_a") * F.col("nrm_b")), 6
+            ).alias("cosine"),
         )
     )
 
@@ -3161,7 +3176,15 @@ def _knn_base_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
     bucketing by exact rounded cosine and keep the top {_KNN_K}."""
     from cuttlefish_spark.io import spread
 
-    vecs = spread(spark, _knn_vecs(spark, sf_dir))
+    dt = dot
+    # Per-vector norm computed ONCE in the scan projection (r14): the
+    # oracle's sqrt(list_dot_product(x,x)) per PAIR evaluates the same
+    # fold on the same operands, so dividing by the precomputed
+    # product is bit-identical — and the pair stage runs 1 dot
+    # instead of 3 (measured ~2.5-3x on the 500k-pair stream).
+    vecs = spread(spark, _knn_vecs(spark, sf_dir)).withColumn(
+        "nrm", F.sqrt(dt(F.col("v"), F.col("v")))
+    )
     # 1-row driver sync (the cell-count scalar — bounded driver class).
     n = vecs.count()
     n_cells = max(8, n // _KNN_CELL_TARGET)
@@ -3193,7 +3216,7 @@ def _knn_base_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
         )["cell"]
         return vecs.crossJoin(cents_arr).select(
-            "vec_id", "v", best.alias("cell")
+            "vec_id", "v", "nrm", best.alias("cell")
         )
 
     def cellmates_scored(ass: DataFrame) -> DataFrame:
@@ -3206,7 +3229,10 @@ def _knn_base_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
         # exact (round-6 is deterministic), so distinct() collapses
         # them to the oracle's id-distinct-then-score result.
         b = ass.select(
-            F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"), "cell"
+            F.col("vec_id").alias("nbr_id"),
+            F.col("v").alias("w"),
+            F.col("nrm").alias("nrm_b"),
+            "cell",
         )
         return (
             ass.join(b, "cell")
@@ -3214,7 +3240,10 @@ def _knn_base_dag(spark: SparkSession, sf_dir: str) -> DataFrame:
             .select(
                 "vec_id",
                 "nbr_id",
-                F.round(cosine_sim(F.col("v"), F.col("w")), 6).alias("cosine"),
+                F.round(
+                    dt(F.col("v"), F.col("w")) / (F.col("nrm") * F.col("nrm_b")),
+                    6,
+                ).alias("cosine"),
             )
         )
 
@@ -3362,15 +3391,24 @@ def knn_graph_recall(spark: SparkSession, sf_dir: str) -> DataFrame:
     (vec_id, nbr_id); the output is two rows."""
     base = _knn_base(spark, sf_dir)
     refined = _knn_refined(spark, sf_dir)
-    vecs = _knn_vecs(spark, sf_dir)
+    dt = dot
+    vecs = _knn_vecs(spark, sf_dir).withColumn(
+        "nrm", F.sqrt(dt(F.col("v"), F.col("v")))
+    )
     probes = vecs.filter(F.col("vec_id") % _KNN_PROBE_MOD == 0)
-    allb = vecs.select(F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"))
+    allb = vecs.select(
+        F.col("vec_id").alias("nbr_id"),
+        F.col("v").alias("w"),
+        F.col("nrm").alias("nrm_b"),
+    )
     pairs = allb.join(
         F.broadcast(probes), F.col("vec_id") != F.col("nbr_id")
     ).select(
         "vec_id",
         "nbr_id",
-        F.round(cosine_sim(F.col("v"), F.col("w")), 6).alias("cosine"),
+        F.round(
+            dt(F.col("v"), F.col("w")) / (F.col("nrm") * F.col("nrm_b")), 6
+        ).alias("cosine"),
     )
     # Materialize the brute pass once — three consumers read it
     # (possible + one hit join per rung); without the checkpoint each
@@ -3556,7 +3594,9 @@ def _iknn_parts(
     _iivf_parts convention)."""
     from cuttlefish_spark.io import spread
 
-    vecs = spread(spark, _knn_vecs(spark, sf_dir))
+    vecs = spread(spark, _knn_vecs(spark, sf_dir)).withColumn(
+        "nrm", F.sqrt(dot(F.col("v"), F.col("v")))
+    )
     base = vecs.filter(F.col("vec_id") % _IIVF_MOD != _IIVF_NEW)
     batch = vecs.filter(F.col("vec_id") % _IIVF_MOD == _IIVF_NEW)
     # 1-row driver sync (the cell-count scalar — bounded driver class).
@@ -3565,23 +3605,36 @@ def _iknn_parts(
 
 
 def _iknn_assign(part: DataFrame, cents: DataFrame) -> DataFrame:
-    """knn_graph_ivf's min-struct argmax over an explicit centroid
-    table, keeping the vector payload for inline pair scoring."""
-    cand = F.struct(
-        F.nanvl(
-            -cosine_sim(F.col("v"), F.col("c")), F.lit(float("inf"))
-        ).alias("ns"),
-        F.col("cell").alias("cell"),
-        F.col("v").alias("v"),
+    """knn_graph_ivf's argmax-cell assignment over an explicit centroid
+    table, keeping the vector payload (and its precomputed norm) for
+    inline pair scoring.
+
+    r14 (guide §2.4, the _knn_base_dag/ann_ivf rewrite applied to the
+    incremental family — VERDICT item 6): the centroid table collapses
+    to ONE broadcast array row and the argmin is an inline
+    array_min(transform(...)) — same min(struct(ns, cell)) comparator
+    with the same NaN pin (nanvl(+inf): a NaN sim always loses) — so
+    the crossJoin x K-rows expansion (which duplicated every vector
+    payload K times) and the groupBy(vec_id) EXCHANGE per bucketing
+    are gone; assignment is now a map over the corpus scan. An empty
+    centroid side yields cell = NULL, which every downstream cell
+    equi-join drops — the same empty result as the old crossJoin."""
+    cents_arr = F.broadcast(
+        cents.agg(F.collect_list(F.struct("cell", "c")).alias("cs"))
     )
-    return (
-        part.crossJoin(F.broadcast(cents))
-        .select("vec_id", cand.alias("cand"))
-        .groupBy("vec_id")
-        .agg(F.min("cand").alias("b"))
-        .select(
-            "vec_id", F.col("b.v").alias("v"), F.col("b.cell").alias("cell")
+    best = F.array_min(
+        F.transform(
+            F.col("cs"),
+            lambda s: F.struct(
+                F.nanvl(
+                    -cosine_sim(F.col("v"), s["c"]), F.lit(float("inf"))
+                ).alias("ns"),
+                s["cell"].alias("cell"),
+            ),
         )
+    )["cell"]
+    return part.crossJoin(cents_arr).select(
+        "vec_id", "v", "nrm", best.alias("cell")
     )
 
 
@@ -3590,12 +3643,17 @@ def _iknn_edges(
 ) -> DataFrame:
     """Batch-node adjacency: for each bucketing, probe the batch
     assignment against base + batch cellmates with inline scoring
-    (knn_graph_ivf's stage shape), union the bucketings, distinct,
+    (knn_graph_ivf's stage shape — r14: precomputed norms, ONE dot
+    per pair, see _knn_score), union the bucketings, distinct,
     top-{_KNN_K} per batch node."""
+    dt = dot
     scored = []
     for ba, na in zip(base_ass, batch_ass):
         alls = ba.unionByName(na).select(
-            F.col("vec_id").alias("nbr_id"), F.col("v").alias("w"), "cell"
+            F.col("vec_id").alias("nbr_id"),
+            F.col("v").alias("w"),
+            F.col("nrm").alias("nrm_b"),
+            "cell",
         )
         scored.append(
             na.join(alls, "cell")
@@ -3603,9 +3661,11 @@ def _iknn_edges(
             .select(
                 "vec_id",
                 "nbr_id",
-                F.round(cosine_sim(F.col("v"), F.col("w")), 6).alias(
-                    "cosine"
-                ),
+                F.round(
+                    dt(F.col("v"), F.col("w"))
+                    / (F.col("nrm") * F.col("nrm_b")),
+                    6,
+                ).alias("cosine"),
             )
         )
     return _knn_topk(scored[0].union(scored[1]).distinct())
