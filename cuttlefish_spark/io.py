@@ -156,6 +156,14 @@ def register_memo(d: dict | None = None) -> dict:
     return d
 
 
+def memos_active() -> bool:
+    """True if any registered session memo currently holds entries —
+    bench.py uses this to detect that the query just measured BUILT a
+    derived model inside its timed region (and therefore already
+    reports a self-contained build+plan cost)."""
+    return any(cache for cache in _MEMO_REGISTRY)
+
+
 def clear_memos() -> None:
     """Evict every registered memo, unpersisting cached DataFrames."""
     for cache in _MEMO_REGISTRY:

@@ -1200,6 +1200,7 @@ def _bpe_train(
     n_merges: int,
     round_secs: list[float] | None = None,
     scoring: str = "count",
+    capture: dict[int, DataFrame] | None = None,
 ) -> tuple[DataFrame, DataFrame]:
     """The BPE training loop, depth-parameterized (bpe_train_merges
     runs it at _BPE_MERGES = 8; scripts/bpe_depth_stress.py at 64 to
@@ -1208,13 +1209,23 @@ def _bpe_train(
     when given. Returns (merge table, final seq) — seq is the ENCODED
     corpus vocabulary (word, freq, syms after all merges), which
     bpe_token_stats aggregates; both are memoized per (session, corpus,
-    depth) so the two queries train once."""
+    depth) so the two queries train once.
+
+    `capture` (r14, bpe_vocab_prune_audit): a dict whose KEYS name
+    intermediate depths; on return capture[k] holds the encoded seq
+    after k merges. The depth-k working set is literally an
+    intermediate of the depth-n chain (greedy argmax is deterministic),
+    so a vocab-size ablation over several depths trains ONCE instead of
+    once per depth — the snapshots are the per-round checkpoints the
+    loop materializes anyway, zero extra compute. On a memo hit the
+    intermediates no longer exist; callers fall back to per-depth
+    training (which then hits the per-depth memos)."""
     import time as _time
 
     from cuttlefish_spark.io import memo_key, memo_put
 
     key = memo_key(spark, sf_dir, "documents") + (n_merges, scoring)
-    if round_secs is None and key in _BPE_CACHE:
+    if round_secs is None and capture is None and key in _BPE_CACHE:
         return _BPE_CACHE[key]
 
     d = spread(spark, load_table(spark, sf_dir, "documents"))
@@ -1311,6 +1322,8 @@ def _bpe_train(
                 ).otherwise(F.concat(acc, F.array(x))),
             ).alias("syms"),
         ).localCheckpoint(eager=True)
+        if capture is not None and step in capture:
+            capture[step] = seq
         if round_secs is not None:
             round_secs.append(_time.perf_counter() - t0)
 
@@ -4754,9 +4767,28 @@ def bpe_vocab_prune_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "transform(sequence(1, length(word)), i -> substr(word, i, 1))"
         ).alias("syms"),
     )
+    # r14: ONE training run at the deepest depth, with the shallower
+    # depths CAPTURED as its per-round checkpoints (the depth-k working
+    # set is an intermediate of the depth-n chain — greedy argmax is
+    # deterministic, so the captured frame is bit-identical to a
+    # separate depth-k train). Previously each depth trained its own
+    # chain: {len(_VPA_DEPTHS) - 1} loops of pair-count + argmax-collect
+    # + fold + checkpoint instead of one. Fallback to per-depth training
+    # (memo hits / early-exhausted corpora) preserves the old path.
     frames = {0: seq0}
+    deepest = _VPA_DEPTHS[-1]
+    cap: dict[int, DataFrame] = {
+        k: None for k in _VPA_DEPTHS[1:] if k != deepest
+    }
+    frames[deepest] = _bpe_train(spark, sf_dir, deepest, capture=cap)[1]
     for k in _VPA_DEPTHS[1:]:
-        frames[k] = _bpe_train(spark, sf_dir, k)[1]
+        if k == deepest:
+            continue
+        frames[k] = (
+            cap[k]
+            if cap.get(k) is not None
+            else _bpe_train(spark, sf_dir, k)[1]
+        )
     tw = seq0.agg(F.sum("freq").alias("w"))
     out = None
     for k, seq in frames.items():
