@@ -113,6 +113,20 @@ def main() -> None:
     from cuttlefish_spark.io import clear_memos, memos_active
 
     memo_built: dict[str, bool] = {}
+    # Per-query host-speed probe (r14): this host's co-tenant load
+    # swings the end-of-run host_ref_sec 0.15-4.0 within minutes, so a
+    # single reference cannot adjudicate per-query readings. One tiny
+    # pure-CPU probe RIGHT AFTER each query (untimed region) records
+    # the host speed at that moment; BENCH_FULL.json carries the map
+    # (queries_ref) so per-query normalization is possible offline.
+    # ~0.1-0.5 s per query — outside every timed region.
+    ref_probe: dict[str, float] = {}
+
+    def _probe() -> float:
+        t0 = time.perf_counter()
+        spark.range(100_000_000).selectExpr("sum(id % 7)").collect()
+        return round(time.perf_counter() - t0, 4)
+
     for name in names:
         runs = []
         for run_i in range(n_runs):
@@ -170,6 +184,7 @@ def main() -> None:
         timings[name] = round(
             sorted(runs)[len(runs) // 2] if median3 else min(runs[:2]), 3
         )
+        ref_probe[name] = _probe()
 
     # Host-speed reference: a fixed pure-CPU JVM aggregation (no IO, no
     # Python, no shuffle) whose cost depends ONLY on available cycles.
@@ -302,7 +317,8 @@ def main() -> None:
         full = Path(REPO) / "BENCH_FULL.json"
         with open(full, "w") as f:
             json.dump(
-                {**out, "queries_cold": cold, "queries_hostnorm": hostnorm, **extra},
+                {**out, "queries_cold": cold, "queries_hostnorm": hostnorm,
+                 "queries_ref": ref_probe, **extra},
                 f,
                 indent=1,
                 sort_keys=True,
