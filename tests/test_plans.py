@@ -6,10 +6,24 @@ correctness oracle can't provide.
 
 from __future__ import annotations
 
+import pytest
+
 from cuttlefish_spark.plans import checks
 from cuttlefish_spark.registry import load_all
 
 SPECS = load_all()
+
+
+@pytest.fixture(scope="module")
+def all_frames(spark, sf_dir):
+    """Every declared query's DataFrame, built ONCE for the module —
+    building a frame executes any bounded driver-sync loop inside
+    fn() (trainer argmax collects, eager manifest checkpoints), which
+    at 259 queries dominates this module's runtime; the whole-registry
+    window audits share one build instead of paying it each (r14:
+    the two audits were the suite's #1 and #2 slowest tests, 236 s +
+    151 s of a 29-min run)."""
+    return {name: spec.fn(spark, sf_dir) for name, spec in SPECS.items()}
 
 
 def test_filter_pushdown_reaches_scan(spark, sf_dir):
@@ -246,7 +260,7 @@ def test_anomaly_zscore_single_shuffle(spark, sf_dir):
     assert checks.count_exchanges(df) == 1
 
 
-def test_no_global_ordered_windows(spark, sf_dir):
+def test_no_global_ordered_windows(all_frames):
     """No query may contain an ORDERED window with an empty partition
     spec over unbounded input — that's a single-task global prefix
     scan, the 100 TB killer this suite exists to catch. vocab_topk is
@@ -256,16 +270,16 @@ def test_no_global_ordered_windows(spark, sf_dir):
 
     exempt = {"vocab_topk"}
     offenders = {}
-    for name, spec in SPECS.items():
+    for name, df in all_frames.items():
         if name in exempt:
             continue
-        flagged = global_ordered_windows(spec.fn(spark, sf_dir))
+        flagged = global_ordered_windows(df)
         if flagged:
             offenders[name] = flagged[0]
     assert not offenders, f"global ordered windows: {offenders}"
 
 
-def test_no_low_card_ordered_windows(spark, sf_dir):
+def test_no_low_card_ordered_windows(all_frames):
     """No query may contain an ORDERED window partitioned ONLY by
     low-cardinality keys (lang ~5, source ~20, event_type ~5, label
     ~10 values) — at 100× each group's entire corpus would sort in ONE
@@ -283,10 +297,10 @@ def test_no_low_card_ordered_windows(spark, sf_dir):
     low_card = frozenset({"lang", "source", "event_type", "label"})
     exempt: set[str] = set()
     offenders = {}
-    for name, spec in SPECS.items():
+    for name, df in all_frames.items():
         if name in exempt:
             continue
-        flagged = low_card_ordered_windows(spec.fn(spark, sf_dir), low_card)
+        flagged = low_card_ordered_windows(df, low_card)
         if flagged:
             offenders[name] = flagged[0]
     assert not offenders, f"low-card-only ordered windows: {offenders}"
